@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+
+/** Exact brute-force k-NN — the Spark rendition of the reference's FLAT
+  * index search path (`IndexFlatL2` build vector_search_cluster.py:1020-1021,
+  * search :593, distributed merge :300-359).
+  *
+  * Shape: the (small) query set is broadcast against the (huge) vector
+  * table; the per-query top-k is a `row_number()` window which Spark ≥3.5
+  * executes as `WindowGroupLimit` — a per-partition bounded heap followed by
+  * a final per-query heap, i.e. exactly the reference's partial/final top-k
+  * merge (SURVEY §2.4 A1) without a global sort. At 100 TB the vector table
+  * streams partition-parallel and only Q×k×partitions rows ever shuffle.
+  */
+object KnnSearch {
+
+  /** For each row of `queries(query_id, qvec)`, the `k` nearest rows of
+    * `vectors(vec_id, vec)` under `dist`, ties broken by vec_id.
+    * Output: (query_id, rank, vec_id, dist) — relational form of the
+    * reference's ragged top-k response (SURVEY §1.1).
+    */
+  def topK(
+      queries: DataFrame,
+      vectors: DataFrame,
+      k: Int,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "qvec",
+      vecIdCol: String = "vec_id",
+      vecCol: String = "vec",
+      dist: (Column, Column) => Column = Distances.l2Sq,
+      excludeSelf: Boolean = false): DataFrame = {
+
+    val joined = vectors.crossJoin(broadcast(queries))
+    val filtered =
+      if (excludeSelf) joined.where(col(vecIdCol) =!= col(queryIdCol))
+      else joined
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col(vecIdCol))
+    filtered
+      .select(
+        col(queryIdCol),
+        col(vecIdCol),
+        dist(col(queryVecCol), col(vecCol)).as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Self-kNN over an embeddings table: the first `numQueries` vectors (by
+    * id) act as queries against the full table, excluding the query row
+    * itself. Mirrors the driver-contract query shape (FIXTURES.md). */
+  def selfTopK(
+      embeddings: DataFrame,
+      numQueries: Int,
+      k: Int,
+      dist: (Column, Column) => Column = Distances.l2Sq): DataFrame = {
+    val q = embeddings
+      .where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val v = embeddings.select(col("vec_id"), col("embedding").as("vec"))
+    topK(q, v, k, excludeSelf = true, dist = dist)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}
