@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operational-analytics operators — batch renditions of the reference's
+  * metrics surface (SURVEY §2.4 A5-A8, §2.5 O4, §2.9 T3) over an event
+  * stream table: latency percentiles (`get_metrics`,
+  * vector_search_cluster.py:414-436, 725-733), monotone counters, cache hit
+  * rate (:427-429), health counts (:431-434), the rolling last-N window
+  * (:240-241, 602-603), and tumbling event-time windows (the event-time
+  * upgrade of the reference's 5 s processing-time heartbeat, :757).
+  *
+  * All are single-shuffle grouped aggregations with map-side partial
+  * aggregation — linear scans at 100 TB.
+  */
+object MetricsAnalytics {
+
+  /** A6/A10 — counters per group: event counts, value totals, distinct
+    * actors. */
+  def counters(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  /** A5 — exact latency percentiles p50/p95/p99 + mean per group
+    * (sort+positional-index in the reference, :419-425; here one pass of
+    * `percentile`, continuous interpolation — same definition DuckDB's
+    * quantile_cont uses). */
+  def percentiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"), array(lit(0.5), lit(0.95), lit(0.99))).as("ps"),
+        avg(col("value")).as("avg_v"))
+      .select(
+        col("event_type"),
+        round(col("ps").getItem(0), 4).as("p50"),
+        round(col("ps").getItem(1), 4).as("p95"),
+        round(col("ps").getItem(2), 4).as("p99"),
+        round(col("avg_v"), 4).as("avg_value"))
+      .orderBy(col("event_type"))
+
+  /** A7/A8 — hit-rate style ratio: rows matching `hit` over all rows
+    * (cache_hits / total_queries, :427-429; healthy/total, :431-434). */
+  def hitRate(events: DataFrame, hit: Column): DataFrame =
+    events.agg(
+      count(lit(1)).as("total"),
+      sum(hit.cast("long")).as("hits"),
+      round(sum(hit.cast("long")) / count(lit(1)), 6).as("hit_rate"))
+
+  /** O4 — rolling last-N aggregate per group ordered by event time (the
+    * reference's `latencies[-1000:]` trim, :240-241): here a bounded
+    * rows-window mean. Values are 2-decimal latencies, so the mean is
+    * computed fixed-point (sum of round(value*100) is exact integer
+    * arithmetic in double) — windowed float sums are otherwise not
+    * reproducible across engines (sliding-window sum trees). */
+  def rollingMean(events: DataFrame, lastN: Int): DataFrame = {
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(lastN - 1), 0)
+    events
+      .select(
+        col("event_id"), col("event_type"),
+        round(sum(round(col("value") * 100)).over(w) /
+          (count(lit(1)).over(w) * 100), 4).as("rolling_avg"))
+      .orderBy(col("event_id"))
+  }
+
+  /** T3 — tumbling event-time window aggregation (event-time strengthening
+    * of the reference's processing-time-only metrics, SURVEY §2.9):
+    * count + sum per (window, event_type). Window start emitted as epoch
+    * seconds for engine-portable comparison. */
+  def tumbling(events: DataFrame, width: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+}

@@ -1,26 +1,159 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.KnnSearch
+import graft.functions.{Distances, Fingerprint}
+import graft.operators._
 
 /** Named-query registry binding operators to the driver's test tables.
   *
   * Conventions (FIXTURES.md): every query ends in a total ORDER BY; doubles
-  * rounded to 4 decimals; counts/ranks cast to long to match DuckDB BIGINT;
-  * distances computed in double with left-to-right folds for bit parity.
+  * rounded (2 for money-scale sums, 4 for distances/means, 6 for ratios);
+  * counts/ranks cast to long to match DuckDB BIGINT; distances computed in
+  * double with left-to-right folds for bit parity; timestamps emitted as
+  * epoch seconds.
   */
 object Registry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet stores ts as TIMESTAMP(NANOS); with
+    * spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos —
+    * normalize to a microsecond timestamp (integer division, no double
+    * round-trip: epoch nanos exceed double's 53-bit mantissa). */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => df
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- vector search core (SURVEY §2.3/§2.4/§2.5) ----
+
     // J1 + A1 + O1/O2: exact FLAT k-NN, squared L2, ties by vec_id
-    // (vector_search_cluster.py:593, :1020-1021, :300-359)
     "q_flat_knn" -> ((s, dir) =>
-      KnnSearch.selfTopK(t(s, dir, "embeddings"), numQueries = 8, k = 10))
+      KnnSearch.selfTopK(t(s, dir, "embeddings"), numQueries = 8, k = 10)),
+
+    // A1/U1/P4/J6: sharded partial top-k + coordinator merge — must equal
+    // the single-pass FLAT result (merge invariant, SURVEY §5.3)
+    "q_topk_merge" -> ((s, dir) =>
+      TopKMerge.shardedSelfTopK(t(s, dir, "embeddings"), numQueries = 8, k = 10, numShards = 16)
+        .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
+        .orderBy(col("query_id"), col("rank"))),
+
+    // ---- sharding / partitioning (SURVEY §2.8) ----
+
+    // D2: even contiguous split with remainder → per-shard stats
+    "q_shard_even" -> ((s, dir) =>
+      Sharding.evenSplit(t(s, dir, "embeddings"), 16, "vec_id")
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("num_vectors"),
+          min(col("vec_id")).as("min_vec_id"),
+          max(col("vec_id")).as("max_vec_id"))
+        .orderBy(col("shard_id"))),
+
+    // D3/F7: content-hash shard assignment (builder path, exact semantics)
+    "q_shard_hash" -> ((s, dir) =>
+      Sharding.withHashShard(t(s, dir, "embeddings"), "embedding", 16)
+        .select(col("vec_id"), col("shard_id"))
+        .orderBy(col("vec_id"))),
+
+    // ---- scalar function surface (SURVEY §2.7 P1/F2/F3/F8) ----
+
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .where(col("vec_id") < 50)
+        .select(col("vec_id"), Fingerprint.cacheKey(col("embedding"), lit(10)).as("cache_key"))
+        .orderBy(col("vec_id"))),
+
+    // ---- cache semantics (SURVEY §2.1 S6/S7, §2.3 J7) ----
+
+    "q_cache_lookup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val key = CacheSemantics.keyFor(col("embedding"), 10)
+      val q = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), key.as("cache_key"))
+      val cache = emb.where(col("vec_id") % 2 === 0 && col("vec_id") < 40)
+        .select(key.as("cache_key"), md5(key).as("payload"),
+          (lit(1000L) + col("vec_id")).as("expires_at"))
+      CacheSemantics.lookup(q, cache, lit(1010L))
+        .select(col("query_id"), col("hit"), col("payload"))
+        .orderBy(col("query_id"))
+    }),
+
+    // ---- ops analytics over events (SURVEY §2.4 A5-A8, §2.5 O4, §2.9 T3) ----
+
+    "q_event_counters" -> ((s, dir) => MetricsAnalytics.counters(events(s, dir))),
+
+    "q_event_percentiles" -> ((s, dir) => MetricsAnalytics.percentiles(events(s, dir))),
+
+    "q_event_hit_rate" -> ((s, dir) =>
+      MetricsAnalytics.hitRate(events(s, dir),
+        col("event_type").isin("click", "purchase"))),
+
+    "q_rolling_latency" -> ((s, dir) => MetricsAnalytics.rollingMean(events(s, dir), 100)),
+
+    "q_tumbling_window" -> ((s, dir) => MetricsAnalytics.tumbling(events(s, dir), "5 minutes")),
+
+    // ---- vector column stats (SURVEY §2.4 A9/A10, §1.3 dim check) ----
+
+    "q_vector_stats" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(Distances.norm2(col("embedding"))), 4).as("avg_norm"),
+          sum(Distances.hasDim(col("embedding"), 64).cast("long")).as("n_valid_dim"))
+        .orderBy(col("label"))),
+
+    // ---- general relational surface (SURVEY §2.3 note — composed ops) ----
+
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q_join_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+    }),
+
+    "q_window_running" -> ((s, dir) => {
+      // (l_suppkey, l_orderkey, l_linenumber) is NOT unique in the test
+      // data — extend the order to a total one so the running sum is
+      // engine-deterministic.
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          sum(col("l_quantity")).over(w).as("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("running_qty"))
+    })
   )
 
   /** DuckDB L2² snippet shared by oracle queries: index-based lambda fold,
@@ -29,21 +162,127 @@ object Registry {
     """list_sum(list_transform(range(1, len(q.qvec)+1),
       | i -> (CAST(q.qvec[i] AS DOUBLE) - CAST(v.embedding[i] AS DOUBLE))^2))""".stripMargin
 
+  private val flatKnnSql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+       |), j AS (
+       |  SELECT q.query_id, v.vec_id, $l2sq AS dist
+       |  FROM q CROSS JOIN embeddings v
+       |  WHERE v.vec_id <> q.query_id
+       |), r AS (
+       |  SELECT query_id, vec_id, dist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+       |  FROM j
+       |)
+       |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+       |FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB fingerprint snippet matching Fingerprint.cacheKey(…, 10). */
+  private val fpKey =
+    """'query:' || array_to_string(list_transform(embedding[1:8] || embedding[-8:],
+      | x -> printf('%.5f', CAST(x AS DOUBLE))), ',') || ':10'""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "q_flat_knn" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
-         |), j AS (
-         |  SELECT q.query_id, v.vec_id, $l2sq AS dist
-         |  FROM q CROSS JOIN embeddings v
-         |  WHERE v.vec_id <> q.query_id
-         |), r AS (
-         |  SELECT query_id, vec_id, dist,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
-         |  FROM j
+    "q_flat_knn" -> flatKnnSql,
+
+    // merge-of-partials must equal the global top-k (A1 invariant)
+    "q_topk_merge" -> flatKnnSql,
+
+    "q_shard_even" ->
+      """WITH s AS (
+        |  SELECT vec_id, ntile(16) OVER (ORDER BY vec_id) - 1 AS shard_id FROM embeddings
+        |)
+        |SELECT shard_id, count(*) AS num_vectors,
+        |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+        |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+
+    "q_shard_hash" ->
+      """SELECT vec_id,
+        |  ((CAST(trunc(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS BIGINT) % 16) + 16) % 16 AS shard_id
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT vec_id, $fpKey AS cache_key
+         |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
+
+    "q_cache_lookup" ->
+      s"""WITH fp AS (
+         |  SELECT vec_id, $fpKey AS cache_key FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS query_id, cache_key FROM fp WHERE vec_id < 20
+         |), cache AS (
+         |  SELECT cache_key, md5(cache_key) AS payload, 1000 + vec_id AS expires_at
+         |  FROM fp WHERE vec_id % 2 = 0 AND vec_id < 40
          |)
-         |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
-         |FROM r WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin
+         |SELECT q.query_id, c.payload IS NOT NULL AS hit, c.payload
+         |FROM q LEFT JOIN (SELECT * FROM cache WHERE expires_at > 1010) c USING (cache_key)
+         |ORDER BY query_id""".stripMargin,
+
+    "q_event_counters" ->
+      """SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_event_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.95), 4) AS p95,
+        |       round(quantile_cont(value, 0.99), 4) AS p99,
+        |       round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_event_hit_rate" ->
+      """SELECT count(*) AS total,
+        |       CAST(sum(CASE WHEN event_type IN ('click','purchase') THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |       round(CAST(sum(CASE WHEN event_type IN ('click','purchase') THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hit_rate
+        |FROM events""".stripMargin,
+
+    "q_rolling_latency" ->
+      """SELECT event_id, event_type,
+        |       round(sum(round(value * 100)) OVER w / (count(*) OVER w * 100), 4) AS rolling_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |             ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_tumbling_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, ts)) AS BIGINT) AS window_start,
+        |       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_vector_stats" ->
+      """SELECT label, count(*) AS n,
+        |       round(avg(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm,
+        |       CAST(sum(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_dim
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_revenue" ->
+      """SELECT c.c_mktsegment, o.o_orderstatus,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+        |       sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |           ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, running_qty""".stripMargin
   )
 }
