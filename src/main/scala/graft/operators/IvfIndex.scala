@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+
+/** IVF (inverted-file) ANN index — build + search (SURVEY §2.3 J2, §2.4
+  * A2/A4; reference build vector_search_cluster.py:1023-1031, search via
+  * :593 with nprobe :548-549).
+  *
+  * Build = learn `nlist` coarse centroids, assign every vector to its
+  * nearest (the inverted lists). Search = two-phase: (a) find the query's
+  * `nprobe` nearest centroids, (b) scan only those lists.
+  *
+  * Scale design: centroids are tiny (nlist ≈ √n) so both assignment and
+  * probing are *shuffle-free* — the centroid set is inlined as a literal
+  * array and each row computes its argmin inside whole-stage codegen. The
+  * only shuffle in search is the broadcast-join of probes against the
+  * assignments table; written `partitionBy("cluster_id")`, probe scans
+  * partition-prune (the nprobe/nlist cell-pruning the reference gets from
+  * FAISS — SURVEY §4).
+  */
+object IvfIndex {
+
+  /** A centroid row: id + vector. */
+  type Centroid = (Long, Array[Float])
+
+  /** Deterministic centroid choice — the first `nlist` vectors by id.
+    * SQL-reproducible (DuckDB-oracle-able), standing in for k-means init;
+    * quality-trained centroids come from [[trainCentroids]]. */
+  def seedCentroids(embeddings: DataFrame, nlist: Int): Array[Centroid] =
+    embeddings
+      .where(col("vec_id") < nlist)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  /** A2 — k-means centroids via MLlib (Lloyd's), trained on a bounded
+    * sample like the reference's first-batch-only training
+    * (vector_search_cluster.py:1156-1159 ≙ limit(trainSample)). */
+  def trainCentroids(
+      embeddings: DataFrame,
+      nlist: Int,
+      seed: Long = 42L,
+      trainSample: Int = 10000,
+      maxIter: Int = 20): Array[Centroid] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = embeddings
+      .limit(trainSample)
+      .select(array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(train)
+    model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.toArray.map(_.toFloat))
+    }
+  }
+
+  /** Centroid set as a literal array<struct<cid,vec>> column — broadcast by
+    * value into codegen, no join. */
+  private def centroidLit(centroids: Array[Centroid]): Column =
+    array(centroids.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), typedLit(v).as("vec"))
+    }.toIndexedSeq: _*)
+
+  /** Per-row array of (dist, cid) scored against every centroid. */
+  private def scored(vec: Column, centroids: Array[Centroid]): Column =
+    transform(centroidLit(centroids), c =>
+      struct(Distances.l2Sq(vec, c.getField("vec")).as("dist"),
+        c.getField("cid").as("cid")))
+
+  /** A4 — nearest-centroid assignment (inverted-list membership,
+    * vector_search_cluster.py:1047-1049): argmin over the centroid set,
+    * ties to the lowest cid. Map-side only — `array_min` on
+    * struct(dist, cid) is the argmin. */
+  def assign(embeddings: DataFrame, centroids: Array[Centroid]): DataFrame =
+    embeddings.withColumn(
+      "cluster_id",
+      array_min(scored(col("embedding"), centroids)).getField("cid"))
+
+  /** Phase (a) — the query's `nprobe` nearest centroids, ties by cid. */
+  def probes(queries: DataFrame, centroids: Array[Centroid], nprobe: Int): DataFrame =
+    queries.select(
+      col("query_id"), col("qvec"),
+      explode(slice(array_sort(scored(col("qvec"), centroids)), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qvec"), col("p.cid").as("cluster_id"))
+
+  /** Phase (b) — scan only the probed inverted lists and take the global
+    * top-k per query (dist, vec_id order). `assignments` must carry
+    * (vec_id, embedding, cluster_id) — e.g. [[assign]]'s output, or a
+    * `partitionBy("cluster_id")` table for pruned reads. */
+  def search(
+      queries: DataFrame,
+      centroids: Array[Centroid],
+      assignments: DataFrame,
+      nprobe: Int,
+      k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val p = probes(queries, centroids, nprobe)
+    val cand = assignments.join(broadcast(p), Seq("cluster_id"))
+    val filtered =
+      if (excludeSelf) cand.where(col("vec_id") =!= col("query_id")) else cand
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    filtered
+      .select(col("query_id"), col("vec_id"),
+        Distances.l2Sq(col("qvec"), col("embedding")).as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** End-to-end self-search over an embeddings table with deterministic
+    * seed centroids — the oracle-able IVF path. */
+  def selfSearchSeeded(
+      embeddings: DataFrame,
+      numQueries: Int,
+      nlist: Int,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val cents = seedCentroids(embeddings, nlist)
+    val assignments = assign(embeddings, cents)
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    search(q, cents, assignments, nprobe, k, excludeSelf = true)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** End-to-end self-search with k-means-trained centroids — the quality
+    * path, recall-tested against FLAT (SURVEY §5.2). */
+  def selfSearchTrained(
+      embeddings: DataFrame,
+      numQueries: Int,
+      nlist: Int,
+      nprobe: Int,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    val cents = trainCentroids(embeddings, nlist, seed)
+    val assignments = assign(embeddings, cents)
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    search(q, cents, assignments, nprobe, k, excludeSelf = true)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

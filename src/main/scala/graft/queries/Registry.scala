@@ -47,6 +47,35 @@ object Registry {
         .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
         .orderBy(col("query_id"), col("rank"))),
 
+    // ---- IVF / PQ ANN (SURVEY §2.3 J2/J3, §2.4 A2-A4) ----
+
+    // A4: inverted-list build with deterministic seed centroids → per-list stats
+    "q_ivf_build" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      IvfIndex.assign(emb, IvfIndex.seedCentroids(emb, 16))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("num_vectors"),
+          min(col("vec_id")).as("min_vec_id"),
+          max(col("vec_id")).as("max_vec_id"))
+        .orderBy(col("cluster_id"))
+    }),
+
+    // J2: two-phase IVF search (probe top-nprobe lists, scan, merge)
+    "q_ivf_knn" -> ((s, dir) =>
+      IvfIndex.selfSearchSeeded(t(s, dir, "embeddings"),
+        numQueries = 8, nlist = 16, nprobe = 4, k = 10)),
+
+    // J3/A3: PQ encode + ADC search with deterministic codebooks
+    "q_pq_adc_knn" -> ((s, dir) =>
+      PqIndex.selfSearchSeeded(t(s, dir, "embeddings"),
+        numQueries = 8, m = 16, subDim = 4, ksub = 32, k = 10)),
+
+    // A2 + J2: k-means-trained IVF (approximate — recall-tested in specs,
+    // rows-only check here)
+    "q_ivf_trained_knn" -> ((s, dir) =>
+      IvfIndex.selfSearchTrained(t(s, dir, "embeddings"),
+        numQueries = 8, nlist = 32, nprobe = 8, k = 10)),
+
     // ---- sharding / partitioning (SURVEY §2.8) ----
 
     // D2: even contiguous split with remainder → per-shard stats
@@ -158,9 +187,10 @@ object Registry {
 
   /** DuckDB L2² snippet shared by oracle queries: index-based lambda fold,
     * double precision, same evaluation order as Distances.l2Sq. */
-  private val l2sq =
-    """list_sum(list_transform(range(1, len(q.qvec)+1),
-      | i -> (CAST(q.qvec[i] AS DOUBLE) - CAST(v.embedding[i] AS DOUBLE))^2))""".stripMargin
+  private def l2sqSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))^2))"
+
+  private val l2sq = l2sqSql("q.qvec", "v.embedding")
 
   private val flatKnnSql =
     s"""WITH q AS (
@@ -188,6 +218,87 @@ object Registry {
 
     // merge-of-partials must equal the global top-k (A1 invariant)
     "q_topk_merge" -> flatKnnSql,
+
+    "q_ivf_build" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+         |), d0 AS (
+         |  SELECT v.vec_id, c.cid, ${l2sqSql("v.embedding", "c.cvec")} AS d
+         |  FROM embeddings v CROSS JOIN cent c
+         |), a AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0
+         |  ) WHERE rn = 1
+         |)
+         |SELECT cid AS cluster_id, count(*) AS num_vectors,
+         |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+         |FROM a GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "q_ivf_knn" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+         |), d0 AS (
+         |  SELECT v.vec_id, v.embedding, c.cid, ${l2sqSql("v.embedding", "c.cvec")} AS d
+         |  FROM embeddings v CROSS JOIN cent c
+         |), assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT vec_id, embedding, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0
+         |  ) WHERE rn = 1
+         |), q AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+         |), p0 AS (
+         |  SELECT q.query_id, q.qvec, c.cid, ${l2sqSql("q.qvec", "c.cvec")} AS d
+         |  FROM q CROSS JOIN cent c
+         |), probes AS (
+         |  SELECT query_id, qvec, cid FROM (
+         |    SELECT query_id, qvec, cid, row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn FROM p0
+         |  ) WHERE rn <= 4
+         |), cand AS (
+         |  SELECT p.query_id, a.vec_id, ${l2sqSql("p.qvec", "a.embedding")} AS dist
+         |  FROM probes p JOIN assign a ON a.cid = p.cid
+         |  WHERE a.vec_id <> p.query_id
+         |), r AS (
+         |  SELECT query_id, vec_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |  FROM cand
+         |)
+         |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_pq_adc_knn" ->
+      s"""WITH cb AS (
+         |  SELECT t.s, e.vec_id AS c, list_slice(e.embedding, t.s*4+1, t.s*4+4) AS sub
+         |  FROM range(0, 16) t(s) CROSS JOIN embeddings e WHERE e.vec_id < 32
+         |), vs AS (
+         |  SELECT t.s, v.vec_id, list_slice(v.embedding, t.s*4+1, t.s*4+4) AS sub
+         |  FROM range(0, 16) t(s) CROSS JOIN embeddings v
+         |), enc0 AS (
+         |  SELECT vs.vec_id, vs.s, cb.c, ${l2sqSql("vs.sub", "cb.sub")} AS d
+         |  FROM vs JOIN cb ON vs.s = cb.s
+         |), enc AS (
+         |  SELECT vec_id, s, c AS code FROM (
+         |    SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM enc0
+         |  ) WHERE rn = 1
+         |), qs AS (
+         |  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8
+         |), qsub AS (
+         |  SELECT t.s, q.query_id, list_slice(q.embedding, t.s*4+1, t.s*4+4) AS sub
+         |  FROM range(0, 16) t(s) CROSS JOIN qs q
+         |), lut AS (
+         |  SELECT qsub.query_id, qsub.s, cb.c, ${l2sqSql("qsub.sub", "cb.sub")} AS pd
+         |  FROM qsub JOIN cb ON qsub.s = cb.s
+         |), adc AS (
+         |  SELECT l.query_id, e.vec_id, list_sum(list(l.pd ORDER BY l.s)) AS dist
+         |  FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.c
+         |  WHERE e.vec_id <> l.query_id
+         |  GROUP BY l.query_id, e.vec_id
+         |), r AS (
+         |  SELECT query_id, vec_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |  FROM adc
+         |)
+         |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_shard_even" ->
       """WITH s AS (
