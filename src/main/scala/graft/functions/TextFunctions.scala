@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline surface
+  * (BASELINE.json north star): tokenization, shingling, quality signals,
+  * language-ID heuristics, portable content hashing. All pure SQL
+  * built-ins — codegen-friendly, no UDFs, and reproducible in the DuckDB
+  * oracle (identical regex classes and fold orders). */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: alpha runs, single digits, and punctuation
+    * each count as one token (a regex stand-in for byte-pair tokenizers —
+    * deterministic and engine-portable). */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Distinct word n-gram shingles (the unit of MinHash / Jaccard dedup). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1), lit(1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Count of tokens present in `words` (with multiplicity). */
+  def wordListHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast("long")
+
+  /** Ratio of alphabetic characters (quality signal). */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^a-z]", "")).cast("double") / length(text)
+
+  /** Mean token length (quality signal). */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
+  }
+
+  /** English stopwords (marker list for quality scoring). */
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+  /** Stopword ratio over whitespace tokens. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    wordListHits(toks, enStopwords).cast("double") / size(toks)
+  }
+
+  /** Language marker lists (tiny n-gram-free heuristic). Order matters:
+    * ties resolve to the earlier language. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "une", "et", "est"),
+    "es" -> Seq("el", "los", "una", "y", "es"))
+
+  /** Per-language marker-hit scores, as columns named score_<lang>. */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    langMarkers.map { case (lang, words) => lang -> wordListHits(toks, words) }
+  }
+
+  /** Predicted language: argmax of marker scores, ties to list order. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // when-chain: lang i wins if its score >= every later language's score
+    scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, score), i), elseCol) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        if (laterScores.isEmpty) elseCol
+        else when(laterScores.map(score >= _).reduce(_ && _), lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Composite quality score in [0,1]: length signal + alpha ratio +
+    * stopword presence (clamped linear combo; deterministic). */
+  def qualityScore(text: Column): Column = {
+    val lenSignal = least(tokenCountWs(text).cast("double") / 100.0, lit(1.0))
+    round(lenSignal * 0.4 + alphaRatio(text) * 0.3 +
+      least(stopwordRatio(text) * 5.0, lit(1.0)) * 0.3, 4)
+  }
+
+  /** Portable 60-bit content hash: first 15 hex chars of md5 as a long
+    * (same value via DuckDB ('0x' || substr(md5(x),1,15))::BIGINT). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+}

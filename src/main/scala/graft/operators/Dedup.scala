@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document deduplication operators for the LLM-pipeline surface
+  * (BASELINE.json north star): exact hash dedup, MinHash+LSH near-dup,
+  * SimHash near-dup, and n-gram Jaccard verification.
+  *
+  * Scale design: every stage is a grouped/joined DataFrame op —
+  * signatures and band buckets are map-side column expressions; candidate
+  * generation is an equi-join on band buckets (shuffle bounded by bucket
+  * cardinality, the LSH guarantee), never an all-pairs cross join. At
+  * 100 TB the only all-to-all structure is the bucket join, which AQE
+  * skew-splits if a bucket is hot.
+  */
+object Dedup {
+
+  /** Exact dedup: md5 content hash; canonical row = min doc_id per hash
+    * group; `is_dup` marks redundant rows. */
+  def exactDedup(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+  }
+
+  /** MinHash signature: H independent hash functions realized as
+    * md5("<h>:" + shingle); the signature entry is the lexicographic min
+    * hex digest over the doc's shingle set (a valid min-hash family, and
+    * engine-portable — no integer hashing required). */
+  def minhashSignature(docs: DataFrame, shingleN: Int, numHashes: Int,
+      textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      TextFunctions.wordShingles(col(textCol), shingleN).as("shingles"))
+      .withColumn("sig",
+        transform(sequence(lit(0), lit(numHashes - 1), lit(1)), h =>
+          array_min(transform(col("shingles"), sh =>
+            md5(concat(h.cast("string"), lit(":"), sh))))))
+
+  /** LSH banding: band b's bucket is md5 of the joined signature slice.
+    * Docs sharing any band bucket become candidate pairs (doc_a < doc_b). */
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1), lit(1)), b =>
+        struct(b.as("band"),
+          md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+            .as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Full MinHash+LSH near-dup pipeline: signature → banded candidates →
+    * signature-estimated Jaccard → exact shingle-Jaccard verification,
+    * keeping pairs with exact Jaccard ≥ threshold. */
+  def minhashLshDups(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.8,
+      textCol: String = "text"): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignature(docs, shingleN, numHashes, textCol)
+    val pairs = lshCandidates(sigs, bands, rowsPerBand)
+    val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("shingles").as("sh_a"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("shingles").as("sh_b"))
+    pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)).cast("double") / numHashes, 4).as("est_jaccard"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** N-gram Jaccard near-dup with attribute blocking (pairs within a
+    * blocking key, e.g. source): the non-LSH verification path. */
+  def ngramJaccardDups(
+      docs: DataFrame,
+      blockCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col("doc_id"), col(blockCol).as("block"),
+      TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
+    sh.as("a").join(sh.as("b"),
+      col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(jaccard(col("a.sh"), col("b.sh")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash as a 64-char bitstring (portable across engines —
+    * no 64-bit unsigned arithmetic). Bit j aggregates votes from each
+    * distinct token's md5: hex digit j/4, bit j%4; +1 if set, −1 if not;
+    * bit is 1 iff the vote is positive. */
+  def simhashExpr(text: Column): Column = {
+    val hx = transform(array_distinct(TextFunctions.tokens(text)), t => md5(t))
+    val pw = typedLit(Array(1, 2, 4, 8))
+    val bits = transform(sequence(lit(0), lit(63), lit(1)), j => {
+      val charIdx = floor(j / 4).cast("int")
+      val bitIdx = pmod(j, lit(4)).cast("int")
+      val vote = aggregate(hx, lit(0), (acc, h) => {
+        val d = conv(h.substr(charIdx + 1, lit(1)), 16, 10).cast("int")
+        acc + (pmod(floor(d / element_at(pw, bitIdx + 1)).cast("int"), lit(2)) * 2 - 1)
+      })
+      when(vote > 0, lit("1")).otherwise(lit("0"))
+    })
+    concat_ws("", bits)
+  }
+
+  /** SimHash table: (doc_id, simhash bitstring). */
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), simhashExpr(col(textCol)).as("simhash"))
+
+  /** Hamming distance between two equal-length bitstrings. */
+  def hammingDist(a: Column, b: Column, bits: Int = 64): Column =
+    aggregate(sequence(lit(1), lit(bits), lit(1)), lit(0), (acc, i) =>
+      acc + when(a.substr(i, lit(1)) =!= b.substr(i, lit(1)), 1).otherwise(0))
+
+  /** SimHash near-dup: band the bitstring (4×16 chars), candidates share
+    * a band, keep pairs with hamming ≤ maxHamming. */
+  def simhashDups(docs: DataFrame, maxHamming: Int = 16,
+      textCol: String = "text"): DataFrame = {
+    val sh = simhash(docs, textCol)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(transform(sequence(lit(0), lit(3), lit(1)), b =>
+        struct(b.as("band"), col("simhash").substr(b * 16 + 1, lit(16)).as("bucket"))))
+        .as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    banded.as("a").join(banded.as("b"),
+      col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hammingDist(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

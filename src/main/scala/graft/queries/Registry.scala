@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Distances, Fingerprint}
+import graft.functions.{Distances, Fingerprint, TextFunctions}
 import graft.operators._
 
 /** Named-query registry binding operators to the driver's test tables.
@@ -141,6 +141,72 @@ object Registry {
           sum(Distances.hasDim(col("embedding"), 64).cast("long")).as("n_valid_dim"))
         .orderBy(col("label"))),
 
+    // ---- cosine similarity surface (SURVEY §2.10 extension metrics) ----
+
+    "q_cosine_knn" -> ((s, dir) =>
+      KnnSearch.selfTopK(t(s, dir, "embeddings"), numQueries = 8, k = 5,
+        dist = Distances.cosineDist)),
+
+    "q_cosine_simjoin" -> ((s, dir) => {
+      val f = t(s, dir, "embeddings").where(col("vec_id") < 100)
+        .select(col("vec_id"), col("embedding"))
+      f.as("a").join(f.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(Distances.cosineSim(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
+        .where(col("cos_sim") >= 0.25)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // ---- LLM-pipeline text ops (BASELINE.json north star) ----
+
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"))
+        .select(col("doc_id"), col("content_hash"), col("canonical_id"), col("is_dup"))
+        .orderBy(col("doc_id"))),
+
+    "q_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshDups(t(s, dir, "documents"),
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)),
+
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardDups(t(s, dir, "documents"),
+        blockCol = "source", shingleN = 3, threshold = 0.5)),
+
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashDups(t(s, dir, "documents"), maxHamming = 2)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q_text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).as("n_tokens"),
+        TextFunctions.tokenCountBpe(col("text")).as("n_bpe_tokens"),
+        round(TextFunctions.avgTokenLen(col("text")), 4).as("avg_token_len"),
+        round(TextFunctions.alphaRatio(col("text")), 4).as("alpha_ratio"),
+        round(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "q_lang_id" -> ((s, dir) => {
+      val scores = TextFunctions.langScores(col("text"))
+      t(s, dir, "documents").select(
+        Seq(col("doc_id")) ++
+          scores.map { case (lang, c) => c.as(s"score_$lang") } :+
+          TextFunctions.langId(col("text")).as("pred_lang"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        array_min(transform(TextFunctions.wordShingles(col("text"), 3),
+          sh => TextFunctions.md5Long(sh))).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
     // ---- general relational surface (SURVEY §2.3 note — composed ops) ----
 
     "q1_agg" -> ((s, dir) =>
@@ -191,6 +257,18 @@ object Registry {
     s"list_sum(list_transform(range(1, len($a)+1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))^2))"
 
   private val l2sq = l2sqSql("q.qvec", "v.embedding")
+
+  /** DuckDB cosine-similarity snippet matching Distances.cosineSim. */
+  private def cosSimSql(a: String, b: String): String =
+    s"(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
+      s"(sqrt(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) * " +
+      s"sqrt(list_sum(list_transform(range(1, len($b)+1), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))"
+
+  /** DuckDB 3-word-shingle snippet over a `toks` list column. */
+  private val shingles3 =
+    "list_distinct(list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+
+  private val stopList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
   private val flatKnnSql =
     s"""WITH q AS (
@@ -367,6 +445,164 @@ object Registry {
         |       round(avg(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm,
         |       CAST(sum(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_dim
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_cosine_knn" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+         |), j AS (
+         |  SELECT q.query_id, v.vec_id, 1 - ${cosSimSql("q.qvec", "v.embedding")} AS dist
+         |  FROM q CROSS JOIN embeddings v
+         |  WHERE v.vec_id <> q.query_id
+         |), r AS (
+         |  SELECT query_id, vec_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |  FROM j
+         |)
+         |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+         |FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_cosine_simjoin" ->
+      s"""WITH f AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+         |), p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         round(${cosSimSql("a.embedding", "b.embedding")}, 4) AS cos_sim
+         |  FROM f a JOIN f b ON a.vec_id < b.vec_id
+         |)
+         |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.25
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_minhash_lsh" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+         |), shs AS (
+         |  SELECT doc_id, $shingles3 AS sh FROM t
+         |), sig AS (
+         |  SELECT doc_id, sh,
+         |         list_transform(range(0, 16), h ->
+         |           list_aggregate(list_transform(sh, s -> md5(h::VARCHAR || ':' || s)), 'min')) AS sig
+         |  FROM shs
+         |), banded AS (
+         |  SELECT doc_id, b.b AS band,
+         |         md5(array_to_string(list_slice(sig, CAST(b.b*4+1 AS INT), CAST(b.b*4+4 AS INT)), '|')) AS bucket
+         |  FROM sig, range(0, 4) b(b)
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), scored AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |         round(CAST(list_sum(list_transform(range(1, 17), i ->
+         |           CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16, 4) AS est_jaccard,
+         |         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
+         |  FROM pairs p
+         |  JOIN sig sa ON sa.doc_id = p.doc_a
+         |  JOIN sig sb ON sb.doc_id = p.doc_b
+         |)
+         |SELECT doc_a, doc_b, est_jaccard, jaccard FROM scored
+         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+         |), shs AS (
+         |  SELECT doc_id, source, $shingles3 AS sh FROM t
+         |), p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+         |  FROM shs a JOIN shs b ON a.source = b.source AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents
+        |), hxs AS (
+        |  SELECT doc_id, list_transform(toks, t -> md5(t)) AS hx FROM t
+        |)
+        |SELECT doc_id, array_to_string(list_transform(range(0, 64), j ->
+        |  CASE WHEN list_sum(list_transform(hx, h ->
+        |    ((((strpos('0123456789abcdef', substr(h, CAST(j//4 AS INT)+1, 1)) - 1)
+        |       // ([1,2,4,8][CAST(j%4 AS INT)+1])) % 2) * 2 - 1))) > 0
+        |  THEN '1' ELSE '0' END), '') AS simhash
+        |FROM hxs ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents
+        |), hxs AS (
+        |  SELECT doc_id, list_transform(toks, t -> md5(t)) AS hx FROM t
+        |), sim AS (
+        |  SELECT doc_id, array_to_string(list_transform(range(0, 64), j ->
+        |    CASE WHEN list_sum(list_transform(hx, h ->
+        |      ((((strpos('0123456789abcdef', substr(h, CAST(j//4 AS INT)+1, 1)) - 1)
+        |         // ([1,2,4,8][CAST(j%4 AS INT)+1])) % 2) * 2 - 1))) > 0
+        |    THEN '1' ELSE '0' END), '') AS simhash
+        |  FROM hxs
+        |), banded AS (
+        |  SELECT doc_id, simhash, b.b AS band, substr(simhash, CAST(b.b*16+1 AS INT), 16) AS bucket
+        |  FROM sim, range(0, 4) b(b)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), h AS (
+        |  SELECT doc_a, doc_b,
+        |         CAST(list_sum(list_transform(range(1, 65), i ->
+        |           CASE WHEN substr(sa, CAST(i AS INT), 1) <> substr(sb, CAST(i AS INT), 1) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM pairs
+        |)
+        |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+         |  round(CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / len(text), 4) AS alpha_ratio,
+         |  round(CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+         |  round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         |        (CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / len(text)) * 0.3 +
+         |        least((CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks)) * 5.0, 1.0) * 0.3, 4) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','is'], x))) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(toks, x -> list_contains(['le','les','une','et','est'], x))) AS BIGINT) AS score_fr,
+        |    CAST(len(list_filter(toks, x -> list_contains(['el','los','una','y','es'], x))) AS BIGINT) AS score_es
+        |  FROM t
+        |)
+        |SELECT doc_id, score_en, score_de, score_fr, score_es,
+        |  CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+        |       WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+        |       WHEN score_fr >= score_es THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+         |), shs AS (
+         |  SELECT doc_id, $shingles3 AS sh FROM t
+         |)
+         |SELECT doc_id,
+         |       list_aggregate(list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT), 'min') AS fingerprint
+         |FROM shs ORDER BY doc_id""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
