@@ -33,6 +33,21 @@ object Distances {
   /** Euclidean (root) distance. */
   def l2(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
 
+  /** Fused codegen squared-L2 (graft.plans.L2SqDistance): bit-identical to
+    * [[l2Sq]], ~several× faster on wide vectors — use in hot search paths. */
+  def l2SqFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.L2SqDistance(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
+  /** Fused codegen inner product — bit-identical to [[dot]]. */
+  def dotFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.DotProduct(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   /** Inner product. */
   def dot(a: Column, b: Column): Column =
     aggregate(
@@ -50,6 +65,14 @@ object Distances {
   /** Cosine distance = 1 - cosine similarity. */
   def cosineDist(a: Column, b: Column): Column =
     lit(1.0) - cosineSim(a, b)
+
+  /** Codegen cosine similarity — bit-identical to [[cosineSim]]. */
+  def cosineSimFast(a: Column, b: Column): Column =
+    dotFast(a, b) / (sqrt(dotFast(a, a)) * sqrt(dotFast(b, b)))
+
+  /** Codegen cosine distance — bit-identical to [[cosineDist]]. */
+  def cosineDistFast(a: Column, b: Column): Column =
+    lit(1.0) - cosineSimFast(a, b)
 
   /** Sum of vector elements (double) — the reference's shard-hash input
     * `np.sum(vec)` (vector_search_cluster.py:375, 1202). */

@@ -61,8 +61,17 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard similarity of two shingle-array columns. */
-  def jaccard(a: Column, b: Column): Column =
+  /** Exact Jaccard similarity of two shingle-array columns — fused
+    * one-pass expression (graft.plans.JaccardSim), value-identical to
+    * size(array_intersect)/size(array_union). */
+  def jaccard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.JaccardSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** HOF reference form of [[jaccard]] (parity-tested). */
+  def jaccardHof(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** Full MinHash+LSH near-dup pipeline: signature → banded candidates →
@@ -76,7 +85,10 @@ object Dedup {
       threshold: Double = 0.8,
       textCol: String = "text"): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = minhashSignature(docs, shingleN, numHashes, textCol)
+    // persisted: the signature table feeds candidate generation and both
+    // sides of the scoring join — without it the 16×md5 signature is
+    // recomputed three times
+    val sigs = minhashSignature(docs, shingleN, numHashes, textCol).persist()
     val pairs = lshCandidates(sigs, bands, rowsPerBand)
     val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("shingles").as("sh_a"))
@@ -101,7 +113,7 @@ object Dedup {
       threshold: Double = 0.5,
       textCol: String = "text"): DataFrame = {
     val sh = docs.select(col("doc_id"), col(blockCol).as("block"),
-      TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
+      TextFunctions.wordShingles(col(textCol), shingleN).as("sh")).persist()
     sh.as("a").join(sh.as("b"),
       col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -112,10 +124,20 @@ object Dedup {
 
   /** 64-bit SimHash as a 64-char bitstring (portable across engines —
     * no 64-bit unsigned arithmetic). Bit j aggregates votes from each
-    * distinct token's md5: hex digit j/4, bit j%4; +1 if set, −1 if not;
-    * bit is 1 iff the vote is positive. */
+    * token occurrence's md5 (multiplicity-weighted — the standard
+    * frequency-weighted SimHash, far more discriminative than distinct
+    * tokens on shared-vocabulary corpora): hex digit j/4, bit j%4; +1 if
+    * set, −1 if not; bit is 1 iff the vote is positive. */
   def simhashExpr(text: Column): Column = {
-    val hx = transform(array_distinct(TextFunctions.tokens(text)), t => md5(t))
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.SimHash64(
+      ColumnBridge.expression(TextFunctions.tokens(text))))
+  }
+
+  /** HOF reference form of [[simhashExpr]] (parity-tested; mirrors the
+    * q_simhash DuckDB oracle SQL shape). */
+  def simhashExprHof(text: Column): Column = {
+    val hx = transform(TextFunctions.tokens(text), t => md5(t))
     val pw = typedLit(Array(1, 2, 4, 8))
     val bits = transform(sequence(lit(0), lit(63), lit(1)), j => {
       val charIdx = floor(j / 4).cast("int")
@@ -142,7 +164,7 @@ object Dedup {
     * a band, keep pairs with hamming ≤ maxHamming. */
   def simhashDups(docs: DataFrame, maxHamming: Int = 16,
       textCol: String = "text"): DataFrame = {
-    val sh = simhash(docs, textCol)
+    val sh = simhash(docs, textCol).persist()
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(transform(sequence(lit(0), lit(3), lit(1)), b =>
         struct(b.as("band"), col("simhash").substr(b * 16 + 1, lit(16)).as("bucket"))))

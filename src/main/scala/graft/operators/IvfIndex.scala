@@ -69,7 +69,7 @@ object IvfIndex {
   /** Per-row array of (dist, cid) scored against every centroid. */
   private def scored(vec: Column, centroids: Array[Centroid]): Column =
     transform(centroidLit(centroids), c =>
-      struct(Distances.l2Sq(vec, c.getField("vec")).as("dist"),
+      struct(Distances.l2SqFast(vec, c.getField("vec")).as("dist"),
         c.getField("cid").as("cid")))
 
   /** A4 — nearest-centroid assignment (inverted-list membership,
@@ -106,7 +106,7 @@ object IvfIndex {
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
     filtered
       .select(col("query_id"), col("vec_id"),
-        Distances.l2Sq(col("qvec"), col("embedding")).as("dist"))
+        Distances.l2SqFast(col("qvec"), col("embedding")).as("dist"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }

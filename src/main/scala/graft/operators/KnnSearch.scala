@@ -32,7 +32,7 @@ object KnnSearch {
       queryVecCol: String = "qvec",
       vecIdCol: String = "vec_id",
       vecCol: String = "vec",
-      dist: (Column, Column) => Column = Distances.l2Sq,
+      dist: (Column, Column) => Column = Distances.l2SqFast,
       excludeSelf: Boolean = false): DataFrame = {
 
     val joined = vectors.crossJoin(broadcast(queries))
@@ -56,7 +56,7 @@ object KnnSearch {
       embeddings: DataFrame,
       numQueries: Int,
       k: Int,
-      dist: (Column, Column) => Column = Distances.l2Sq): DataFrame = {
+      dist: (Column, Column) => Column = Distances.l2SqFast): DataFrame = {
     val q = embeddings
       .where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

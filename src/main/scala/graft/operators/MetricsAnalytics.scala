@@ -72,6 +72,25 @@ object MetricsAnalytics {
       .orderBy(col("event_id"))
   }
 
+  /** T2 batch analog — node registry health: nodes synthesized from the
+    * event stream (user_id mod numNodes), health = heartbeat within
+    * `timeoutSec` of the registry's freshest heartbeat — the stale-node
+    * expiry the reference forgot (SURVEY §2.9 T2). */
+  def nodeHealthBatch(events: DataFrame, numNodes: Int, timeoutSec: Long): DataFrame = {
+    val agg = events
+      .groupBy(pmod(col("user_id"), lit(numNodes.toLong)).as("node_num"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_timestamp(col("ts"))).as("last_hb"))
+    val now = agg.agg(max(col("last_hb")).as("now_ts"))
+    agg.crossJoin(broadcast(now))
+      .select(
+        concat(lit("node-"), col("node_num").cast("string")).as("node_id"),
+        col("n_events"), col("last_hb"),
+        when(col("now_ts") - col("last_hb") <= timeoutSec, "healthy")
+          .otherwise("stale").as("health"))
+      .orderBy(col("node_id"))
+  }
+
   /** T3 — tumbling event-time window aggregation (event-time strengthening
     * of the reference's processing-time-only metrics, SURVEY §2.9):
     * count + sum per (window, event_type). Window start emitted as epoch

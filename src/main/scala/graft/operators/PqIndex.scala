@@ -81,7 +81,7 @@ object PqIndex {
       array_min(
         transform(element_at(cbLit(cb), (s + 1).cast("int")), e =>
           struct(
-            Distances.l2Sq(
+            Distances.l2SqFast(
               slice(vec, s * subDim + 1, lit(subDim)), e.getField("vec")).as("dist"),
             e.getField("code").as("code"))))
         .getField("code"))
@@ -94,7 +94,7 @@ object PqIndex {
   def lutExpr(qvec: Column, cb: Codebooks, m: Int, subDim: Int): Column =
     transform(sequence(lit(0), lit(m - 1)), s =>
       transform(element_at(cbLit(cb), (s + 1).cast("int")), e =>
-        Distances.l2Sq(slice(qvec, s * subDim + 1, lit(subDim)), e.getField("vec"))))
+        Distances.l2SqFast(slice(qvec, s * subDim + 1, lit(subDim)), e.getField("vec"))))
 
   /** ADC distance: sum over subspaces (ascending s — reproducible fold) of
     * the LUT entry selected by the candidate's code. */
@@ -154,7 +154,7 @@ object PqIndex {
       .join(broadcast(short), Seq("vec_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
-        Distances.l2Sq(col("qvec"), col("embedding")).as("dist"))
+        Distances.l2SqFast(col("qvec"), col("embedding")).as("dist"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))

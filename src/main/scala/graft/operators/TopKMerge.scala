@@ -43,7 +43,7 @@ object TopKMerge {
       numQueries: Int,
       k: Int,
       numShards: Int,
-      dist: (Column, Column) => Column = Distances.l2Sq): DataFrame = {
+      dist: (Column, Column) => Column = Distances.l2SqFast): DataFrame = {
     val sharded = Sharding.withHashShard(embeddings, "embedding", numShards)
     val q = embeddings
       .where(col("vec_id") < numQueries)

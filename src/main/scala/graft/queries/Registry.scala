@@ -130,6 +130,16 @@ object Registry {
 
     "q_tumbling_window" -> ((s, dir) => MetricsAnalytics.tumbling(events(s, dir), "5 minutes")),
 
+    // T2 batch analog: node-health registry with stale expiry
+    "q_node_health" -> ((s, dir) =>
+      MetricsAnalytics.nodeHealthBatch(events(s, dir), numNodes = 10, timeoutSec = 3600)),
+
+    // Multimodal metadata decode (expression path; mapPartitions stub path
+    // is spec-tested — Multimodal.decodeFeatures)
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.mediaMeta(Multimodal.mediaFromDocs(t(s, dir, "documents")))
+        .orderBy(col("media_id"))),
+
     // ---- vector column stats (SURVEY §2.4 A9/A10, §1.3 dim check) ----
 
     "q_vector_stats" -> ((s, dir) =>
@@ -145,14 +155,14 @@ object Registry {
 
     "q_cosine_knn" -> ((s, dir) =>
       KnnSearch.selfTopK(t(s, dir, "embeddings"), numQueries = 8, k = 5,
-        dist = Distances.cosineDist)),
+        dist = Distances.cosineDistFast)),
 
     "q_cosine_simjoin" -> ((s, dir) => {
       val f = t(s, dir, "embeddings").where(col("vec_id") < 100)
         .select(col("vec_id"), col("embedding"))
       f.as("a").join(f.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(Distances.cosineSim(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
+          round(Distances.cosineSimFast(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
         .where(col("cos_sim") >= 0.25)
         .orderBy(col("vec_a"), col("vec_b"))
     }),
@@ -523,7 +533,7 @@ object Registry {
 
     "q_simhash" ->
       """WITH t AS (
-        |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
         |), hxs AS (
         |  SELECT doc_id, list_transform(toks, t -> md5(t)) AS hx FROM t
         |)
@@ -536,7 +546,7 @@ object Registry {
 
     "q_simhash_pairs" ->
       """WITH t AS (
-        |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks FROM documents
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
         |), hxs AS (
         |  SELECT doc_id, list_transform(toks, t -> md5(t)) AS hx FROM t
         |), sim AS (
@@ -603,6 +613,27 @@ object Registry {
          |SELECT doc_id,
          |       list_aggregate(list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT), 'min') AS fingerprint
          |FROM shs ORDER BY doc_id""".stripMargin,
+
+    "q_node_health" ->
+      """WITH agg AS (
+        |  SELECT user_id % 10 AS node_num, count(*) AS n_events,
+        |         max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_hb
+        |  FROM events GROUP BY 1
+        |), m AS (SELECT max(last_hb) AS now_ts FROM agg)
+        |SELECT 'node-' || node_num AS node_id, n_events, last_hb,
+        |       CASE WHEN m.now_ts - last_hb <= 3600 THEN 'healthy' ELSE 'stale' END AS health
+        |FROM agg, m ORDER BY node_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |       16 + (ascii(substr(text, 1, 1)) % 64) AS width,
+        |       16 + (ascii(substr(text, 2, 1)) % 64) AS height,
+        |       CASE WHEN doc_id % 3 = 2
+        |            THEN CAST(octet_length(CAST(text AS BLOB)) % 30 + 1 AS INT)
+        |            ELSE 1 END AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming renditions of the reference's continuous processes
+  * (SURVEY §2.9 T1-T3): the 5 s heartbeat loop
+  * (vector_search_cluster.py:716-757), coordinator node-registry state
+  * (:149-161), and rolling metrics (:234-241).
+  *
+  * Event-time watermarks and state timeouts are strengthenings the
+  * reference lacks (it never expires stale nodes — SURVEY §2.9 T2 notes
+  * the bug); these operators are therefore spec-tested, not oracle-matched.
+  */
+object StreamingAnalytics {
+
+  /** T3 — tumbling event-time aggregation with a watermark bounding state. */
+  def tumblingCounts(events: DataFrame, width: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding-window mean (the event-time generalization of the reference's
+    * count-based rolling window O4). */
+  def slidingMean(events: DataFrame, width: String, slide: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(avg(col("value")).as("avg_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("avg_value"))
+
+  /** One heartbeat report (T1: node → coordinator POST,
+    * vector_search_cluster.py:736-748). */
+  case class Heartbeat(nodeId: String, ts: Timestamp, latencyMs: Double)
+
+  /** Coordinator-side view of one node (the registry entry, :119-126). */
+  case class NodeState(
+      nodeId: String,
+      lastHeartbeatMs: Long,
+      nHeartbeats: Long,
+      avgLatencyMs: Double,
+      health: String)
+
+  /** The state-transition function behind [[nodeHealth]] — exposed so it
+    * can be unit-tested deterministically with TestGroupState. */
+  def updateNodeState(
+      timeoutMs: Long)(
+      nodeId: String,
+      newBeats: Iterator[Heartbeat],
+      state: GroupState[NodeState]): NodeState =
+    if (state.hasTimedOut) {
+      val s = state.get.copy(health = "dead")
+      state.remove()
+      s
+    } else {
+      val beats = newBeats.toSeq
+      val prev = state.getOption
+      val n = prev.map(_.nHeartbeats).getOrElse(0L) + beats.size
+      val sumPrev = prev.map(s => s.avgLatencyMs * s.nHeartbeats).getOrElse(0.0)
+      val avg = if (n == 0) 0.0 else (sumPrev + beats.map(_.latencyMs).sum) / n
+      val last = beats.map(_.ts.getTime).maxOption
+        .getOrElse(prev.map(_.lastHeartbeatMs).getOrElse(0L))
+      val s = NodeState(nodeId, last, n, avg, "healthy")
+      state.update(s)
+      state.setTimeoutDuration(timeoutMs)
+      s
+    }
+
+  /** T2 — stateful node-health registry via mapGroupsWithState, keyed by
+    * node id, with the processing-time expiry the reference forgot: a node
+    * that stops heartbeating flips to "dead" when its state times out. */
+  def nodeHealth(
+      heartbeats: Dataset[Heartbeat],
+      timeoutMs: Long): Dataset[NodeState] = {
+    import heartbeats.sparkSession.implicits._
+    heartbeats
+      .groupByKey(_.nodeId)
+      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout)(
+        updateNodeState(timeoutMs))
+  }
+
+  /** Convenience: run a streaming DataFrame to a named in-memory table and
+    * block until the source drains (local smoke; spark_guide.md pattern). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

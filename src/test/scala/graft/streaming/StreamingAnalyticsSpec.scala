@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.StreamingAnalytics.{Heartbeat, NodeState}
+
+class StreamingAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumblingCounts aggregates a drained stream like the batch analog") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = src.toDF().toDF("event_id", "ts", "event_type", "value")
+    src.addData(
+      (1L, ts("2024-01-01 00:00:10"), "click", 10.0),
+      (2L, ts("2024-01-01 00:01:00"), "click", 20.0),
+      (3L, ts("2024-01-01 00:06:00"), "error", 5.0))
+    StreamingAnalytics.runToMemory(
+      StreamingAnalytics.tumblingCounts(df, "5 minutes", "10 minutes"),
+      "tumbling_out", OutputMode.Update)
+    val rows = spark.table("tumbling_out")
+      .orderBy($"window_start", $"event_type").collect()
+    assert(rows.length == 2)
+    assert(rows.head.getAs[Long]("n_events") == 2)
+    assert(rows.head.getAs[Double]("sum_value") == 30.0)
+  }
+
+  test("updateNodeState: accumulation, running average, timeout → dead") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val fn = StreamingAnalytics.updateNodeState(60000) _
+    // batch 1: two beats
+    var state = TestGroupState.create[NodeState](
+      optionalState = org.apache.spark.api.java.Optional.empty[NodeState](), timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val s1 = fn("n1", Iterator(
+      Heartbeat("n1", ts("2024-01-01 00:00:00"), 10.0),
+      Heartbeat("n1", ts("2024-01-01 00:00:05"), 30.0)), state)
+    assert(s1.nHeartbeats == 2 && s1.avgLatencyMs == 20.0 && s1.health == "healthy")
+    // batch 2: one more beat, running average updates
+    state = TestGroupState.create[NodeState](
+      optionalState = org.apache.spark.api.java.Optional.of(s1), timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 2000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val s2 = fn("n1", Iterator(Heartbeat("n1", ts("2024-01-01 00:00:10"), 20.0)), state)
+    assert(s2.nHeartbeats == 3 && math.abs(s2.avgLatencyMs - 20.0) < 1e-9)
+    assert(s2.lastHeartbeatMs == ts("2024-01-01 00:00:10").getTime)
+    // timeout: node flips to dead and state clears (the expiry the
+    // reference lacks, vector_search_cluster.py:149-161)
+    state = TestGroupState.create[NodeState](
+      optionalState = org.apache.spark.api.java.Optional.of(s2), timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 120000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    val s3 = fn("n1", Iterator.empty, state)
+    assert(s3.health == "dead")
+    assert(state.isRemoved)
+  }
+
+  test("slidingMean emits overlapping windows") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = src.toDF().toDF("event_id", "ts", "event_type", "value")
+    src.addData((1L, ts("2024-01-01 00:03:00"), "click", 10.0))
+    StreamingAnalytics.runToMemory(
+      StreamingAnalytics.slidingMean(df, "10 minutes", "5 minutes", "10 minutes"),
+      "sliding_out", OutputMode.Update)
+    // one event falls into two overlapping 10-min windows sliding by 5
+    assert(spark.table("sliding_out").count() == 2)
+  }
+}
