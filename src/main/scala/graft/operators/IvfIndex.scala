@@ -111,6 +111,56 @@ object IvfIndex {
       .where(col("rank") <= k)
   }
 
+  /** S4 — persist the index as partition-pruned tables: assignments
+    * partitioned by cluster_id (the inverted lists — a probe for cluster c
+    * reads only partition c), centroids as a small side table
+    * (vector_search_cluster.py:1051-1066's shard files + metadata). */
+  def writeIndex(assignments: DataFrame, centroids: Array[Centroid], dir: String): Unit = {
+    val spark = assignments.sparkSession
+    assignments.write.mode("overwrite")
+      .partitionBy("cluster_id").parquet(s"$dir/assignments")
+    import spark.implicits._
+    centroids.toSeq.toDF("cid", "vec")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** S3 — load a persisted index. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): (Array[Centroid], DataFrame) = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    (cents, spark.read.parquet(s"$dir/assignments"))
+  }
+
+  /** Search against a persisted index with static partition pruning: the
+    * probe set is resolved first (tiny — Q×nprobe ids), then pushed into
+    * the assignments scan as a literal `cluster_id IN (...)` partition
+    * filter, so only the probed inverted-list partitions are read — the
+    * reference's nprobe/nlist cell pruning (SURVEY §4), visible as
+    * PartitionFilters in the plan. */
+  def searchPruned(
+      queries: DataFrame,
+      centroids: Array[Centroid],
+      assignments: DataFrame,
+      nprobe: Int,
+      k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val p = probes(queries, centroids, nprobe)
+    val probedClusters = p.select(col("cluster_id")).distinct()
+      .collect().map(_.getLong(0))
+    val pruned = assignments.where(col("cluster_id").isin(probedClusters: _*))
+    val cand = pruned.join(broadcast(p), Seq("cluster_id"))
+    val filtered =
+      if (excludeSelf) cand.where(col("vec_id") =!= col("query_id")) else cand
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    filtered
+      .select(col("query_id"), col("vec_id"),
+        Distances.l2SqFast(col("qvec"), col("embedding")).as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** End-to-end self-search over an embeddings table with deterministic
     * seed centroids — the oracle-able IVF path. */
   def selfSearchSeeded(

@@ -77,10 +77,13 @@ object MetricsAnalytics {
     * `timeoutSec` of the registry's freshest heartbeat — the stale-node
     * expiry the reference forgot (SURVEY §2.9 T2). */
   def nodeHealthBatch(events: DataFrame, numNodes: Int, timeoutSec: Long): DataFrame = {
+    // persisted: `now` is derived from the same aggregate — without it the
+    // full event scan runs twice
     val agg = events
       .groupBy(pmod(col("user_id"), lit(numNodes.toLong)).as("node_num"))
       .agg(count(lit(1)).as("n_events"),
         max(unix_timestamp(col("ts"))).as("last_hb"))
+      .persist()
     val now = agg.agg(max(col("last_hb")).as("now_ts"))
     agg.crossJoin(broadcast(now))
       .select(

@@ -26,6 +26,39 @@ object Sharding {
       "shard_id",
       (ntile(numShards).over(Window.orderBy(col(orderCol))) - 1).cast("long"))
 
+  /** Scale form of [[evenSplit]]: identical assignment (same remainder
+    * rule over the same total order) without the single-partition global
+    * window — range-repartition on the order key, count rows per
+    * partition (one tiny collect), then assign shard ids from global row
+    * positions map-side. Two linear passes, no global shuffle to one task. */
+  def evenSplitScalable(df: DataFrame, numShards: Int, orderCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val sorted = df.repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator((i, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val base = total / numShards
+    val rem = total % numShards
+    val cut = rem * (base + 1) // rows before this position land in the first `rem` (larger) shards
+    val withShard = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var pos = offsets(i)
+      it.map { row =>
+        val s = if (base == 0 || pos < cut) pos / (base + 1) else (pos - cut) / base + rem
+        pos += 1
+        Row.fromSeq(row.toSeq :+ s)
+      }
+    }
+    spark.createDataFrame(withShard,
+      StructType(sorted.schema.fields :+ StructField("shard_id", LongType, nullable = false)))
+  }
+
   /** D3/F7 — content-hash shard: `int(sum(vec)) % n`, the builder path
     * (vector_search_cluster.py:1199-1212). Reproduced exactly, except the
     * sum is a double left-to-right fold rather than NumPy float32 pairwise

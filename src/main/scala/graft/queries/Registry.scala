@@ -140,6 +140,21 @@ object Registry {
       Multimodal.mediaMeta(Multimodal.mediaFromDocs(t(s, dir, "documents")))
         .orderBy(col("media_id"))),
 
+    // F6: JSON decode surface — parse the props JSON column, group on an
+    // extracted field (SURVEY §2.7; reference json.loads at
+    // vector_search_cluster.py:394/407)
+    "q_json_props" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
     // ---- vector column stats (SURVEY §2.4 A9/A10, §1.3 dim check) ----
 
     "q_vector_stats" -> ((s, dir) =>
@@ -613,6 +628,18 @@ object Registry {
          |SELECT doc_id,
          |       list_aggregate(list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT), 'min') AS fingerprint
          |FROM shs ORDER BY doc_id""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |       max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |       max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_node_health" ->
       """WITH agg AS (
