@@ -76,6 +76,11 @@ object Registry {
       IvfIndex.selfSearchTrained(t(s, dir, "embeddings"),
         numQueries = 8, nlist = 32, nprobe = 8, k = 10)),
 
+    // J4: HNSW — per-partition NSW graphs + distributed merge
+    // (approximate, recall-gated in HnswIndexSpec; rows-only check here)
+    "q_hnsw_knn" -> ((s, dir) =>
+      HnswIndex.selfSearch(t(s, dir, "embeddings"), numQueries = 8, k = 10)),
+
     // ---- sharding / partitioning (SURVEY §2.8) ----
 
     // D2: even contiguous split with remainder → per-shard stats
@@ -259,6 +264,34 @@ object Registry {
           count(lit(1)).as("n_items"))
         .orderBy(col("c_mktsegment"), col("o_orderstatus"))
     }),
+
+    // semi/anti joins — the relational surface the reference lacks
+    // (SURVEY §2.3 note): customers with/without open orders
+    "q_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_orderstatus") === "O")
+      val withOpen = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_open").as("status"))
+      val noOpen = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_open").as("status"))
+      withOpen.unionByName(noOpen).orderBy(col("c_custkey"))
+    }),
+
+    // rollup aggregation (grouping-sets family)
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    // batch sliding window (10 min window, 5 min slide) over event time
+    "q_sliding_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_timestamp(col("w.start")).as("window_start"),
+          col("event_type"), col("n_events"))
+        .orderBy(col("window_start"), col("event_type"))),
 
     "q_window_running" -> ((s, dir) => {
       // (l_suppkey, l_orderkey, l_linenumber) is NOT unique in the test
@@ -681,6 +714,28 @@ object Registry {
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_semi_anti" ->
+      """WITH o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT c_custkey, 'has_open' AS status FROM customer WHERE c_custkey IN (SELECT o_custkey FROM o)
+        |UNION ALL
+        |SELECT c_custkey, 'no_open' AS status FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM o)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_sliding_window" ->
+      """WITH e AS (
+        |  SELECT event_type, ts,
+        |         time_bucket(INTERVAL 5 MINUTE, ts) - (k.k * INTERVAL 5 MINUTE) AS wstart
+        |  FROM events CROSS JOIN range(0, 2) k(k)
+        |)
+        |SELECT CAST(epoch(wstart) AS BIGINT) AS window_start, event_type, count(*) AS n_events
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
