@@ -104,6 +104,44 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Group near-dup pairs into clusters: iterative min-label propagation
+    * over the (undirected) pair graph — every doc converges to the
+    * smallest doc_id reachable from it; that id is the cluster canonical.
+    * Dup clusters have tiny diameter, so this converges in a handful of
+    * rounds; each round is one join + one aggregation (the standard
+    * scalable connected-components shape). Docs in no pair keep
+    * themselves as canonical. */
+  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // localCheckpoint truncates the lineage each round — the plan would
+    // otherwise reference the previous labels twice per iteration and
+    // grow exponentially (analyzer OOM by ~10 rounds)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("canonical_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("canonical_id")).as("nbr_min"))
+      val updated = labels.as("l")
+        .join(nbrMin, col("l.doc_id") === nbrMin("dst"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.canonical_id"),
+            coalesce(col("nbr_min"), col("l.canonical_id"))).as("canonical_id"))
+        .localCheckpoint(true)
+      val changes = updated.as("u")
+        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
+        .where(col("u.canonical_id") =!= col("l.canonical_id"))
+        .count()
+      labels = updated
+      converged = changes == 0
+      iter += 1
+    }
+    labels.withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+  }
+
   /** N-gram Jaccard near-dup with attribute blocking (pairs within a
     * blocking key, e.g. source): the non-LSH verification path. */
   def ngramJaccardDups(

@@ -187,6 +187,13 @@ object Registry {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // LSH-bucketed cosine ANN: random-hyperplane buckets + 1-bit
+    // multi-probe, true-cosine rank among candidates (the bucketed scale
+    // path for similarity search)
+    "q_lsh_cosine_knn" -> ((s, dir) =>
+      CosineLsh.selfSearch(t(s, dir, "embeddings"),
+        numQueries = 8, numPlanes = 8, k = 5)),
+
     // ---- LLM-pipeline text ops (BASELINE.json north star) ----
 
     "q_dedup_exact" -> ((s, dir) =>
@@ -197,6 +204,17 @@ object Registry {
     "q_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshDups(t(s, dir, "documents"),
         shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)),
+
+    // near-dup clustering: connected components over the LSH pair graph,
+    // canonical = min doc_id per cluster
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshDups(docs,
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)
+      Dedup.dupClusters(docs, pairs)
+        .select(col("doc_id"), col("canonical_id"), col("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
 
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardDups(t(s, dir, "documents"),
@@ -327,6 +345,12 @@ object Registry {
     "list_distinct(list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
 
   private val stopList = TextFunctions.enStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** The q_lsh_cosine_knn hyperplanes as a DuckDB nested-list literal —
+    * identical values to CosineLsh.planes(8, 64, 42). */
+  private val lshPlanesSql: String =
+    CosineLsh.planes(8, 64).map(pl =>
+      pl.map(v => s"${v.toInt}.0").mkString("[", ",", "]")).mkString("[", ",", "]")
 
   private val flatKnnSql =
     s"""WITH q AS (
@@ -531,11 +555,83 @@ object Registry {
          |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin,
 
+    "q_lsh_cosine_knn" ->
+      s"""WITH sigs AS (
+         |  SELECT vec_id, embedding,
+         |         array_to_string(list_transform(range(1, 9), p ->
+         |           CASE WHEN list_sum(list_transform(range(1, len(embedding)+1),
+         |                  i -> CAST(embedding[i] AS DOUBLE) * (($lshPlanesSql)[p][i]))) >= 0
+         |                THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM embeddings
+         |), q0 AS (
+         |  SELECT vec_id AS query_id, bucket FROM sigs WHERE vec_id < 8
+         |), probes AS (
+         |  SELECT query_id,
+         |         unnest([bucket] || list_transform(range(1, 9), p ->
+         |           substr(bucket, 1, CAST(p-1 AS INT)) ||
+         |           (CASE WHEN substr(bucket, CAST(p AS INT), 1) = '1' THEN '0' ELSE '1' END) ||
+         |           substr(bucket, CAST(p+1 AS INT), 8 - CAST(p AS INT)))) AS bucket
+         |  FROM q0
+         |), cand AS (
+         |  SELECT DISTINCT p.query_id, s.vec_id
+         |  FROM probes p JOIN sigs s ON s.bucket = p.bucket
+         |  WHERE s.vec_id <> p.query_id
+         |), scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         1 - ${cosSimSql("q.embedding", "v.embedding")} AS dist
+         |  FROM cand c
+         |  JOIN embeddings q ON q.vec_id = c.query_id
+         |  JOIN embeddings v ON v.vec_id = c.vec_id
+         |), r AS (
+         |  SELECT query_id, vec_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+         |FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
         |       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+         |), shs AS (
+         |  SELECT doc_id, $shingles3 AS sh FROM t
+         |), sig AS (
+         |  SELECT doc_id, sh,
+         |         list_transform(range(0, 16), h ->
+         |           list_aggregate(list_transform(sh, s -> md5(h::VARCHAR || ':' || s)), 'min')) AS sig
+         |  FROM shs
+         |), banded AS (
+         |  SELECT doc_id, b.b AS band,
+         |         md5(array_to_string(list_slice(sig, CAST(b.b*4+1 AS INT), CAST(b.b*4+4 AS INT)), '|')) AS bucket
+         |  FROM sig, range(0, 4) b(b)
+         |), cpairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), pairs AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM cpairs p
+         |  JOIN sig sa ON sa.doc_id = p.doc_a
+         |  JOIN sig sb ON sb.doc_id = p.doc_b
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(sa.sh || sb.sh)) >= 0.8
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), reach(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+         |)
+         |SELECT node AS doc_id, min(lab) AS canonical_id,
+         |       node <> min(lab) AS is_dup
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "q_minhash_lsh" ->
       s"""WITH t AS (
