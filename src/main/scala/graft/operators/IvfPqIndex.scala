@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+
+/** Combined IVF+PQ — the reference's actual `IndexIVFPQ`
+  * (vector_search_cluster.py:1033-1041): vectors are assigned to a coarse
+  * centroid (IVF), and PQ encodes the RESIDUAL (vector − centroid) within
+  * each inverted list; search probes nprobe lists and runs ADC against a
+  * per-(query, probed-centroid) residual LUT.
+  *
+  * Scale shape: assignment + residual + encoding are all map-side literal
+  * expressions (no shuffle); the probe set (Q × nprobe rows, each carrying
+  * its m×ksub LUT) broadcasts against the codes table partitioned by
+  * cluster_id — the nprobe/nlist fraction of data is all that's scanned.
+  */
+object IvfPqIndex {
+
+  /** Elementwise float residual v − c (float arithmetic — matches the
+    * oracle's FLOAT-FLOAT subtraction bit-for-bit). */
+  def residual(vec: Column, cvec: Column): Column =
+    zip_with(vec, cvec, (x, y) => x - y)
+
+  private def centLit(cents: Array[IvfIndex.Centroid]): Column =
+    array(cents.toIndexedSeq.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), typedLit(v).as("vec"))
+    }: _*)
+
+  /** Scored centroid array carrying the centroid vector (for residuals):
+    * struct(dist, cid, cvec) — (dist, cid) is already a total order. */
+  private def scoredWithVec(vec: Column, cents: Array[IvfIndex.Centroid]): Column =
+    transform(centLit(cents), c =>
+      struct(Distances.l2SqFast(vec, c.getField("vec")).as("dist"),
+        c.getField("cid").as("cid"),
+        c.getField("vec").as("cvec")))
+
+  /** End-to-end IVFPQ self-search with deterministic seed centroids and
+    * residual codebooks — the oracle-able path. Residual codebooks:
+    * subspace s's code c is the s-th slice of the residual of vec_id = c. */
+  def selfSearchSeeded(
+      embeddings: DataFrame,
+      numQueries: Int,
+      nlist: Int,
+      nprobe: Int,
+      m: Int,
+      subDim: Int,
+      ksub: Int,
+      k: Int): DataFrame = {
+    val cents = IvfIndex.seedCentroids(embeddings, nlist)
+
+    val best = array_min(scoredWithVec(col("embedding"), cents))
+    val assigned = embeddings
+      .withColumn("cluster_id", best.getField("cid"))
+      .withColumn("res", residual(col("embedding"), best.getField("cvec")))
+
+    val cbRows = assigned.where(col("vec_id") < ksub).orderBy(col("vec_id"))
+      .select(col("res")).collect().map(_.getSeq[Float](0).toArray)
+    val cb: PqIndex.Codebooks =
+      Array.tabulate(m)(s => cbRows.map(v => v.slice(s * subDim, (s + 1) * subDim)))
+
+    val codes = assigned
+      .withColumn("codes", PqIndex.encodeExpr(col("res"), cb, m, subDim))
+      .select(col("vec_id"), col("cluster_id"), col("codes"))
+
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val probes = q
+      .select(col("query_id"), col("qvec"),
+        explode(slice(array_sort(scoredWithVec(col("qvec"), cents)), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("p.cid").as("cluster_id"),
+        PqIndex.lutExpr(residual(col("qvec"), col("p.cvec")), cb, m, subDim).as("lut"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    codes
+      .join(broadcast(probes), Seq("cluster_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        PqIndex.adcDist(col("lut"), col("codes"), m).as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

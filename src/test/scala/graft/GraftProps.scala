@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.Distances
+import graft.operators.{Dedup, KnnSearch, Sharding, TopKMerge}
+
+/** Property-based invariants (SURVEY §5.3): merge-of-local-top-k equals
+  * global top-k; sharding is a true partition with the remainder rule;
+  * distance axioms; jaccard bounds. Spark jobs per sample, so sample
+  * counts are small — the properties, not the volume, carry the test. */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def toDF(vecs: List[List[Float]]) = {
+    val s = spark
+    import s.implicits._
+    vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      .toDF("vec_id", "embedding")
+  }
+
+  private val vecsGen: Gen[List[List[Float]]] = for {
+    n <- Gen.chooseNum(6, 20)
+    d <- Gen.chooseNum(2, 8)
+    vs <- Gen.listOfN(n, Gen.listOfN(d, Gen.chooseNum(-5.0f, 5.0f)))
+  } yield vs
+
+  property("shardedTopKMergeEqualsGlobal") = forAll(vecsGen) { vecs =>
+    val df = toDF(vecs)
+    val k = 3
+    val q = math.min(3, vecs.size)
+    val merged = TopKMerge.shardedSelfTopK(df, q, k, numShards = 4)
+      .select(col("query_id"), col("rank"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val global = KnnSearch.selfTopK(df, q, k)
+      .select(col("query_id"), col("rank"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    merged == global
+  }
+
+  property("evenSplitIsPartitionWithRemainderRule") = forAll(
+    Gen.chooseNum(5, 60), Gen.chooseNum(1, 9)) { (n, shards) =>
+    val s = spark
+    import s.implicits._
+    val df = (0L until n.toLong).toDF("vec_id")
+    val rows = Sharding.evenSplit(df, shards, "vec_id")
+      .groupBy(col("shard_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = (0 until shards).map(i => rows.getOrElse(i.toLong, 0L))
+    sizes.sum == n &&
+      (sizes.max - sizes.min) <= 1 &&
+      sizes.zipWithIndex.forall { case (sz, i) =>
+        sz == n / shards + (if (i < n % shards) 1 else 0)
+      }
+  }
+
+  property("hashShardInRange") = forAll(vecsGen, Gen.chooseNum(1, 16)) { (vecs, n) =>
+    val shards = Sharding.withHashShard(toDF(vecs), "embedding", n)
+      .select(col("shard_id")).collect().map(_.getLong(0))
+    shards.forall(sh => sh >= 0 && sh < n)
+  }
+
+  property("l2SqAxioms") = forAll(vecsGen) { vecs =>
+    val df = toDF(vecs)
+    val self = df.select(Distances.l2SqFast(col("embedding"), col("embedding")).as("d"))
+      .collect().map(_.getDouble(0))
+    val a = df.where(col("vec_id") === 0).select(col("embedding").as("va"))
+    val pair = df.crossJoin(a).select(
+      Distances.l2SqFast(col("va"), col("embedding")).as("ab"),
+      Distances.l2SqFast(col("embedding"), col("va")).as("ba"))
+      .collect()
+    self.forall(_ == 0.0) && pair.forall(r => r.getDouble(0) == r.getDouble(1)) &&
+      pair.forall(_.getDouble(0) >= 0.0)
+  }
+
+  property("jaccardBoundsAndIdentity") = forAll(
+    Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))) { words =>
+    val s = spark
+    import s.implicits._
+    val df = Seq((words.toArray, words.reverse.toArray)).toDF("a", "b")
+    val r = df.select(
+      Dedup.jaccard(col("a"), col("a")).as("self"),
+      Dedup.jaccard(col("a"), col("b")).as("rev")).head()
+    r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0
+  }
+}

@@ -45,6 +45,16 @@ class IvfPqRecallSpec extends SparkSpec {
     assert(r >= 0.8)
   }
 
+  // seeded (untrained) centroids + 2/8 pruning on clusterless gaussian
+  // data bound recall hard; semantics are oracle-verified (q_ivfpq_knn),
+  // quality paths are the trained/reranked specs above
+  test("combined IVFPQ (residual encoding) recall@10 >= 0.2 at nprobe=2/8") {
+    val r = recall(IvfPqIndex.selfSearchSeeded(emb, numQueries = 8,
+      nlist = 8, nprobe = 2, m = 8, subDim = 8, ksub = 16, k = 10))
+    info(f"IVFPQ residual recall@10 = $r%.3f")
+    assert(r >= 0.2)
+  }
+
   test("IVF at full probe count equals exact search") {
     val full = IvfIndex.selfSearchSeeded(emb, numQueries = 8, nlist = 16, nprobe = 16, k = 10)
     assert(recall(full) == 1.0)
