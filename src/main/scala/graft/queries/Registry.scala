@@ -167,6 +167,12 @@ object Registry {
           max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
 
+    // Skew-salted aggregation — result-identical to the plain groupBy
+    "q_salted_agg" -> ((s, dir) =>
+      Salting.saltedCountSum(events(s, dir), "event_type", "value", 8)
+        .select(col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("event_type"))),
+
     // ---- vector column stats (SURVEY §2.4 A9/A10, §1.3 dim check) ----
 
     "q_vector_stats" -> ((s, dir) =>
@@ -589,6 +595,10 @@ object Registry {
       """SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, ts)) AS BIGINT) AS window_start,
         |       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_vector_stats" ->
       """SELECT label, count(*) AS n,
