@@ -152,8 +152,14 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val sh = docs.select(col("doc_id"), col(blockCol).as("block"),
       TextFunctions.wordShingles(col(textCol), shingleN).as("sh")).persist()
+    // size-bound prune: jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
+    // failing the ratio can never reach the threshold — drops them before
+    // the (expensive) set intersection without changing the result
+    val sizeBound =
+      least(size(col("a.sh")), size(col("b.sh"))).cast("double") /
+        greatest(size(col("a.sh")), size(col("b.sh"))) >= threshold
     sh.as("a").join(sh.as("b"),
-      col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id") && sizeBound)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         round(jaccard(col("a.sh"), col("b.sh")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
