@@ -268,6 +268,54 @@ object Registry {
           sh => TextFunctions.md5Long(sh))).as("fingerprint"))
         .orderBy(col("doc_id"))),
 
+    // Sessionization: per-user sessions split on >30-min gaps (classic
+    // event-pipeline op; lag + running sum of session starts)
+    "q_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("user_id"), col("event_id"), col("session_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // CUBE aggregation (grouping-sets family, complements q_rollup)
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    // Heavy hitters: top-3 sources per language by doc count (window rank
+    // over grouped counts — ties by source)
+    "q_heavy_hitters" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("source"))
+      t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .orderBy(col("lang"), col("rnk"))
+    }),
+
+    // Unit-normalize embeddings (cosine-pipeline prep): verify unit norm
+    "q_vector_normalize" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .where(col("vec_id") < 100)
+        .select(col("vec_id"),
+          round(aggregate(
+            transform(col("embedding"), x =>
+              x.cast("double") / Distances.norm2(col("embedding"))),
+            lit(0.0), (acc, x) => acc + x * x), 6).as("unit_norm_sq"),
+          round(element_at(col("embedding"), 1).cast("double") /
+            Distances.norm2(col("embedding")), 6).as("first_elem_normed"))
+        .orderBy(col("vec_id"))),
+
     // ---- general relational surface (SURVEY §2.3 note — composed ops) ----
 
     "q1_agg" -> ((s, dir) =>
@@ -888,6 +936,46 @@ object Registry {
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """SELECT user_id, event_id,
+        |       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                OR CAST(floor(epoch(ts)) AS BIGINT) -
+        |                   CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """SELECT lang, source, n, rnk FROM (
+        |  SELECT lang, source, count(*) AS n,
+        |         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, source) AS rnk
+        |  FROM documents GROUP BY lang, source
+        |)
+        |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin,
+
+    "q_vector_normalize" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings WHERE vec_id < 100
+        |)
+        |SELECT vec_id,
+        |       round(list_sum(list_transform(range(1, len(embedding)+1),
+        |         i -> (CAST(embedding[i] AS DOUBLE) / nrm) * (CAST(embedding[i] AS DOUBLE) / nrm))), 6) AS unit_norm_sq,
+        |       round(CAST(embedding[1] AS DOUBLE) / nrm, 6) AS first_elem_normed
+        |FROM n ORDER BY vec_id""".stripMargin,
 
     "q_semi_anti" ->
       """WITH o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
