@@ -49,6 +49,37 @@ object KnnSearch {
       .where(col("rank") <= k)
   }
 
+  /** Self-kNN via the typed bounded-heap aggregator
+    * (graft.functions.TopKAggregator) instead of the window — identical
+    * results by construction (same (dist, vec_id) order); the UDAF path
+    * ships at most k rows per (partition, query) in the partial phase. */
+  def selfTopKViaAgg(
+      embeddings: DataFrame,
+      numQueries: Int,
+      k: Int,
+      dist: (Column, Column) => Column = Distances.l2SqFast): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val q = embeddings
+      .where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = embeddings.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        dist(col("qvec"), col("embedding")).as("dist"), col("vec_id"))
+      .as[(Long, Double, Long)]
+    val agg = new graft.functions.TopKAggregator(k)
+    scored
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "entry")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("entry._2").as("vec_id"), round(col("entry._1"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Self-kNN over an embeddings table: the first `numQueries` vectors (by
     * id) act as queries against the full table, excluding the query row
     * itself. Mirrors the driver-contract query shape (FIXTURES.md). */

@@ -40,6 +40,11 @@ object Registry {
     "q_flat_knn" -> ((s, dir) =>
       KnnSearch.selfTopK(t(s, dir, "embeddings"), numQueries = 8, k = 10)),
 
+    // J1 via the typed bounded-heap UDAF (TopKAggregator) — identical
+    // result to the window path, same oracle
+    "q_flat_knn_agg" -> ((s, dir) =>
+      KnnSearch.selfTopKViaAgg(t(s, dir, "embeddings"), numQueries = 8, k = 10)),
+
     // A1/U1/P4/J6: sharded partial top-k + coordinator merge — must equal
     // the single-pass FLAT result (merge invariant, SURVEY §5.3)
     "q_topk_merge" -> ((s, dir) =>
@@ -439,6 +444,9 @@ object Registry {
 
     // merge-of-partials must equal the global top-k (A1 invariant)
     "q_topk_merge" -> flatKnnSql,
+
+    // UDAF path computes the identical top-k
+    "q_flat_knn_agg" -> flatKnnSql,
 
     "q_ivf_build" ->
       s"""WITH cent AS (
