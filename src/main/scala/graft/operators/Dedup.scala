@@ -199,8 +199,18 @@ object Dedup {
   def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), simhashExpr(col(textCol)).as("simhash"))
 
-  /** Hamming distance between two equal-length bitstrings. */
-  def hammingDist(a: Column, b: Column, bits: Int = 64): Column =
+  /** Hamming distance between two equal-length bitstrings — fused
+    * one-pass expression (graft.plans.HammingDistance); value-identical
+    * to the per-position substr comparison fold. */
+  def hammingDist(a: Column, b: Column, bits: Int = 64): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.HammingDistance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** HOF reference form of [[hammingDist]] (parity-tested; mirrors the
+    * q_simhash_pairs oracle SQL). */
+  def hammingDistHof(a: Column, b: Column, bits: Int = 64): Column =
     aggregate(sequence(lit(1), lit(bits), lit(1)), lit(0), (acc, i) =>
       acc + when(a.substr(i, lit(1)) =!= b.substr(i, lit(1)), 1).otherwise(0))
 

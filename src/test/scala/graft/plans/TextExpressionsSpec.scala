@@ -28,6 +28,15 @@ class TextExpressionsSpec extends SparkSpec {
     assert(pairs.where($"fast" =!= $"hof").count() == 0)
   }
 
+  test("fused HammingDistance equals the HOF form on simhash pairs") {
+    val sh = Dedup.simhash(docs)
+    val pairs = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        Dedup.hammingDist(col("a.simhash"), col("b.simhash")).as("fast"),
+        Dedup.hammingDistHof(col("a.simhash"), col("b.simhash")).as("hof"))
+    assert(pairs.where($"fast" =!= $"hof").count() == 0)
+  }
+
   test("JaccardSim handles duplicates and empties with set semantics") {
     val r = Seq(1).toDF("x").select(
       Dedup.jaccard(typedLit(Array("a", "a", "b")), typedLit(Array("b", "c"))).as("j1"),
