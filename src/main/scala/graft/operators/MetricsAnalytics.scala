@@ -54,11 +54,13 @@ object MetricsAnalytics {
       round(sum(hit.cast("long")) / count(lit(1)), 6).as("hit_rate"))
 
   /** O4 — rolling last-N aggregate per group ordered by event time (the
-    * reference's `latencies[-1000:]` trim, :240-241): here a bounded
-    * rows-window mean. Values are 2-decimal latencies, so the mean is
-    * computed fixed-point (sum of round(value*100) is exact integer
-    * arithmetic in double) — windowed float sums are otherwise not
-    * reproducible across engines (sliding-window sum trees). */
+    * reference's `latencies[-1000:]` trim, :240-241): a bounded
+    * rows-window. Emits the EXACT fixed-point numerator (sum of latency
+    * cents — integers in double, order-independent) and the window count;
+    * the mean is sum/(100·n). Emitting a rounded quotient is not
+    * engine-portable: true decimal ties (e.g. 163593/2400 = 68.16375)
+    * round differently under Spark's HALF_UP-on-decimal-repr vs rounding
+    * the binary double. */
   def rollingMean(events: DataFrame, lastN: Int): DataFrame = {
     val w = Window
       .partitionBy(col("event_type"))
@@ -67,8 +69,8 @@ object MetricsAnalytics {
     events
       .select(
         col("event_id"), col("event_type"),
-        round(sum(round(col("value") * 100)).over(w) /
-          (count(lit(1)).over(w) * 100), 4).as("rolling_avg"))
+        sum(round(col("value") * 100)).over(w).cast("long").as("rolling_sum_cents"),
+        count(lit(1)).over(w).as("n_window"))
       .orderBy(col("event_id"))
   }
 

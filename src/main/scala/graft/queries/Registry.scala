@@ -641,7 +641,8 @@ object Registry {
 
     "q_rolling_latency" ->
       """SELECT event_id, event_type,
-        |       round(sum(round(value * 100)) OVER w / (count(*) OVER w * 100), 4) AS rolling_avg
+        |       CAST(sum(round(value * 100)) OVER w AS BIGINT) AS rolling_sum_cents,
+        |       count(*) OVER w AS n_window
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
         |             ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)

@@ -39,11 +39,13 @@ class MetricsAnalyticsSpec extends SparkSpec {
     assert(got.getAs[Double]("hit_rate") == 0.75)
   }
 
-  test("rollingMean over last 2 rows") {
+  test("rollingMean over last 2 rows (exact fixed-point)") {
     val got = MetricsAnalytics.rollingMean(ev, 2)
       .where($"event_type" === "click")
       .orderBy($"event_id").collect()
-    assert(got.map(_.getAs[Double]("rolling_avg")).toSeq == Seq(10.0, 15.0, 30.0))
+    val means = got.map(r =>
+      r.getAs[Long]("rolling_sum_cents").toDouble / (100 * r.getAs[Long]("n_window")))
+    assert(means.toSeq == Seq(10.0, 15.0, 30.0))
   }
 
   test("tumbling 5-minute windows split events correctly") {
