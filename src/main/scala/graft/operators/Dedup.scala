@@ -85,10 +85,12 @@ object Dedup {
       threshold: Double = 0.8,
       textCol: String = "text"): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // persisted: the signature table feeds candidate generation and both
-    // sides of the scoring join — without it the 16×md5 signature is
-    // recomputed three times
-    val sigs = minhashSignature(docs, shingleN, numHashes, textCol).persist()
+    // materialized once (eager localCheckpoint): the signature table feeds
+    // candidate generation and both sides of the scoring join — without it
+    // the 16×md5 signature is recomputed three times. Checkpoint blocks
+    // are GC'd with the result (ContextCleaner), unlike persist() entries
+    // which leak in the CacheManager until an explicit unpersist.
+    val sigs = minhashSignature(docs, shingleN, numHashes, textCol).localCheckpoint(true)
     val pairs = lshCandidates(sigs, bands, rowsPerBand)
     val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("shingles").as("sh_a"))
@@ -125,43 +127,75 @@ object Dedup {
     while (iter < maxIter && !converged) {
       val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("canonical_id")).as("nbr_min"))
+      // the change flag rides along in the same checkpointed job — the
+      // convergence check is then a near-free narrow count over the
+      // materialized blocks, not a second join against the old labels
       val updated = labels.as("l")
         .join(nbrMin, col("l.doc_id") === nbrMin("dst"), "left")
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.canonical_id"),
-            coalesce(col("nbr_min"), col("l.canonical_id"))).as("canonical_id"))
+            coalesce(col("nbr_min"), col("l.canonical_id"))).as("canonical_id"),
+          (coalesce(col("nbr_min"), col("l.canonical_id")) < col("l.canonical_id"))
+            .as("changed"))
         .localCheckpoint(true)
-      val changes = updated.as("u")
-        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
-        .where(col("u.canonical_id") =!= col("l.canonical_id"))
-        .count()
-      labels = updated
+      val changes = updated.where(col("changed")).count()
+      labels = updated.drop("changed")
       converged = changes == 0
       iter += 1
     }
     labels.withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
   }
 
-  /** N-gram Jaccard near-dup with attribute blocking (pairs within a
-    * blocking key, e.g. source): the non-LSH verification path. */
+  /** N-gram Jaccard near-dup with attribute blocking and PPJoin-style
+    * prefix filtering — the non-LSH verification path, exact.
+    *
+    * Candidate generation: order each doc's distinct shingles by a global
+    * total order (md5 — deterministic pseudo-random, no frequency pass)
+    * and keep only the first `|X| − ⌈t·|X|⌉ + 1` as the prefix. If
+    * jaccard(A,B) ≥ t then |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and the
+    * order-minimal common shingle must land in BOTH prefixes (else the
+    * ≥⌈t·|X|⌉ intersection elements would all sit among the ⌈t·|X|⌉−1
+    * suffix slots — contradiction). So an equi-join on prefix shingles
+    * within the block yields every qualifying pair: inverted-index-bounded
+    * fan-out instead of the O(B²) all-pairs self-join, with identical
+    * output after exact-Jaccard verification. */
   def ngramJaccardDups(
       docs: DataFrame,
       blockCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.5,
       textCol: String = "text"): DataFrame = {
+    // distinct shingles sorted by md5; reused by prefix explode and both
+    // verification sides → materialized once (eager localCheckpoint;
+    // blocks GC'd with the result, no CacheManager leak)
     val sh = docs.select(col("doc_id"), col(blockCol).as("block"),
-      TextFunctions.wordShingles(col(textCol), shingleN).as("sh")).persist()
-    // size-bound prune: jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
-    // failing the ratio can never reach the threshold — drops them before
-    // the (expensive) set intersection without changing the result
+      TextFunctions.wordShingles(col(textCol), shingleN).as("sh_raw"))
+      .select(col("doc_id"), col("block"),
+        transform(
+          array_sort(transform(array_distinct(col("sh_raw")),
+            s => struct(md5(s).as("o"), s.as("s")))),
+          x => x.getField("s")).as("sh"))
+      .withColumn("plen",
+        (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1).cast("int"))
+      .localCheckpoint(true)
+    val prefixes = sh.select(col("doc_id"), col("block"),
+      explode(slice(col("sh"), lit(1), col("plen"))).as("w"))
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.block") === col("b.block") && col("a.w") === col("b.w") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // size-bound prune on distinct sizes: jaccard ≤ min(|A|,|B|)/max(|A|,|B|)
+    // — drops pairs before the set intersection without changing the result
     val sizeBound =
-      least(size(col("a.sh")), size(col("b.sh"))).cast("double") /
-        greatest(size(col("a.sh")), size(col("b.sh"))) >= threshold
-    sh.as("a").join(sh.as("b"),
-      col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id") && sizeBound)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(jaccard(col("a.sh"), col("b.sh")), 4).as("jaccard"))
+      least(size(col("sh_a")), size(col("sh_b"))).cast("double") /
+        greatest(size(col("sh_a")), size(col("sh_b"))) >= threshold
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .where(sizeBound)
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -218,7 +252,9 @@ object Dedup {
     * a band, keep pairs with hamming ≤ maxHamming. */
   def simhashDups(docs: DataFrame, maxHamming: Int = 16,
       textCol: String = "text"): DataFrame = {
-    val sh = simhash(docs, textCol).persist()
+    // materialized once (both join sides); checkpoint blocks GC'd with
+    // the result — no CacheManager leak
+    val sh = simhash(docs, textCol).localCheckpoint(true)
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(transform(sequence(lit(0), lit(3), lit(1)), b =>
         struct(b.as("band"), col("simhash").substr(b * 16 + 1, lit(16)).as("bucket"))))

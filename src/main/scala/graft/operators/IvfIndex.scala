@@ -59,16 +59,32 @@ object IvfIndex {
     }
   }
 
-  /** Centroid set as a literal array<struct<cid,vec>> column — broadcast by
-    * value into codegen, no join. */
-  private def centroidLit(centroids: Array[Centroid]): Column =
-    array(centroids.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), typedLit(v).as("vec"))
-    }.toIndexedSeq: _*)
+  /** Above this nlist, the per-element literal form of [[centroidLit]]
+    * (one expression node per centroid) would blow up generated-code size
+    * — the reference's nlist ≈ √n rule reaches ~3×10⁵ centroids at 10¹¹
+    * rows. Past the gate the whole centroid set becomes ONE encoded
+    * literal (a single codegen reference object, shipped with the
+    * broadcast task binary), so codegen stays O(1) in nlist while the
+    * argmin is a runtime scan of the same matrix — value-identical
+    * (spec-asserted), still shuffle-free. */
+  val LiteralCentroidMax = 4096
+
+  /** Centroid set as an array<struct<cid,vec>> column — by value into the
+    * plan, no join. Small sets inline per-element (max codegen speed);
+    * large sets use the single-literal form (see [[LiteralCentroidMax]]). */
+  private def centroidLit(centroids: Array[Centroid], litMax: Int): Column =
+    if (centroids.length <= litMax)
+      array(centroids.map { case (cid, v) =>
+        struct(lit(cid).as("cid"), typedLit(v).as("vec"))
+      }.toIndexedSeq: _*)
+    else
+      transform(typedLit(centroids.toSeq), c =>
+        struct(c.getField("_1").as("cid"), c.getField("_2").as("vec")))
 
   /** Per-row array of (dist, cid) scored against every centroid. */
-  private def scored(vec: Column, centroids: Array[Centroid]): Column =
-    transform(centroidLit(centroids), c =>
+  private def scored(vec: Column, centroids: Array[Centroid],
+      litMax: Int = LiteralCentroidMax): Column =
+    transform(centroidLit(centroids, litMax), c =>
       struct(Distances.l2SqFast(vec, c.getField("vec")).as("dist"),
         c.getField("cid").as("cid")))
 
@@ -76,16 +92,18 @@ object IvfIndex {
     * vector_search_cluster.py:1047-1049): argmin over the centroid set,
     * ties to the lowest cid. Map-side only — `array_min` on
     * struct(dist, cid) is the argmin. */
-  def assign(embeddings: DataFrame, centroids: Array[Centroid]): DataFrame =
+  def assign(embeddings: DataFrame, centroids: Array[Centroid],
+      litMax: Int = LiteralCentroidMax): DataFrame =
     embeddings.withColumn(
       "cluster_id",
-      array_min(scored(col("embedding"), centroids)).getField("cid"))
+      array_min(scored(col("embedding"), centroids, litMax)).getField("cid"))
 
   /** Phase (a) — the query's `nprobe` nearest centroids, ties by cid. */
-  def probes(queries: DataFrame, centroids: Array[Centroid], nprobe: Int): DataFrame =
+  def probes(queries: DataFrame, centroids: Array[Centroid], nprobe: Int,
+      litMax: Int = LiteralCentroidMax): DataFrame =
     queries.select(
       col("query_id"), col("qvec"),
-      explode(slice(array_sort(scored(col("qvec"), centroids)), 1, nprobe)).as("p"))
+      explode(slice(array_sort(scored(col("qvec"), centroids, litMax)), 1, nprobe)).as("p"))
       .select(col("query_id"), col("qvec"), col("p.cid").as("cluster_id"))
 
   /** Phase (b) — scan only the probed inverted lists and take the global

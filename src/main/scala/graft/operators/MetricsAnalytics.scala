@@ -79,13 +79,15 @@ object MetricsAnalytics {
     * `timeoutSec` of the registry's freshest heartbeat — the stale-node
     * expiry the reference forgot (SURVEY §2.9 T2). */
   def nodeHealthBatch(events: DataFrame, numNodes: Int, timeoutSec: Long): DataFrame = {
-    // persisted: `now` is derived from the same aggregate — without it the
-    // full event scan runs twice
+    // materialized once (numNodes rows): `now` is derived from the same
+    // aggregate — without it the full event scan runs twice. Checkpoint
+    // blocks are GC'd with the result, unlike a persist() entry that
+    // leaks in the CacheManager without an explicit unpersist.
     val agg = events
       .groupBy(pmod(col("user_id"), lit(numNodes.toLong)).as("node_num"))
       .agg(count(lit(1)).as("n_events"),
         max(unix_timestamp(col("ts"))).as("last_hb"))
-      .persist()
+      .localCheckpoint(true)
     val now = agg.agg(max(col("last_hb")).as("now_ts"))
     agg.crossJoin(broadcast(now))
       .select(

@@ -66,20 +66,37 @@ object PqIndex {
     } finally sample.unpersist()
   }
 
-  /** Nested literal array<array<struct<code,vec>>> — codebooks by value. */
-  private def cbLit(cb: Codebooks): Column =
-    array(cb.toIndexedSeq.map { sub =>
-      array(sub.zipWithIndex.toIndexedSeq.map { case (v, c) =>
-        struct(lit(c.toLong).as("code"), typedLit(v).as("vec"))
+  /** Above this total entry count (m×ksub), the per-element literal form
+    * of [[cbLit]] is replaced by a single encoded literal — one codegen
+    * reference object instead of one expression node per code — keeping
+    * generated-code size O(1) in the codebook size (same gate rationale
+    * as [[IvfIndex.LiteralCentroidMax]]; value-identical, spec-asserted). */
+  val LiteralCodebookMax = 4096
+
+  /** Nested array<array<struct<code,vec>>> — codebooks by value into the
+    * plan. Small sets inline per-element; large sets single-literal. */
+  private def cbLit(cb: Codebooks, litMax: Int): Column =
+    if (cb.iterator.map(_.length).sum <= litMax)
+      array(cb.toIndexedSeq.map { sub =>
+        array(sub.zipWithIndex.toIndexedSeq.map { case (v, c) =>
+          struct(lit(c.toLong).as("code"), typedLit(v).as("vec"))
+        }: _*)
       }: _*)
-    }: _*)
+    else {
+      val entries: Seq[Seq[(Long, Array[Float])]] =
+        cb.toIndexedSeq.map(_.zipWithIndex.toIndexedSeq.map { case (v, c) => (c.toLong, v) })
+      transform(typedLit(entries), sub =>
+        transform(sub, e =>
+          struct(e.getField("_1").as("code"), e.getField("_2").as("vec"))))
+    }
 
   /** Encode a vector column to its m codes: per subspace, argmin over that
     * subspace's codebook (ties to the lowest code). Pure codegen map. */
-  def encodeExpr(vec: Column, cb: Codebooks, m: Int, subDim: Int): Column =
+  def encodeExpr(vec: Column, cb: Codebooks, m: Int, subDim: Int,
+      litMax: Int = LiteralCodebookMax): Column =
     transform(sequence(lit(0), lit(m - 1)), s =>
       array_min(
-        transform(element_at(cbLit(cb), (s + 1).cast("int")), e =>
+        transform(element_at(cbLit(cb, litMax), (s + 1).cast("int")), e =>
           struct(
             Distances.l2SqFast(
               slice(vec, s * subDim + 1, lit(subDim)), e.getField("vec")).as("dist"),
@@ -91,9 +108,10 @@ object PqIndex {
     embeddings.withColumn("codes", encodeExpr(col("embedding"), cb, m, subDim))
 
   /** Per-query ADC LUT: array<array<double>> — lut(s)(c) = ‖q_s − cb_s,c‖². */
-  def lutExpr(qvec: Column, cb: Codebooks, m: Int, subDim: Int): Column =
+  def lutExpr(qvec: Column, cb: Codebooks, m: Int, subDim: Int,
+      litMax: Int = LiteralCodebookMax): Column =
     transform(sequence(lit(0), lit(m - 1)), s =>
-      transform(element_at(cbLit(cb), (s + 1).cast("int")), e =>
+      transform(element_at(cbLit(cb, litMax), (s + 1).cast("int")), e =>
         Distances.l2SqFast(slice(qvec, s * subDim + 1, lit(subDim)), e.getField("vec"))))
 
   /** ADC distance: sum over subspaces (ascending s — reproducible fold) of

@@ -96,8 +96,11 @@ object Registry {
     // ---- sharding / partitioning (SURVEY §2.8) ----
 
     // D2: even contiguous split with remainder → per-shard stats
+    // (scalable form: range-repartition + per-partition offsets — no
+    // single-partition global window; assignment identical to evenSplit,
+    // property-tested in ShardingSpec)
     "q_shard_even" -> ((s, dir) =>
-      Sharding.evenSplit(t(s, dir, "embeddings"), 16, "vec_id")
+      Sharding.evenSplitScalable(t(s, dir, "embeddings"), 16, "vec_id")
         .groupBy(col("shard_id"))
         .agg(count(lit(1)).as("num_vectors"),
           min(col("vec_id")).as("min_vec_id"),
@@ -892,12 +895,6 @@ object Registry {
          |SELECT doc_id,
          |       list_aggregate(list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT), 'min') AS fingerprint
          |FROM shs ORDER BY doc_id""".stripMargin,
-
-    "q_json_props" ->
-      """SELECT event_type, count(*) AS n,
-        |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
-        |       max(CAST(props->>'$.k' AS BIGINT)) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_json_props" ->
       """SELECT event_type, count(*) AS n,
