@@ -28,20 +28,23 @@ object MetricsAnalytics {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("event_type"))
 
-  /** A5 — exact latency percentiles p50/p95/p99 + mean per group
-    * (sort+positional-index in the reference, :419-425; here one pass of
+  /** A5 — exact latency percentiles p50/p95/p99/p99.9 + mean per group
+    * (sort+positional-index in the reference, :419-425; p99.9 per the
+    * README monitoring surface, README.md:168-173; here one pass of
     * `percentile`, continuous interpolation — same definition DuckDB's
     * quantile_cont uses). */
   def percentiles(events: DataFrame): DataFrame =
     events
       .groupBy(col("event_type"))
-      .agg(percentile(col("value"), array(lit(0.5), lit(0.95), lit(0.99))).as("ps"),
+      .agg(percentile(col("value"),
+          array(lit(0.5), lit(0.95), lit(0.99), lit(0.999))).as("ps"),
         avg(col("value")).as("avg_v"))
       .select(
         col("event_type"),
         round(col("ps").getItem(0), 4).as("p50"),
         round(col("ps").getItem(1), 4).as("p95"),
         round(col("ps").getItem(2), 4).as("p99"),
+        round(col("ps").getItem(3), 4).as("p999"),
         round(col("avg_v"), 4).as("avg_value"))
       .orderBy(col("event_type"))
 

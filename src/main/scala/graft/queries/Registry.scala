@@ -633,6 +633,7 @@ object Registry {
         |       round(quantile_cont(value, 0.5), 4) AS p50,
         |       round(quantile_cont(value, 0.95), 4) AS p95,
         |       round(quantile_cont(value, 0.99), 4) AS p99,
+        |       round(quantile_cont(value, 0.999), 4) AS p999,
         |       round(avg(value), 4) AS avg_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 

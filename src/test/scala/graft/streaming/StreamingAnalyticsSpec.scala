@@ -59,6 +59,39 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(state.isRemoved)
   }
 
+  test("end-to-end: silent node flips to dead via state timeout (integration)") {
+    // Drives nodeHealth as a real streaming query against a MemoryStream
+    // at the reference's heartbeat cadence shape (Trigger.ProcessingTime,
+    // vector_search_cluster.py:757): node a heartbeats once, goes silent
+    // past the timeout, node b's later beat triggers the batch in which
+    // a's state times out → "dead" row. Polling with a deadline instead
+    // of processAllAvailable — ProcessingTimeTimeout schedules extra
+    // batches that make processAllAvailable unreliable here.
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Heartbeat]
+    val out = StreamingAnalytics.nodeHealth(src.toDS(), timeoutMs = 1500)
+    val q = out.toDF().writeStream.outputMode(OutputMode.Update)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .format("memory").queryName("nh_e2e").start()
+    try {
+      def countWhere(cond: org.apache.spark.sql.Column): Long =
+        spark.table("nh_e2e").where(cond).count()
+      def awaitAtLeast(cond: org.apache.spark.sql.Column, n: Long, deadlineMs: Long): Boolean = {
+        val end = System.currentTimeMillis() + deadlineMs
+        while (countWhere(cond) < n && System.currentTimeMillis() < end) Thread.sleep(200)
+        countWhere(cond) >= n
+      }
+      src.addData(Heartbeat("a", ts("2024-01-01 00:00:00"), 12.0))
+      assert(awaitAtLeast($"nodeId" === "a" && $"health" === "healthy", 1, 30000),
+        "node a never reported healthy")
+      Thread.sleep(2500) // exceed the 1.5 s state timeout while a is silent
+      src.addData(Heartbeat("b", ts("2024-01-01 00:00:10"), 5.0))
+      assert(awaitAtLeast($"nodeId" === "a" && $"health" === "dead", 1, 30000),
+        "node a never flipped to dead after timeout")
+      assert(countWhere($"nodeId" === "b" && $"health" === "dead") == 0)
+    } finally q.stop()
+  }
+
   test("slidingMean emits overlapping windows") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[(Long, Timestamp, String, Double)]
