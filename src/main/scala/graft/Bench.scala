@@ -21,6 +21,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT/codegen/parquet-footer costs land here, not in
+    // whichever query the Map iterator happens to run first
+    try {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .groupBy(col("vec_id") % 7).count()
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

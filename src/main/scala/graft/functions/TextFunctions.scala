@@ -22,8 +22,18 @@ object TextFunctions {
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long")
 
-  /** Distinct word n-gram shingles (the unit of MinHash / Jaccard dedup). */
+  /** Distinct word n-gram shingles (the unit of MinHash / Jaccard dedup)
+    * — fused one-pass expression (graft.plans.ShingleWindows),
+    * value-identical to [[wordShinglesHof]] (parity-tested). */
   def wordShingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.ShingleWindows(
+      ColumnBridge.expression(tokens(text)), n))
+  }
+
+  /** HOF reference form of [[wordShingles]] (parity-tested; mirrors the
+    * shingle CTE shape shared by the dedup DuckDB oracles). */
+  def wordShinglesHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,
       array_distinct(
@@ -94,4 +104,18 @@ object TextFunctions {
     * (same value via DuckDB ('0x' || substr(md5(x),1,15))::BIGINT). */
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Document fingerprint: min 60-bit hash over word n-gram shingles —
+    * fused one-pass expression (graft.plans.MinShingleHash),
+    * value-identical to [[docFingerprintHof]] (parity-tested). */
+  def docFingerprint(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.MinShingleHash(
+      ColumnBridge.expression(tokens(text)), n))
+  }
+
+  /** HOF reference form of [[docFingerprint]] (parity-tested; mirrors the
+    * q_doc_fingerprint DuckDB oracle SQL). */
+  def docFingerprintHof(text: Column, n: Int): Column =
+    array_min(transform(wordShingles(text, n), md5Long(_)))
 }

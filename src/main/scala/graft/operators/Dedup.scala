@@ -32,8 +32,22 @@ object Dedup {
   /** MinHash signature: H independent hash functions realized as
     * md5("<h>:" + shingle); the signature entry is the lexicographic min
     * hex digest over the doc's shingle set (a valid min-hash family, and
-    * engine-portable — no integer hashing required). */
+    * engine-portable — no integer hashing required). Computed by the
+    * fused one-pass expression (graft.plans.MinHashSignature),
+    * value-identical to [[minhashSignatureHof]] (parity-tested). */
   def minhashSignature(docs: DataFrame, shingleN: Int, numHashes: Int,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs.select(
+      col("doc_id"),
+      TextFunctions.wordShingles(col(textCol), shingleN).as("shingles"))
+      .withColumn("sig", ColumnBridge.column(graft.plans.MinHashSignature(
+        ColumnBridge.expression(col("shingles")), numHashes)))
+  }
+
+  /** HOF reference form of [[minhashSignature]] (parity-tested; mirrors
+    * the q_minhash_lsh DuckDB oracle SQL shape). */
+  def minhashSignatureHof(docs: DataFrame, shingleN: Int, numHashes: Int,
       textCol: String = "text"): DataFrame =
     docs.select(
       col("doc_id"),
@@ -150,31 +164,28 @@ object Dedup {
     * prefix filtering — the non-LSH verification path, exact.
     *
     * Candidate generation: order each doc's distinct shingles by a global
-    * total order (md5 — deterministic pseudo-random, no frequency pass)
-    * and keep only the first `|X| − ⌈t·|X|⌉ + 1` as the prefix. If
-    * jaccard(A,B) ≥ t then |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and the
-    * order-minimal common shingle must land in BOTH prefixes (else the
-    * ≥⌈t·|X|⌉ intersection elements would all sit among the ⌈t·|X|⌉−1
-    * suffix slots — contradiction). So an equi-join on prefix shingles
-    * within the block yields every qualifying pair: inverted-index-bounded
-    * fan-out instead of the O(B²) all-pairs self-join, with identical
-    * output after exact-Jaccard verification. */
+    * total order (plain lexicographic — any consistent order satisfies
+    * the prefix theorem, and sorting is free where a frequency pass or
+    * per-shingle hashing is not) and keep only the first
+    * `|X| − ⌈t·|X|⌉ + 1` as the prefix. If jaccard(A,B) ≥ t then
+    * |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and the order-minimal common shingle
+    * must land in BOTH prefixes (else the ≥⌈t·|X|⌉ intersection
+    * elements would all sit among the ⌈t·|X|⌉−1 suffix slots —
+    * contradiction). So an equi-join on prefix shingles within the block
+    * yields every qualifying pair: inverted-index-bounded fan-out instead
+    * of the O(B²) all-pairs self-join, with identical output after
+    * exact-Jaccard verification. */
   def ngramJaccardDups(
       docs: DataFrame,
       blockCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.5,
       textCol: String = "text"): DataFrame = {
-    // distinct shingles sorted by md5; reused by prefix explode and both
+    // sorted distinct shingles; reused by prefix explode and both
     // verification sides → materialized once (eager localCheckpoint;
     // blocks GC'd with the result, no CacheManager leak)
     val sh = docs.select(col("doc_id"), col(blockCol).as("block"),
-      TextFunctions.wordShingles(col(textCol), shingleN).as("sh_raw"))
-      .select(col("doc_id"), col("block"),
-        transform(
-          array_sort(transform(array_distinct(col("sh_raw")),
-            s => struct(md5(s).as("o"), s.as("s")))),
-          x => x.getField("s")).as("sh"))
+      array_sort(TextFunctions.wordShingles(col(textCol), shingleN)).as("sh"))
       .withColumn("plen",
         (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1).cast("int"))
       .localCheckpoint(true)

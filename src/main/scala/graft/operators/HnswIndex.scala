@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** HNSW-family ANN — per-partition navigable-small-world graphs
+/** HNSW ANN — per-partition hierarchical navigable-small-world graphs
   * (SURVEY §2.3 J4; reference `IndexHNSWFlat(d, M=32)`, efConstruction=64,
   * efSearch=64 — vector_search_cluster.py:1043-1045, :551-552).
   *
@@ -21,21 +21,41 @@ import org.apache.spark.sql.functions._
   * like the reference's shard builders, and graph size per partition is
   * bounded by `maxPartitionBytes`.
   *
-  * The graph is single-layer NSW (no hierarchy): with per-partition node
-  * counts bounded by partition sizing, the log-factor the hierarchy buys
-  * is marginal; determinism (fixed insertion order, id tie-breaks) is
-  * kept instead for reproducible tests.
-  */
+  * Full hierarchy (the paper's layered structure, like FAISS): node
+  * levels follow the standard geometric distribution
+  * `floor(-ln(U) · 1/ln(M))`, with U drawn DETERMINISTICALLY from a
+  * splitmix64 hash of the vector id — same expected layer shape as
+  * FAISS's RNG draw, but reproducible across runs and build orders.
+  * Search descends greedily from the top-layer entry point to layer 1,
+  * then beam-searches layer 0 with efSearch; inserts beam with
+  * efConstruction per layer and keep M neighbors (2M at layer 0, per the
+  * paper and FAISS). */
 object HnswIndex {
 
   /** Graph/search parameters — defaults mirror the reference's. */
   case class Params(m: Int = 32, efConstruction: Int = 64, efSearch: Int = 64)
 
-  /** One partition's graph: ids, vectors, adjacency. */
+  /** One partition's graph: ids, vectors, per-layer adjacency. */
   private final class LocalGraph(params: Params) {
     val ids = mutable.ArrayBuffer.empty[Long]
     val vecs = mutable.ArrayBuffer.empty[Array[Float]]
-    val adj = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Int]]
+    // adj(node)(layer) — layer 0 first; node participates in layers 0..level
+    val adj = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    val levels = mutable.ArrayBuffer.empty[Int]
+    var entry: Int = -1
+    var maxLevel: Int = -1
+
+    private val mL = 1.0 / math.log(params.m.toDouble max 2.0)
+
+    /** Deterministic level: geometric via splitmix64(id) → U(0,1). */
+    private def levelOf(id: Long): Int = {
+      var z = id + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      val u = ((z >>> 11).toDouble + 1.0) / (1L << 53).toDouble // (0, 1]
+      math.min(math.floor(-math.log(u) * mL).toInt, 24)
+    }
 
     private def dist(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0
@@ -45,21 +65,53 @@ object HnswIndex {
       s
     }
 
-    /** Beam search from node 0: best `ef` nodes by distance to `q`,
-      * deterministic (ties by node index). */
-    def beamSearch(q: Array[Float], ef: Int): Seq[(Double, Int)] = {
-      if (ids.isEmpty) return Nil
-      val visited = mutable.BitSet(0)
+    /** Greedy single-step descent at `layer`: closest reachable node. */
+    private def greedyClosest(q: Array[Float], start: Int, layer: Int): Int = {
+      var cur = start
+      var curD = dist(q, vecs(cur))
+      var improved = true
+      while (improved) {
+        improved = false
+        val nbrs = adj(cur)(layer)
+        var i = 0
+        while (i < nbrs.length) {
+          val nb = nbrs(i)
+          val d = dist(q, vecs(nb))
+          // strict < keeps ties on the earlier node — deterministic
+          if (d < curD) { cur = nb; curD = d; improved = true }
+          i += 1
+        }
+      }
+      cur
+    }
+
+    /** Beam search within one layer from `entryPoints`: best `ef` nodes
+      * by distance, deterministic (ties by node index). */
+    private def searchLayer(
+        q: Array[Float], entryPoints: Seq[Int], ef: Int, layer: Int): Seq[(Double, Int)] = {
       implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2
-      val candidates = mutable.PriorityQueue((-dist(q, vecs(0)), 0)) // max-heap on negated = min-heap
-      val result = mutable.PriorityQueue((dist(q, vecs(0)), 0)) // max-heap: worst on top
+      val visited = mutable.BitSet()
+      val candidates = mutable.PriorityQueue.empty[(Double, Int)] // max-heap on negated dist
+      val result = mutable.PriorityQueue.empty[(Double, Int)] // max-heap: worst on top
+      entryPoints.foreach { ep =>
+        if (!visited.contains(ep)) {
+          visited += ep
+          val d = dist(q, vecs(ep))
+          candidates.enqueue((-d, ep))
+          result.enqueue((d, ep))
+        }
+      }
+      while (result.size > ef) result.dequeue()
       while (candidates.nonEmpty) {
         val (negD, node) = candidates.dequeue()
         val d = -negD
         if (result.size >= ef && d > result.head._1) {
           candidates.clear() // all remaining are farther — greedy stop
         } else {
-          adj(node).foreach { nb =>
+          val nbrs = adj(node)(layer)
+          var i = 0
+          while (i < nbrs.length) {
+            val nb = nbrs(i)
             if (!visited.contains(nb)) {
               visited += nb
               val nd = dist(q, vecs(nb))
@@ -69,34 +121,58 @@ object HnswIndex {
                 if (result.size > ef) result.dequeue()
               }
             }
+            i += 1
           }
         }
       }
       result.toSeq.sortBy(t => (t._1, ids(t._2)))
     }
 
-    /** Insert with NSW construction: connect to the m nearest of the
-      * already-inserted nodes (found by beam search), bidirectionally,
-      * pruning neighbor lists back to m by distance. */
+    /** Full search: greedy descent maxLevel→1, beam at layer 0. */
+    def search(q: Array[Float], ef: Int): Seq[(Double, Int)] = {
+      if (entry < 0) return Nil
+      var ep = entry
+      var l = maxLevel
+      while (l > 0) { ep = greedyClosest(q, ep, l); l -= 1 }
+      searchLayer(q, Seq(ep), ef, 0)
+    }
+
+    /** HNSW insert: descend to the node's top layer, then per-layer beam
+      * + connect, pruning neighbor lists to M (2M at layer 0). */
     def insert(id: Long, vec: Array[Float]): Unit = {
       val idx = ids.length
+      val level = levelOf(id)
       ids += id
       vecs += vec
-      adj += mutable.ArrayBuffer.empty[Int]
-      if (idx == 0) return
-      val nearest = beamSearch(vec, params.efConstruction).take(params.m)
-      nearest.foreach { case (_, nb) =>
-        adj(idx) += nb
-        adj(nb) += idx
-        if (adj(nb).length > params.m) {
-          // keep the m closest neighbors (ties by id — deterministic)
-          val pruned = adj(nb)
-            .map(x => ((dist(vecs(nb), vecs(x)), ids(x)), x))
-            .sortBy(_._1).take(params.m).map(_._2)
-          adj(nb).clear()
-          adj(nb) ++= pruned
+      levels += level
+      adj += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+      if (entry < 0) { entry = idx; maxLevel = level; return }
+
+      var ep = entry
+      var l = maxLevel
+      while (l > level) { ep = greedyClosest(vec, ep, l); l -= 1 }
+      var eps: Seq[Int] = Seq(ep)
+      var layer = math.min(level, maxLevel)
+      while (layer >= 0) {
+        val found = searchLayer(vec, eps, params.efConstruction, layer)
+        val mMax = if (layer == 0) params.m * 2 else params.m
+        val nearest = found.take(params.m)
+        nearest.foreach { case (_, nb) =>
+          adj(idx)(layer) += nb
+          adj(nb)(layer) += idx
+          if (adj(nb)(layer).length > mMax) {
+            // keep the mMax closest neighbors (ties by id — deterministic)
+            val pruned = adj(nb)(layer)
+              .map(x => ((dist(vecs(nb), vecs(x)), ids(x)), x))
+              .sortBy(_._1).take(mMax).map(_._2)
+            adj(nb)(layer).clear()
+            adj(nb)(layer) ++= pruned
+          }
         }
+        eps = found.map(_._2)
+        layer -= 1
       }
+      if (level > maxLevel) { maxLevel = level; entry = idx }
     }
   }
 
@@ -127,12 +203,14 @@ object HnswIndex {
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .repartition(parts, col("vec_id"))
+      // deterministic build order without materializing an extra copy of
+      // the partition: Spark sorts, the iterator feeds the graph directly
+      .sortWithinPartitions(col("vec_id"))
       .mapPartitions { rows =>
         val graph = new LocalGraph(p)
-        // deterministic build order within the partition
-        rows.toSeq.sortBy(_._1).foreach { case (id, v) => graph.insert(id, v) }
+        rows.foreach { case (id, v) => graph.insert(id, v) }
         bcQueries.value.iterator.flatMap { case (qid, qv) =>
-          graph.beamSearch(qv, p.efSearch)
+          graph.search(qv, p.efSearch)
             .filter { case (_, node) => graph.ids(node) != qid }
             .take(k)
             .map { case (d, node) => (qid, graph.ids(node), d) }

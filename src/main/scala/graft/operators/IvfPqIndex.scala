@@ -24,10 +24,16 @@ object IvfPqIndex {
   def residual(vec: Column, cvec: Column): Column =
     zip_with(vec, cvec, (x, y) => x - y)
 
+  /** Same size gate as [[IvfIndex.LiteralCentroidMax]]: past it, the
+    * centroid set becomes one encoded literal (O(1) codegen size). */
   private def centLit(cents: Array[IvfIndex.Centroid]): Column =
-    array(cents.toIndexedSeq.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), typedLit(v).as("vec"))
-    }: _*)
+    if (cents.length <= IvfIndex.LiteralCentroidMax)
+      array(cents.toIndexedSeq.map { case (cid, v) =>
+        struct(lit(cid).as("cid"), typedLit(v).as("vec"))
+      }: _*)
+    else
+      transform(typedLit(cents.toSeq), c =>
+        struct(c.getField("_1").as("cid"), c.getField("_2").as("vec")))
 
   /** Scored centroid array carrying the centroid vector (for residuals):
     * struct(dist, cid, cvec) — (dist, cid) is already a total order. */

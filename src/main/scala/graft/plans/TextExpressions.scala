@@ -14,7 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * one pass instead of per-element interpreted lambdas. CodegenFallback is
   * fine here: the md5 / hash-set work dominates, not eval dispatch. */
 object TextExpressions {
-  private val digest = new ThreadLocal[MessageDigest] {
+  private[plans] val digest = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
   private[plans] def md5Bytes(s: UTF8String): Array[Byte] = {
@@ -105,6 +105,176 @@ case class JaccardSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Distinct word n-gram shingles from a token array in one pass —
+  * value-identical to the HOF form
+  * `when(size(toks) >= n, array_distinct(transform(sequence(1, size-n+1),
+  * i => concat_ws(" ", slice(toks, i, n))))).otherwise(array())`
+  * (TextFunctions.wordShinglesHof): windows of n consecutive tokens
+  * joined with a single space, deduplicated keeping first-occurrence
+  * order; fewer than n tokens → empty array. The fused form builds each
+  * shingle with one UTF8String concat and dedups in a LinkedHashSet —
+  * no per-window lambda dispatch, no intermediate slice arrays. */
+case class ShingleWindows(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingle_windows expects array<string>, got $t")
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val windows = toks.numElements() - n + 1
+    if (windows <= 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[UTF8String]((windows * 2) max 16)
+      val window = new Array[UTF8String](n)
+      var i = 0
+      while (i < windows) {
+        var j = 0
+        while (j < n) { window(j) = toks.getUTF8String(i + j); j += 1 }
+        seen.add(UTF8String.concatWs(space, window: _*))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        seen.toArray.asInstanceOf[Array[AnyRef]])
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Minimum 60-bit shingle hash over a token array in one pass — the doc
+  * fingerprint. Value-identical to
+  * `array_min(transform(wordShingles(text, n), md5Long))` (and the DuckDB
+  * `list_aggregate(list_transform(sh, s -> ('0x'||substr(md5(s),1,15))::BIGINT), 'min')`
+  * oracle): for each window of `n` consecutive tokens, md5 of the
+  * space-joined shingle bytes, value = first 15 hex digits as a long
+  * (big-endian first 8 bytes >>> 4). Distinctness is irrelevant under
+  * min; fewer than `n` tokens → null (empty-array array_min). The fused
+  * form streams tokens straight into the digest — no shingle strings,
+  * no intermediate arrays, no per-element lambda dispatch. */
+case class MinShingleHash(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"min_shingle_hash expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val windows = toks.numElements() - n + 1
+    if (windows <= 0) null
+    else {
+      val d = TextExpressions.digest.get()
+      var min = Long.MaxValue
+      var i = 0
+      while (i < windows) {
+        d.reset()
+        var j = 0
+        while (j < n) {
+          if (j > 0) d.update(' '.toByte)
+          d.update(toks.getUTF8String(i + j).getBytes)
+          j += 1
+        }
+        val md5 = d.digest()
+        val v = (((md5(0) & 0xffL) << 56) | ((md5(1) & 0xffL) << 48) |
+          ((md5(2) & 0xffL) << 40) | ((md5(3) & 0xffL) << 32) |
+          ((md5(4) & 0xffL) << 24) | ((md5(5) & 0xffL) << 16) |
+          ((md5(6) & 0xffL) << 8) | (md5(7) & 0xffL)) >>> 4
+        if (v < min) min = v
+        i += 1
+      }
+      min
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature over a shingle array in one pass. Value-identical to
+  * the HOF form (Dedup.minhashSignatureHof / the q_minhash_lsh oracle):
+  * entry h = lexicographic min over shingles of md5("<h>:" + shingle) as
+  * a 32-char hex string. Hex strings sort like their digest bytes
+  * compared unsigned (nibble→hex-char mapping is monotonic), so the min
+  * is tracked on raw digests and hex-encoded once at the end. Empty
+  * shingle arrays yield all-null entries (array_min of empty), matching
+  * the HOF form. One digest object, no intermediate hex arrays, H×S md5s
+  * with zero lambda dispatch. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_signature expects array<string>, got $t")
+  }
+
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private def hex(bytes: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    val digits = "0123456789abcdef".getBytes
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = digits((bytes(i) >>> 4) & 0xf)
+      out(2 * i + 1) = digits(bytes(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val shingles = input.asInstanceOf[ArrayData]
+    val s = shingles.numElements()
+    val out = new Array[Any](numHashes)
+    if (s > 0) {
+      val d = TextExpressions.digest.get()
+      val shingleBytes = Array.tabulate(s)(i => shingles.getUTF8String(i).getBytes)
+      var h = 0
+      while (h < numHashes) {
+        val prefix = (h.toString + ":").getBytes("US-ASCII")
+        var min: Array[Byte] = null
+        var i = 0
+        while (i < s) {
+          d.reset()
+          d.update(prefix)
+          d.update(shingleBytes(i))
+          val dig = d.digest()
+          if (min == null || less(dig, min)) min = dig
+          i += 1
+        }
+        out(h) = hex(min)
+        h += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Hamming distance between two equal-length strings in one pass —

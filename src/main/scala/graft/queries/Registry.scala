@@ -272,8 +272,7 @@ object Registry {
     "q_doc_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
-        array_min(transform(TextFunctions.wordShingles(col("text"), 3),
-          sh => TextFunctions.md5Long(sh))).as("fingerprint"))
+        TextFunctions.docFingerprint(col("text"), 3).as("fingerprint"))
         .orderBy(col("doc_id"))),
 
     // Sessionization: per-user sessions split on >30-min gaps (classic

@@ -44,4 +44,46 @@ class TextExpressionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 1.0 / 3.0)
     assert(r.getDouble(1) == 0.0)
   }
+
+  test("fused ShingleWindows is identical to the HOF shingle form on real docs") {
+    val both = spark.read.parquet(s"$sf0001/documents.parquet").select(
+      TextFunctions.wordShingles($"text", 3).as("fast"),
+      TextFunctions.wordShinglesHof($"text", 3).as("hof"))
+    assert(both.where(not($"fast" <=> $"hof")).count() == 0)
+    // edge cases: repeats dedup in first-occurrence order; short → empty
+    val edge = Seq("a b a b a b", "a b", "").toDF("text").select(
+      TextFunctions.wordShingles($"text", 3).as("fast"),
+      TextFunctions.wordShinglesHof($"text", 3).as("hof")).collect()
+    edge.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    assert(edge(0).getSeq[String](0) == Seq("a b a", "b a b"))
+    assert(edge(1).getSeq[String](0).isEmpty)
+  }
+
+  test("fused MinShingleHash is identical to the HOF/oracle fingerprint on real docs") {
+    val both = spark.read.parquet(s"$sf0001/documents.parquet").select(
+      TextFunctions.docFingerprint($"text", 3).as("fast"),
+      TextFunctions.docFingerprintHof($"text", 3).as("hof"))
+    assert(both.where(not($"fast" <=> $"hof")).count() == 0)
+    // short docs (< n tokens): both forms null
+    val short = Seq("one two", "").toDF("text").select(
+      TextFunctions.docFingerprint($"text", 3).as("fast"),
+      TextFunctions.docFingerprintHof($"text", 3).as("hof")).collect()
+    short.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1)))
+  }
+
+  test("fused MinHashSignature is identical to the HOF/oracle signature on real docs") {
+    val full = spark.read.parquet(s"$sf0001/documents.parquet")
+    val fast = Dedup.minhashSignature(full, 3, 16)
+      .select($"doc_id", $"sig".as("fast"))
+    val hof = Dedup.minhashSignatureHof(full, 3, 16)
+      .select($"doc_id", $"sig".as("hof"))
+    val joined = fast.join(hof, Seq("doc_id"))
+    assert(joined.where(not($"fast" <=> $"hof")).count() == 0)
+    // empty shingle set → all-null entries in both forms
+    val empty = Seq("too short").toDF("text").withColumn("doc_id", lit(1L))
+    val e = Dedup.minhashSignature(empty, 3, 4).select($"sig").head().getSeq[String](0)
+    val eh = Dedup.minhashSignatureHof(empty, 3, 4).select($"sig").head().getSeq[String](0)
+    assert(e.size == 4 && e.forall(_ == null))
+    assert(e == eh)
+  }
 }
