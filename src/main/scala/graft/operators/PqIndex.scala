@@ -115,8 +115,18 @@ object PqIndex {
         Distances.l2SqFast(slice(qvec, s * subDim + 1, lit(subDim)), e.getField("vec"))))
 
   /** ADC distance: sum over subspaces (ascending s — reproducible fold) of
-    * the LUT entry selected by the candidate's code. */
-  def adcDist(lut: Column, codes: Column, m: Int): Column =
+    * the LUT entry selected by the candidate's code. Fused codegen
+    * expression (graft.plans.AdcDistance) — value-identical to
+    * [[adcDistHof]] (parity-tested). */
+  def adcDist(lut: Column, codes: Column, m: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.AdcDistance(
+      ColumnBridge.expression(lut), ColumnBridge.expression(codes)))
+  }
+
+  /** HOF reference form of [[adcDist]] (parity-tested; mirrors the
+    * q_pq_adc_knn DuckDB oracle SQL shape). */
+  def adcDistHof(lut: Column, codes: Column, m: Int): Column =
     aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
       acc + element_at(
         element_at(lut, (s + 1).cast("int")),

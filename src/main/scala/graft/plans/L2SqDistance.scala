@@ -63,6 +63,59 @@ case class L2SqDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused codegen PQ asymmetric-distance (ADC): sum over subspaces s of
+  * lut(s)(codes(s)) — value-identical to the HOF fold
+  * `aggregate(sequence(0, m-1), 0.0D, (acc, s) => acc +
+  * lut[s+1][codes[s+1]+1])` (same ascending-s double addition order; the
+  * q_pq_adc_knn / q_ivfpq_knn oracles reproduce it in SQL). This is the
+  * innermost loop of PQ search — a single primitive loop per candidate
+  * row inside whole-stage codegen instead of an interpreted per-subspace
+  * fold over a materialized sequence. */
+case class AdcDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"adc_distance expects (array<array<double>>, array<long>), got ($l, $r)")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += lut.getArray(s).getDouble(codes.getLong(s).toInt)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      s"""
+         |double $acc = 0.0;
+         |int $m = $b.numElements();
+         |for (int $s = 0; $s < $m; $s++) {
+         |  $acc += $a.getArray($s).getDouble((int) $b.getLong($s));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Fused codegen inner product (same contract as L2SqDistance). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -26,6 +26,19 @@ class L2SqDistanceSpec extends SparkSpec {
     assert(both.where($"hof" =!= $"gen").count() == 0)
   }
 
+  test("codegen AdcDistance is bit-identical to the HOF aggregate fold on real PQ data") {
+    import graft.operators.PqIndex
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cb = PqIndex.seedCodebooks(emb, m = 8, subDim = 8, ksub = 16)
+    val codes = PqIndex.encode(emb, cb, 8, 8)
+    val luts = emb.where($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), PqIndex.lutExpr($"embedding", cb, 8, 8).as("lut"))
+    val both = codes.crossJoin(luts).select(
+      PqIndex.adcDist($"lut", $"codes", 8).as("gen"),
+      PqIndex.adcDistHof($"lut", $"codes", 8).as("hof"))
+    assert(both.where($"gen" =!= $"hof").count() == 0)
+  }
+
   test("null and hand-computed values") {
     val r = Seq(1).toDF("x").select(
       Distances.l2SqFast(typedLit(Array(1f, 2f)), typedLit(Array(3f, 5f))).as("d"),
