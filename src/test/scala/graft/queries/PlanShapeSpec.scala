@@ -1,0 +1,68 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.IvfIndex
+
+/** Plan-shape regression gates for the scale-critical invariants SCALE.md
+  * claims: broadcasts where a side is small by construction, partial+final
+  * WindowGroupLimit for top-k, filter/projection pushdown into the scan,
+  * partition-pruned IVF probe reads, and the absence of any global
+  * (unpartitioned) window in the sharding path. Results are checked by
+  * the DuckDB oracle; THESE tests pin the plans that make the same
+  * results survive a 100× scale-up. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("q_flat_knn: broadcast queries, partial+final WindowGroupLimit, no sort-merge join") {
+    val p = planOf(Registry.queries("q_flat_knn")(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast — big side must not shuffle")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial") && p.contains("Final"),
+      "top-k must partial-limit per partition before the final merge")
+    assert(!p.contains("SortMergeJoin"), "no big-big shuffle join in the k-NN path")
+  }
+
+  test("q_fingerprint: filter pushed to parquet, only needed columns read") {
+    val p = planOf(Registry.queries("q_fingerprint")(spark, sf0001))
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,50)]"),
+      "vec_id predicate must reach the parquet scan")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      "scan must prune to the two projected columns (no label)")
+  }
+
+  test("q_shard_even: no window operator at all (the scalable split)") {
+    val p = planOf(Registry.queries("q_shard_even")(spark, sf0001))
+    assert(!p.contains("Window"),
+      "evenSplitScalable must not plan any window — the ntile form funnels " +
+        "the table through one task")
+  }
+
+  test("IVF searchPruned on a persisted index: partition-pruned scan + broadcast probe join") {
+    val dir = Files.createTempDirectory("ivfplan").toString
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = IvfIndex.seedCentroids(emb, 8)
+    IvfIndex.writeIndex(IvfIndex.assign(emb, cents), cents, dir)
+    val (loaded, assignments) = IvfIndex.loadIndex(spark, dir)
+    val q = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val p = planOf(IvfIndex.searchPruned(q, loaded, assignments, nprobe = 2, k = 5))
+    assert(p.contains("PartitionFilters: [cluster_id"),
+      "probed cluster ids must prune the assignments read — the reference's " +
+        "nprobe/nlist cell pruning")
+    assert(p.contains("BroadcastHashJoin"),
+      "the tiny probe set must broadcast against the pruned scan")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_event_counters: two-phase aggregation (map-side partial)") {
+    val p = planOf(Registry.queries("q_event_counters")(spark, sf0001))
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "grouped aggregates must partial-aggregate before the shuffle")
+  }
+}
