@@ -54,6 +54,41 @@ object Multimodal {
         pmod(octet_length(col("payload")), lit(30)) + 1).otherwise(1).as("n_frames"))
   }
 
+  /** Resize contract (map-side, no shuffle): clamps the stub decode dims
+    * to a target box and carries the payload through — the seam where a
+    * real scaler would re-encode. Emits the original and resized dims so
+    * the transform is oracle-checkable as pure arithmetic. */
+  def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame =
+    mediaMeta(media).select(
+      col("media_id"), col("kind"),
+      col("width"), col("height"),
+      least(col("width"), lit(maxW)).as("resized_width"),
+      least(col("height"), lit(maxH)).as("resized_height"))
+
+  /** Frame sampling (video fan-out shape): one output row per sampled
+    * frame index — 0, step, 2·step … below the stub frame count. The
+    * frame payload is a STUB byte-slice of the container (a real codec
+    * seeks/decodes instead); offsets and lengths are pure arithmetic so
+    * the fan-out is oracle-checkable. This is the row-explosion shape a
+    * video pipeline runs at scale: map-side `explode`, output rows ≈
+    * frames/step × videos, no shuffle until a downstream aggregation. */
+  def sampleFrames(media: DataFrame, step: Int, frameBytes: Int = 16): DataFrame =
+    media.where(col("kind") === "video")
+      .select(col("media_id"), col("payload"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        (pmod(octet_length(col("payload")), lit(30)) + 1).as("n_frames"))
+      .select(col("media_id"), col("payload"), col("n_bytes"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
+      .select(
+        col("media_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx").cast("long") * frameBytes).as("frame_off"),
+        greatest(lit(0L),
+          least(lit(frameBytes.toLong),
+            col("n_bytes") - col("frame_idx").cast("long") * frameBytes)).as("frame_len"),
+        col("payload").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
+          .as("frame_payload"))
+
   /** STUB decode + feature extraction, batched per partition — the seam
     * where a real codec (libjpeg / ffmpeg / soundfile) would run. The
     * deterministic fake derives dims and a `dim`-element float feature

@@ -160,6 +160,20 @@ object Registry {
       Multimodal.mediaMeta(Multimodal.mediaFromDocs(t(s, dir, "documents")))
         .orderBy(col("media_id"))),
 
+    // Multimodal frame sampling: map-side video fan-out (one row per
+    // sampled frame); offsets/lengths are arithmetic → fully oracle-able
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.mediaFromDocs(t(s, dir, "documents")), step = 5)
+        .select(col("media_id"), col("frame_idx"), col("frame_off"), col("frame_len"))
+        .orderBy(col("media_id"), col("frame_idx"))),
+
+    // Multimodal resize contract: stub-dim clamp, pure arithmetic
+    "q_media_resize" -> ((s, dir) =>
+      Multimodal.resize(
+        Multimodal.mediaFromDocs(t(s, dir, "documents")), maxW = 32, maxH = 32)
+        .orderBy(col("media_id"))),
+
     // F6: JSON decode surface — parse the props JSON column, group on an
     // extracted field (SURVEY §2.7; reference json.loads at
     // vector_search_cluster.py:394/407)
@@ -921,6 +935,28 @@ object Registry {
         |       CASE WHEN doc_id % 3 = 2
         |            THEN CAST(octet_length(CAST(text AS BLOB)) % 30 + 1 AS INT)
         |            ELSE 1 END AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |         octet_length(CAST(text AS BLOB)) % 30 + 1 AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2
+        |)
+        |SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(f * 16 AS BIGINT) AS frame_off,
+        |       greatest(0, least(16, n_bytes - f * 16)) AS frame_len
+        |FROM v, unnest(range(0, n_frames, 5)) AS t(f)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_media_resize" ->
+      """SELECT doc_id AS media_id,
+        |       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |       16 + (ascii(substr(text, 1, 1)) % 64) AS width,
+        |       16 + (ascii(substr(text, 2, 1)) % 64) AS height,
+        |       least(16 + (ascii(substr(text, 1, 1)) % 64), 32) AS resized_width,
+        |       least(16 + (ascii(substr(text, 2, 1)) % 64), 32) AS resized_height
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q1_agg" ->

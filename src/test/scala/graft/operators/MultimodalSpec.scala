@@ -20,6 +20,41 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(r.getAs[Array[Byte]]("payload"), "UTF-8") == txt)
   }
 
+  test("sampleFrames: only videos, stride-5 indices, payload slices line up") {
+    val media = Multimodal.mediaFromDocs(docs)
+    val frames = Multimodal.sampleFrames(media, step = 5).collect()
+    val vids = media.where($"kind" === "video")
+      .select($"media_id", $"payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(frames.nonEmpty)
+    assert(frames.map(_.getAs[Long]("media_id")).toSet.subsetOf(vids.keySet))
+    frames.foreach { f =>
+      val idx = f.getAs[Long]("frame_idx")
+      assert(idx % 5 == 0)
+      val payload = vids(f.getAs[Long]("media_id"))
+      val off = f.getAs[Long]("frame_off").toInt
+      val len = f.getAs[Long]("frame_len").toInt
+      assert(off == idx * 16)
+      assert(len == math.max(0, math.min(16, payload.length - off)))
+      val slice = f.getAs[Array[Byte]]("frame_payload")
+      assert(slice.sameElements(payload.slice(off, off + 16)))
+    }
+    // every video emits ceil(n_frames/5) frames
+    val byVid = frames.groupBy(_.getAs[Long]("media_id")).view.mapValues(_.length)
+    vids.foreach { case (id, p) =>
+      val nf = p.length % 30 + 1
+      assert(byVid(id) == (nf + 4) / 5)
+    }
+  }
+
+  test("resize clamps stub dims to the target box") {
+    val r = Multimodal.resize(Multimodal.mediaFromDocs(docs), 32, 32).collect()
+    r.foreach { row =>
+      assert(row.getAs[Int]("resized_width") == math.min(row.getAs[Int]("width"), 32))
+      assert(row.getAs[Int]("resized_height") == math.min(row.getAs[Int]("height"), 32))
+    }
+  }
+
   test("decodeFeatures (mapPartitions stub) agrees with mediaMeta expressions") {
     val media = Multimodal.mediaFromDocs(docs)
     val viaExpr = Multimodal.mediaMeta(media)
