@@ -90,9 +90,23 @@ object IvfIndex {
 
   /** A4 — nearest-centroid assignment (inverted-list membership,
     * vector_search_cluster.py:1047-1049): argmin over the centroid set,
-    * ties to the lowest cid. Map-side only — `array_min` on
-    * struct(dist, cid) is the argmin. */
-  def assign(embeddings: DataFrame, centroids: Array[Centroid],
+    * ties to the lowest cid. Map-side only, via the fused
+    * graft.plans.CentroidArgmin (one primitive loop per row, centroid
+    * matrix by value, O(1) codegen size at any nlist) — value-identical
+    * to [[assignHof]] (parity-tested). */
+  def assign(embeddings: DataFrame, centroids: Array[Centroid]): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    embeddings.withColumn(
+      "cluster_id",
+      ColumnBridge.column(graft.plans.CentroidArgmin(
+        ColumnBridge.expression(col("embedding")),
+        centroids.map(_._1), centroids.map(_._2))))
+  }
+
+  /** HOF reference form of [[assign]] (parity-tested; mirrors the
+    * q_ivf_build oracle's assignment CTE). `litMax` gates the
+    * per-element vs single-encoded-literal centroid form. */
+  def assignHof(embeddings: DataFrame, centroids: Array[Centroid],
       litMax: Int = LiteralCentroidMax): DataFrame =
     embeddings.withColumn(
       "cluster_id",

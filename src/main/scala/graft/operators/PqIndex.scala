@@ -91,8 +91,20 @@ object PqIndex {
     }
 
   /** Encode a vector column to its m codes: per subspace, argmin over that
-    * subspace's codebook (ties to the lowest code). Pure codegen map. */
-  def encodeExpr(vec: Column, cb: Codebooks, m: Int, subDim: Int,
+    * subspace's codebook (ties to the lowest code). Fused one-pass
+    * expression (graft.plans.PqEncode — codebooks by value, O(1) codegen
+    * size at any m×ksub), value-identical to [[encodeExprHof]]
+    * (parity-tested). Map-side, no shuffle: this is the corpus-side PQ
+    * build loop. */
+  def encodeExpr(vec: Column, cb: Codebooks, m: Int, subDim: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.PqEncode(ColumnBridge.expression(vec), cb, subDim))
+  }
+
+  /** HOF reference form of [[encodeExpr]] (parity-tested; mirrors the
+    * q_pq_adc_knn oracle's encode CTE). `litMax` gates the per-element
+    * vs single-encoded-literal codebook form (see [[LiteralCodebookMax]]). */
+  def encodeExprHof(vec: Column, cb: Codebooks, m: Int, subDim: Int,
       litMax: Int = LiteralCodebookMax): Column =
     transform(sequence(lit(0), lit(m - 1)), s =>
       array_min(

@@ -116,6 +116,117 @@ case class AdcDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused nearest-centroid argmin: the cid of the centroid minimizing
+  * squared-L2 to the vector, ties to the lowest cid — value-identical to
+  * `array_min(transform(centroids, struct(l2SqFast(vec, cvec), cid)))
+  * .getField("cid")` (IvfIndex's HOF assignment, parity-tested). The
+  * centroid matrix rides in the expression by value: one reference
+  * object, O(1) codegen size at any nlist, shipped once per stage with
+  * the broadcast task binary. This is THE corpus-side IVF build loop
+  * (n × nlist × d flops) — one primitive Java loop per row. */
+case class CentroidArgmin(
+    child: Expression,
+    cids: Array[Long],
+    cents: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"centroid_argmin expects array<float>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var bestCid = Long.MaxValue
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val lim = math.min(n, cent.length)
+      var d = 0.0
+      var j = 0
+      while (j < lim) {
+        val diff = v.getFloat(j).toDouble - cent(j).toDouble
+        d += diff * diff
+        j += 1
+      }
+      if (d < bestD || (d == bestD && cids(c) < bestCid)) { bestD = d; bestCid = cids(c) }
+      c += 1
+    }
+    bestCid
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused PQ encoder: per subspace s, argmin over that subspace's codebook
+  * of the squared-L2 between the s-th `subDim`-slice of the vector and
+  * the code centroid (ties to the lowest code). Codebooks ride in the
+  * expression by value — one reference object, shipped with the
+  * broadcast task binary, O(1) codegen size at any m×ksub.
+  * Value-identical to the HOF form (PqIndex.encodeExprHof — per-subspace
+  * `array_min(transform(codebook, struct(l2SqFast(slice(vec)), code)))`,
+  * parity-tested): same double-precision left-to-right accumulation, same
+  * short-vector truncation semantics as slice + min-length L2. This is
+  * the corpus-side build loop of PQ — m×ksub×subDim flops per row — so
+  * it runs as one primitive Java loop instead of nested interpreted
+  * lambdas over literal arrays. */
+case class PqEncode(
+    child: Expression,
+    codebooks: Array[Array[Array[Float]]],
+    subDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pq_encode expects array<float>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val m = codebooks.length
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      val sub = codebooks(s)
+      val base = s * subDim
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < sub.length) {
+        val cent = sub(c)
+        // slice semantics: elements past the vector end just don't exist;
+        // L2 runs over min(available, subDim, centroid length)
+        val lim = math.min(math.min(subDim, n - base), cent.length)
+        var d = 0.0
+        var j = 0
+        while (j < lim) {
+          val diff = v.getFloat(base + j).toDouble - cent(j).toDouble
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toLong
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fused codegen inner product (same contract as L2SqDistance). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

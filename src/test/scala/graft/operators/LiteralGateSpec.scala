@@ -15,11 +15,20 @@ class LiteralGateSpec extends SparkSpec {
 
   test("IVF assign: single-literal form row-identical to per-element form") {
     val cents = IvfIndex.seedCentroids(emb, 16)
-    val small = IvfIndex.assign(emb, cents)
+    val small = IvfIndex.assignHof(emb, cents)
       .select(col("vec_id"), col("cluster_id")).orderBy(col("vec_id")).collect()
-    val large = IvfIndex.assign(emb, cents, litMax = 0)
+    val large = IvfIndex.assignHof(emb, cents, litMax = 0)
       .select(col("vec_id"), col("cluster_id")).orderBy(col("vec_id")).collect()
     assert(small.sameElements(large))
+  }
+
+  test("fused CentroidArgmin is row-identical to the HOF assignment") {
+    val cents = IvfIndex.seedCentroids(emb, 16)
+    val fused = IvfIndex.assign(emb, cents)
+      .select(col("vec_id"), col("cluster_id")).orderBy(col("vec_id")).collect()
+    val hof = IvfIndex.assignHof(emb, cents)
+      .select(col("vec_id"), col("cluster_id")).orderBy(col("vec_id")).collect()
+    assert(fused.sameElements(hof))
   }
 
   test("IVF probes: single-literal form row-identical to per-element form") {
@@ -36,7 +45,7 @@ class LiteralGateSpec extends SparkSpec {
     val cb = PqIndex.seedCodebooks(emb, m = 16, subDim = 4, ksub = 16)
     def codes(litMax: Int) = emb
       .select(col("vec_id"),
-        PqIndex.encodeExpr(col("embedding"), cb, 16, 4, litMax).as("codes"))
+        PqIndex.encodeExprHof(col("embedding"), cb, 16, 4, litMax).as("codes"))
       .orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
     assert(codes(Int.MaxValue).sameElements(codes(0)))
@@ -46,5 +55,13 @@ class LiteralGateSpec extends SparkSpec {
       .orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getSeq[Seq[Double]](1)))
     assert(lut(Int.MaxValue).sameElements(lut(0)))
+  }
+
+  test("fused PqEncode is row-identical to the HOF encode on real vectors") {
+    val cb = PqIndex.seedCodebooks(emb, m = 16, subDim = 4, ksub = 16)
+    val both = emb.select(
+      PqIndex.encodeExpr(col("embedding"), cb, 16, 4).as("fast"),
+      PqIndex.encodeExprHof(col("embedding"), cb, 16, 4).as("hof"))
+    assert(both.where(not(col("fast") <=> col("hof"))).count() == 0)
   }
 }

@@ -17,7 +17,13 @@ import graft.operators.IvfIndex
   * results survive a 100× scale-up. */
 class PlanShapeSpec extends SparkSpec {
 
-  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def planOf(df: DataFrame): String = {
+    // sibling suites cache the same parquet relations; a cache hit would
+    // swap the FileScan (and its PushedFilters/ReadSchema) for an
+    // InMemoryTableScan and void the pushdown assertions
+    spark.catalog.clearCache()
+    df.queryExecution.executedPlan.toString
+  }
 
   test("q_flat_knn: broadcast queries, partial+final WindowGroupLimit, no sort-merge join") {
     val p = planOf(Registry.queries("q_flat_knn")(spark, sf0001))
