@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.plans._
+
+/** SQL-surface registration for the fused expressions — a user of the
+  * reference switching to this library gets them as plain SQL functions
+  * (`SELECT l2_sq(a.embedding, b.embedding) ...`), the same way FAISS's
+  * metric is implicit in its API (SURVEY §2.10).
+  *
+  * Two wiring paths, same descriptors:
+  *   - config: `spark.sql.extensions=graft.GraftExtensions`
+  *   - programmatic: `GraftFunctions.register(spark)` on a live session.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, builder) for every SQL-expressible fused expression. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "l2_sq" -> {
+      case Seq(a, b) => L2SqDistance(a, b)
+      case args => throw new IllegalArgumentException(s"l2_sq expects 2 args, got ${args.length}")
+    },
+    "dot_product" -> {
+      case Seq(a, b) => DotProduct(a, b)
+      case args => throw new IllegalArgumentException(s"dot_product expects 2 args, got ${args.length}")
+    },
+    "adc_distance" -> {
+      case Seq(lut, codes) => AdcDistance(lut, codes)
+      case args => throw new IllegalArgumentException(s"adc_distance expects 2 args, got ${args.length}")
+    },
+    "simhash64" -> {
+      case Seq(tokens) => SimHash64(tokens)
+      case args => throw new IllegalArgumentException(s"simhash64 expects 1 arg, got ${args.length}")
+    },
+    "jaccard_sim" -> {
+      case Seq(a, b) => JaccardSim(a, b)
+      case args => throw new IllegalArgumentException(s"jaccard_sim expects 2 args, got ${args.length}")
+    },
+    "hamming_distance" -> {
+      case Seq(a, b) => HammingDistance(a, b)
+      case args => throw new IllegalArgumentException(s"hamming_distance expects 2 args, got ${args.length}")
+    },
+    "shingle_windows" -> {
+      case Seq(tokens, n) => ShingleWindows(tokens, intLit(n, "shingle_windows n"))
+      case args => throw new IllegalArgumentException(s"shingle_windows expects 2 args, got ${args.length}")
+    },
+    "min_shingle_hash" -> {
+      case Seq(tokens, n) => MinShingleHash(tokens, intLit(n, "min_shingle_hash n"))
+      case args => throw new IllegalArgumentException(s"min_shingle_hash expects 2 args, got ${args.length}")
+    },
+    "minhash_signature" -> {
+      case Seq(shingles, h) => MinHashSignature(shingles, intLit(h, "minhash_signature numHashes"))
+      case args => throw new IllegalArgumentException(s"minhash_signature expects 2 args, got ${args.length}")
+    })
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft", name)
+
+  /** Register every function on a live session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      org.apache.spark.sql.graft.FunctionBridge.register(spark, name, info(name), builder)
+    }
+
+  /** Inject into a SparkSessionExtensions (for spark.sql.extensions). */
+  def inject(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+    }
+}
+
+/** `spark.sql.extensions=graft.GraftExtensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Distances, TextFunctions}
+import graft.operators.Dedup
+
+/** The fused expressions as plain SQL functions: registered on a live
+  * session, each SQL call must equal its Column-API twin exactly. */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val registered: Unit = GraftFunctions.register(spark)
+
+  test("l2_sq / dot_product from SQL equal the Column API on real vectors") {
+    registered
+    spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
+      .createOrReplaceTempView("emb_ext")
+    val sql = spark.sql(
+      """SELECT a.vec_id AS ai, b.vec_id AS bi,
+        |       l2_sq(a.embedding, b.embedding) AS l2,
+        |       dot_product(a.embedding, b.embedding) AS dp
+        |FROM emb_ext a JOIN emb_ext b ON a.vec_id < b.vec_id""".stripMargin)
+    val emb = spark.table("emb_ext")
+    val api = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("ai"), $"b.vec_id".as("bi"),
+        Distances.l2SqFast($"a.embedding", $"b.embedding").as("l2"),
+        Distances.dotFast($"a.embedding", $"b.embedding").as("dp"))
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+  }
+
+  test("text functions from SQL equal the Column API on real docs") {
+    registered
+    spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+      .createOrReplaceTempView("docs_ext")
+    val sql = spark.sql(
+      """SELECT doc_id,
+        |       simhash64(split(trim(text), '\\s+')) AS sh,
+        |       min_shingle_hash(split(trim(text), '\\s+'), 3) AS fp,
+        |       shingle_windows(split(trim(text), '\\s+'), 3) AS shg,
+        |       minhash_signature(shingle_windows(split(trim(text), '\\s+'), 3), 4) AS sig
+        |FROM docs_ext""".stripMargin)
+    val api = spark.table("docs_ext").select($"doc_id",
+      Dedup.simhashExpr($"text").as("sh"),
+      TextFunctions.docFingerprint($"text", 3).as("fp"),
+      TextFunctions.wordShingles($"text", 3).as("shg"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.MinHashSignature(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            TextFunctions.wordShingles($"text", 3)), 4)).as("sig"))
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+  }
+
+  test("jaccard_sim and hamming_distance from SQL") {
+    registered
+    val r = spark.sql(
+      """SELECT jaccard_sim(array('a','b','c'), array('b','c','d')) AS j,
+        |       hamming_distance('1010', '1001') AS h""".stripMargin).head()
+    assert(r.getDouble(0) == 0.5)
+    assert(r.getInt(1) == 2)
+  }
+
+  test("extensions injection path builds the same descriptors") {
+    // the config path (spark.sql.extensions=graft.GraftExtensions) uses
+    // injectFunction with the identical builders; exercising apply()
+    // validates the descriptor wiring without a second SparkContext
+    new GraftExtensions().apply(new SparkSessionExtensions)
+  }
+
+  test("non-literal parameter is rejected loudly") {
+    registered
+    val e = intercept[Exception] {
+      spark.sql("SELECT min_shingle_hash(array('a'), 1 + 2) AS x").collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
