@@ -94,4 +94,62 @@ object GraftProps extends Properties("graft") {
       Dedup.jaccard(col("a"), col("b")).as("rev")).head()
     r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0
   }
+
+  // random docs over a small shared vocabulary → real shingle overlap
+  private val docsGen: Gen[List[String]] = for {
+    vocabN <- Gen.chooseNum(4, 8)
+    n <- Gen.chooseNum(4, 10)
+    docs <- Gen.listOfN(n, Gen.chooseNum(3, 10).flatMap(len =>
+      Gen.listOfN(len, Gen.chooseNum(0, vocabN - 1))))
+  } yield docs.map(_.map(i => s"w$i").mkString(" "))
+
+  private def docsDF(texts: List[String]) = {
+    val s = spark
+    import s.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, (i % 2).toString, t) }
+      .toDF("doc_id", "source", "text")
+  }
+
+  /** The round-2 prefix-filter rewrite must find EXACTLY the pairs the
+    * all-pairs form finds — the PPJoin completeness theorem, checked
+    * empirically on overlapping random corpora. */
+  property("prefixFilteredJaccardEqualsAllPairs") = forAll(docsGen) { texts =>
+    import graft.functions.TextFunctions
+    val docs = docsDF(texts)
+    val t = 0.5
+    val filtered = Dedup.ngramJaccardDups(docs, "source", 3, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sh = docs.select(col("doc_id"), col("source").as("block"),
+      TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(Dedup.jaccard(col("a.sh"), col("b.sh")), 4).as("jaccard"))
+      .where(col("jaccard") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    filtered == brute
+  }
+
+  /** Fused corpus-side build loops must equal their HOF forms on random
+    * vectors (parity specs cover the real tables; this covers the space). */
+  property("fusedArgminAndEncodeMatchHof") = forAll(vecsGen) { vecs =>
+    import graft.operators.{IvfIndex, PqIndex}
+    val df = toDF(vecs)
+    val nlist = math.min(4, vecs.size)
+    val cents = IvfIndex.seedCentroids(df, nlist)
+    val a1 = IvfIndex.assign(df, cents)
+      .select(col("vec_id"), col("cluster_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a2 = IvfIndex.assignHof(df, cents)
+      .select(col("vec_id"), col("cluster_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val d = vecs.head.size
+    val subDim = math.max(1, d / 2)
+    val m = d / subDim
+    val ksub = math.min(3, vecs.size)
+    val cb = PqIndex.seedCodebooks(df, m, subDim, ksub)
+    val c1 = df.select(PqIndex.encodeExpr(col("embedding"), cb, m, subDim).as("c"))
+      .collect().map(_.getSeq[Long](0))
+    val c2 = df.select(PqIndex.encodeExprHof(col("embedding"), cb, m, subDim).as("c"))
+      .collect().map(_.getSeq[Long](0))
+    a1.sameElements(a2) && c1.sameElements(c2)
+  }
 }
