@@ -86,6 +86,21 @@ object StreamingAnalytics {
         updateNodeState(timeoutMs))
   }
 
+  /** Streaming exact dedup — the streaming form of Dedup.exactDedup for
+    * a continuously-ingested corpus: content-hash the text, keep the
+    * first arrival per hash, expire state at the watermark
+    * (`dropDuplicatesWithinWatermark` — state is O(hashes within the
+    * watermark window), not O(history), so it runs indefinitely at
+    * ingest scale). */
+  def streamingExactDedup(
+      docs: DataFrame,
+      watermark: String,
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Convenience: run a streaming DataFrame to a named in-memory table and
     * block until the source drains (local smoke; spark_guide.md pattern). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

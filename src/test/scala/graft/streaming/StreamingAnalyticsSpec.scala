@@ -92,6 +92,24 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingExactDedup keeps first arrival per content hash") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val df = src.toDF().toDF("doc_id", "ts", "text")
+    src.addData(
+      (1L, ts("2024-01-01 00:00:01"), "same text"),
+      (2L, ts("2024-01-01 00:00:02"), "same text"),
+      (3L, ts("2024-01-01 00:00:03"), "other text"))
+    StreamingAnalytics.runToMemory(
+      StreamingAnalytics.streamingExactDedup(df, "10 minutes"),
+      "dedup_out", OutputMode.Append)
+    val ids = spark.table("dedup_out")
+      .select($"doc_id").as[Long].collect().sorted
+    // one survivor per distinct text; doc 2 is the in-window duplicate
+    assert(ids.length == 2)
+    assert(!ids.contains(2L))
+  }
+
   test("slidingMean emits overlapping windows") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[(Long, Timestamp, String, Double)]
