@@ -65,6 +65,22 @@ object GraftProps extends Properties("graft") {
       }
   }
 
+  /** The scalable form must equal the window form everywhere — including
+    * shards > rows (base == 0: one row per leading shard, rest empty). */
+  property("evenSplitScalableEqualsWindowFormIncludingDegenerate") = forAll(
+    Gen.chooseNum(1, 30), Gen.chooseNum(1, 40)) { (n, shards) =>
+    val s = spark
+    import s.implicits._
+    val df = (0L until n.toLong).toDF("vec_id")
+    val window = Sharding.evenSplit(df, shards, "vec_id")
+      .select(col("vec_id"), col("shard_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val scalable = Sharding.evenSplitScalable(df, shards, "vec_id")
+      .select(col("vec_id"), col("shard_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    window == scalable
+  }
+
   property("hashShardInRange") = forAll(vecsGen, Gen.chooseNum(1, 16)) { (vecs, n) =>
     val shards = Sharding.withHashShard(toDF(vecs), "embedding", n)
       .select(col("shard_id")).collect().map(_.getLong(0))
