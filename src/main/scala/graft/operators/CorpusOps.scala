@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-assembly operators for the LLM-pipeline surface — the steps
+  * between "deduped documents" and "training batches": dedup against an
+  * already-ingested corpus, deterministic source mixing, and
+  * context-window token packing.
+  *
+  * Scale design: incremental dedup is one hash equi-join (anti) — the
+  * batch never moves except by hash; quota selection and packing are
+  * windowed per (source[, subshard]) so parallelism is
+  * sources × subshards, never a global window.
+  */
+object CorpusOps {
+
+  /** Dedup a new batch against an already-seen corpus, then within
+    * itself: drop docs whose content hash exists in `seen` (left-anti
+    * hash join — the standard new-crawl-vs-previous-crawls step), keep
+    * the min-doc_id survivor per remaining hash. */
+  def incrementalDedup(batch: DataFrame, seen: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val seenHashes = seen.select(md5(col(textCol)).as("content_hash")).distinct()
+    val hashed = batch.withColumn("content_hash", md5(col(textCol)))
+    val w = Window.partitionBy(col("content_hash"))
+    hashed
+      .join(seenHashes, Seq("content_hash"), "left_anti")
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .where(col("doc_id") === col("canonical_id"))
+      .drop("canonical_id")
+  }
+
+  /** Deterministic source mixing: the first `quota` docs per source in
+    * doc_id order — reproducible quota sampling for corpus composition
+    * (the deterministic counterpart of fraction-based sampleBy; exact
+    * quotas, oracle-checkable, stable across runs). */
+  def sourceQuota(docs: DataFrame, quota: Int): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .where(col("rank_in_source") <= quota)
+  }
+
+  /** Context-window packing: assign docs to training bins of ~`budget`
+    * tokens. Within each (source, subshard) stream — subshards keep the
+    * window parallel at corpus scale — docs in doc_id order land in bin
+    * `floor(exclusive-cumulative-tokens / budget)`: deterministic,
+    * one-pass, oracle-checkable. Long docs straddle bin boundaries (the
+    * usual chunked-packing semantics; splitting spans is a downstream
+    * tokenizer concern). */
+  def packByTokens(docs: DataFrame, budget: Int, subShards: Int = 16): DataFrame = {
+    val sub = pmod(col("doc_id"), lit(subShards.toLong))
+    val w = Window.partitionBy(col("source"), sub).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens", TextFunctions.tokenCountWs(col("text")))
+      .withColumn("subshard", sub)
+      // integer division (DIV) keeps the bin exact where a double
+      // quotient would lose precision past 2^53 cumulative tokens
+      .withColumn("prior_tokens",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"prior_tokens DIV $budget"))
+      .drop("prior_tokens")
+  }
+}

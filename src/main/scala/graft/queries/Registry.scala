@@ -255,6 +255,30 @@ object Registry {
       Dedup.ngramJaccardDups(t(s, dir, "documents"),
         blockCol = "source", shingleN = 3, threshold = 0.5)),
 
+    // Incremental dedup: new batch (doc_id >= 250) against the already-
+    // ingested corpus (doc_id < 250) — one anti hash-join + within-batch
+    // canonical window
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusOps.incrementalDedup(
+        docs.where(col("doc_id") >= 250), docs.where(col("doc_id") < 250))
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic source mixing: first-50 quota per source
+    "q_source_mix" -> ((s, dir) =>
+      CorpusOps.sourceQuota(t(s, dir, "documents"), quota = 50)
+        .select(col("doc_id"), col("source"), col("rank_in_source"))
+        .orderBy(col("doc_id"))),
+
+    // Context-window packing: ~512-token bins per (source, subshard)
+    "q_token_pack" -> ((s, dir) =>
+      CorpusOps.packByTokens(t(s, dir, "documents"), budget = 512, subShards = 4)
+        .select(col("doc_id"), col("source"), col("subshard"),
+          col("n_tokens"), col("bin"))
+        .orderBy(col("doc_id"))),
+
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
@@ -826,6 +850,47 @@ object Registry {
          |)
          |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH seen AS (
+        |  SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id < 250
+        |), batch AS (
+        |  SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id >= 250
+        |), surv AS (
+        |  SELECT b.doc_id, b.content_hash FROM batch b
+        |  LEFT JOIN seen s USING (content_hash) WHERE s.content_hash IS NULL
+        |), r AS (
+        |  SELECT doc_id, content_hash,
+        |         min(doc_id) OVER (PARTITION BY content_hash) AS canon
+        |  FROM surv
+        |)
+        |SELECT doc_id, content_hash FROM r WHERE doc_id = canon
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_source_mix" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rank_in_source
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, CAST(rank_in_source AS BIGINT) AS rank_in_source
+        |FROM r WHERE rank_in_source <= 50 ORDER BY doc_id""".stripMargin,
+
+    "q_token_pack" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, doc_id % 4 AS subshard,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, subshard, n_tokens,
+        |         COALESCE(sum(n_tokens) OVER (
+        |           PARTITION BY source, subshard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM tk
+        |)
+        |SELECT doc_id, source, subshard, n_tokens,
+        |       CAST(prior // 512 AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_simhash" ->
       """WITH t AS (

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incrementalDedup drops seen hashes and within-batch duplicates") {
+    val seen = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha"), // seen in corpus → dropped
+      (11L, "gamma"), // new → kept
+      (12L, "gamma"), // within-batch dup → dropped
+      (13L, "delta")  // new → kept
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.incrementalDedup(batch, seen)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(11L, 13L))
+  }
+
+  test("sourceQuota keeps the first N per source in doc_id order") {
+    val docs = (0L until 20L).map(i => (i, s"s${i % 2}", s"doc $i"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusOps.sourceQuota(docs, quota = 3)
+      .select($"doc_id", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((0L, "s0"), (1L, "s1"), (2L, "s0"),
+      (3L, "s1"), (4L, "s0"), (5L, "s1")))
+  }
+
+  test("packByTokens bins by exclusive cumulative token count within (source, subshard)") {
+    // one source, one subshard (subShards = 1): docs of 3 tokens each,
+    // budget 5 → priors 0,3,6,9 → bins 0,0,1,1
+    val docs = (0L until 4L).map(i => (i, "s", "a b c"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusOps.packByTokens(docs, budget = 5, subShards = 1)
+      .select($"doc_id", $"n_tokens", $"bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 3L, 0L), (1L, 3L, 0L), (2L, 3L, 1L), (3L, 3L, 1L)))
+  }
+
+  test("packByTokens parallelism: bins are independent per subshard") {
+    val docs = (0L until 8L).map(i => (i, "s", "a b"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusOps.packByTokens(docs, budget = 4, subShards = 2)
+      .select($"doc_id", $"subshard", $"bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // evens (subshard 0) and odds (subshard 1) each pack 2-token docs:
+    // priors 0,2,4,6 → bins 0,0,1,1 within each stream
+    val bySub = out.groupBy(_._2)
+    bySub.values.foreach { docsInSub =>
+      assert(docsInSub.sortBy(_._1).map(_._3).toSeq == Seq(0L, 0L, 1L, 1L))
+    }
+  }
+}
