@@ -100,6 +100,21 @@ object TextFunctions {
       least(stopwordRatio(text) * 5.0, lit(1.0)) * 0.3, 4)
   }
 
+  /** Text normalization for dedup robustness: lowercase, collapse
+    * whitespace runs to one space, trim — the canonical form hashed by
+    * near-dup pipelines (portable: lower/regexp/trim behave identically
+    * in DuckDB with the 'g' flag). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** PII redaction: emails → <EMAIL>, URLs → <URL>. Patterns restricted
+    * to the Java∩RE2 common subset so the oracle reproduces them. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+      "https?://\\S+", "<URL>")
+
   /** Portable 60-bit content hash: first 15 hex chars of md5 as a long
     * (same value via DuckDB ('0x' || substr(md5(x),1,15))::BIGINT). */
   def md5Long(c: Column): Column =

@@ -279,6 +279,32 @@ object Registry {
           col("n_tokens"), col("bin"))
         .orderBy(col("doc_id"))),
 
+    // Text normalization + PII redaction (map-side regex, portable subset)
+    "q_text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.normalizeText(col("text")).as("normalized"),
+        TextFunctions.redactPii(col("text")).as("redacted"))
+        .orderBy(col("doc_id"))),
+
+    // Composed corpus build: language filter + quality gate + exact dedup
+    // → per-source corpus stats (every stage individually oracled above;
+    // this verifies the composition end-to-end)
+    "q_corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val filtered = docs.where(
+        TextFunctions.langId(col("text")) === "en" &&
+          TextFunctions.qualityScore(col("text")) >= 0.5)
+      val w = Window.partitionBy(md5(col("text")))
+      filtered
+        .withColumn("canon", min(col("doc_id")).over(w))
+        .where(col("doc_id") === col("canon"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCountWs(col("text"))).as("n_tokens"))
+        .orderBy(col("source"))
+    }),
+
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents")).orderBy(col("doc_id"))),
 
@@ -891,6 +917,37 @@ object Registry {
         |SELECT doc_id, source, subshard, n_tokens,
         |       CAST(prior // 512 AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS normalized,
+        |  regexp_replace(
+        |    regexp_replace(text,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://\S+', '<URL>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_pipeline" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+         |), sc AS (
+         |  SELECT doc_id, source, text, toks,
+         |    len(list_filter(toks, x -> list_contains(['the','a','and','of','is'], x))) AS s_en,
+         |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+         |    len(list_filter(toks, x -> list_contains(['le','les','une','et','est'], x))) AS s_fr,
+         |    len(list_filter(toks, x -> list_contains(['el','los','una','y','es'], x))) AS s_es,
+         |    round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         |          (CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / len(text)) * 0.3 +
+         |          least((CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks)) * 5.0, 1.0) * 0.3, 4) AS quality
+         |  FROM t
+         |), f AS (
+         |  SELECT * FROM sc
+         |  WHERE s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND quality >= 0.5
+         |), d AS (
+         |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canon FROM f
+         |)
+         |SELECT source, count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+         |FROM d WHERE doc_id = canon GROUP BY source ORDER BY source""".stripMargin,
 
     "q_simhash" ->
       """WITH t AS (

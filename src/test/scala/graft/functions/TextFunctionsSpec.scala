@@ -48,6 +48,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(q(0) > q(1))
   }
 
+  test("normalizeText lowercases, collapses whitespace, trims") {
+    val r = Seq("  Hello\t\tWORLD  \n again ").toDF("text")
+      .select(TextFunctions.normalizeText($"text")).head().getString(0)
+    assert(r == "hello world again")
+  }
+
+  test("redactPii replaces emails and urls") {
+    val r = Seq("mail a.b+c@ex-ample.org or see https://x.io/p?q=1 now").toDF("text")
+      .select(TextFunctions.redactPii($"text")).head().getString(0)
+    assert(r == "mail <EMAIL> or see <URL> now")
+  }
+
   test("md5Long is deterministic and non-negative") {
     val r = one(TextFunctions.md5Long(lit("hello"))).getLong(0)
     val r2 = one(TextFunctions.md5Long(lit("hello"))).getLong(0)
