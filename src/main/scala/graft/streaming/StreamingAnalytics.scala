@@ -101,6 +101,30 @@ object StreamingAnalytics {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** T4 — the reference's query serve loop (REP recv → search → reply,
+    * vector_search_cluster.py:641-668) as Structured Streaming: queries
+    * arrive on a stream; each micro-batch runs the standard k-NN search
+    * against the static (indexed) corpus and hands the ranked result to
+    * `sink` (a writer, an API reply, a result topic). Scale: the batch
+    * query set is the small side by construction (a micro-batch of
+    * requests), so every batch reuses the broadcast-join plan of the
+    * batch engine — the corpus side never shuffles per request. */
+  def knnServeLoop(
+      queryStream: DataFrame,
+      embeddings: DataFrame,
+      k: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val result = graft.operators.KnnSearch.topK(
+            batch, embeddings.select(col("vec_id"), col("embedding").as("vec")), k)
+          sink(result, batchId)
+        }
+      }
+      .start()
+
   /** Convenience: run a streaming DataFrame to a named in-memory table and
     * block until the source drains (local smoke; spark_guide.md pattern). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

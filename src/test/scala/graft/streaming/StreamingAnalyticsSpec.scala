@@ -92,6 +92,35 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("knnServeLoop: streamed queries get the same top-k as the batch engine") {
+    implicit val sc = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      .as[(Long, Array[Float])].collect()
+    val src = MemoryStream[(Long, Array[Float])]
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val q = StreamingAnalytics.knnServeLoop(
+      src.toDF().toDF("query_id", "qvec"), emb, k = 5) { (df, _) =>
+      df.collect().foreach(r => results.add(
+        (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("vec_id"))))
+    }
+    try {
+      src.addData(queries.take(2).toSeq)
+      q.processAllAvailable()
+      src.addData(queries.drop(2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the serve loop does not exclude self — compare to topK on the same queries
+    val expect = graft.operators.KnnSearch.topK(
+      emb.where($"vec_id" < 4).select($"vec_id".as("query_id"), $"embedding".as("qvec")),
+      emb.select($"vec_id", $"embedding".as("vec")), k = 5)
+      .select($"query_id", $"rank", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(results.size == expect.size)
+    assert(results.toArray(Array.empty[(Long, Long, Long)]).toSet == expect)
+  }
+
   test("streamingExactDedup keeps first arrival per content hash") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[(Long, Timestamp, String)]
