@@ -156,6 +156,15 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** `index.add` on a live persisted index (the reference's incremental
+    * add, vector_search_cluster.py:1047-1049 via :1210-1212): assign the
+    * new batch to the EXISTING centroids and append to the partitioned
+    * assignments table — inverted lists grow in place, no rebuild, and
+    * the appended files partition-prune exactly like the originals. */
+  def addToIndex(newVectors: DataFrame, centroids: Array[Centroid], dir: String): Unit =
+    assign(newVectors, centroids).write.mode("append")
+      .partitionBy("cluster_id").parquet(s"$dir/assignments")
+
   /** S3 — load a persisted index. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): (Array[Centroid], DataFrame) = {
     val cents = spark.read.parquet(s"$dir/centroids")

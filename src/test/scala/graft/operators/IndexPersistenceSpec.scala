@@ -39,6 +39,30 @@ class IndexPersistenceSpec extends SparkSpec {
     assert(!plan.split('\n').exists(l => l.contains("PartitionFilters: []")))
   }
 
+  test("addToIndex: incrementally added vectors are found by pruned search") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = IvfIndex.seedCentroids(emb, 16)
+    val half1 = emb.where($"vec_id" % 2 === 0)
+    val half2 = emb.where($"vec_id" % 2 === 1)
+    val dir = Files.createTempDirectory("ivf_add").toString
+    IvfIndex.writeIndex(IvfIndex.assign(half1, cents), cents, dir)
+    IvfIndex.addToIndex(half2, cents, dir)
+
+    val (loadedCents, loadedAssign) = IvfIndex.loadIndex(spark, dir)
+    assert(loadedAssign.count() == emb.count())
+    val q = emb.where($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val incremental = IvfIndex.searchPruned(q, loadedCents, loadedAssign,
+      nprobe = 4, k = 10, excludeSelf = true)
+      .select($"query_id", $"rank", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = IvfIndex.search(q, cents, IvfIndex.assign(emb, cents),
+      nprobe = 4, k = 10, excludeSelf = true)
+      .select($"query_id", $"rank", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incremental == oneShot && incremental.nonEmpty)
+  }
+
   test("evenSplitScalable matches the window-based evenSplit assignment") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val viaWindow = Sharding.evenSplit(emb, 7, "vec_id")
