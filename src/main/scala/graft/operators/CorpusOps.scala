@@ -34,6 +34,49 @@ object CorpusOps {
       .drop("canonical_id")
   }
 
+  /** Bloom-pruned form of [[incrementalDedup]] — result-identical, for
+    * the regime where `seen` is huge and the batch mostly novel: a Bloom
+    * filter over the seen hashes (built once, broadcast with the task
+    * binary) drops definite-novel rows MAP-SIDE; only possible-dupes
+    * (the filter's false-positive sliver) reach the exact anti-join, so
+    * the join input shrinks from |batch| to ~|actual dupes| + fpp·|batch|.
+    * Exactness is preserved because the Bloom filter only PRUNES the
+    * join's probe side — every kept row is still verified exactly. */
+  def incrementalDedupBloom(batch: DataFrame, seen: DataFrame,
+      textCol: String = "text", fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val seenHashed = seen.select(md5(col(textCol)).as("content_hash"))
+    val n = math.max(seenHashed.count(), 1L)
+    val bloom = seenHashed.stat.bloomFilter("content_hash", n, fpp)
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(out)
+      out.toByteArray
+    }
+    val hashed = batch.withColumn("content_hash", md5(col(textCol)))
+    val mightBeSeen = ColumnBridge.column(graft.plans.BloomMightContain(
+      ColumnBridge.expression(col("content_hash")), bytes))
+    val definiteNovel = hashed.where(!mightBeSeen)
+    val maybeSeen = hashed.where(mightBeSeen)
+      .join(seenHashed.distinct(), Seq("content_hash"), "left_anti")
+    val survivors = definiteNovel.unionByName(maybeSeen)
+    val w = Window.partitionBy(col("content_hash"))
+    survivors
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .where(col("doc_id") === col("canonical_id"))
+      .drop("canonical_id")
+  }
+
+  /** Deterministic corpus shuffle: global order by md5 of the doc id — a
+    * reproducible, engine-portable stand-in for the training-time random
+    * shuffle (the reference's unseeded np.random.shuffle, D1, made
+    * deterministic). Spark executes it as a range-partitioned sort —
+    * a linear distributed pass, no single-task stage. */
+  def deterministicShuffle(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("shuffle_key", md5(col("doc_id").cast("string")))
+      .orderBy(col("shuffle_key"))
+
   /** Deterministic source mixing: the first `quota` docs per source in
     * doc_id order — reproducible quota sampling for corpus composition
     * (the deterministic counterpart of fraction-based sampleBy; exact

@@ -277,6 +277,34 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Bloom-filter membership probe over a string column: the serialized
+  * filter rides in the expression by value (one reference object,
+  * broadcast with the task binary — same pattern as the centroid
+  * matrix) and deserializes once per executor. Equivalent to
+  * `filter.mightContainString(col)` — probes the UTF-8 bytes directly,
+  * no per-row String allocation. Spark's own BloomFilterMightContain is
+  * private[sql]; this is the public-surface equivalent. */
+case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bloom_might_contain expects string, got $t")
+  }
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  override def nullSafeEval(input: Any): Any =
+    filter.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Hamming distance between two equal-length strings in one pass —
   * value-identical to the per-position substr comparison fold. */
 case class HammingDistance(left: Expression, right: Expression)

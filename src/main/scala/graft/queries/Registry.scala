@@ -266,6 +266,22 @@ object Registry {
         .orderBy(col("doc_id"))
     }),
 
+    // Same semantics through the Bloom-pruned path (map-side prune +
+    // exact verify) — same oracle, proving result-identity
+    "q_dedup_incremental_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusOps.incrementalDedupBloom(
+        docs.where(col("doc_id") >= 250), docs.where(col("doc_id") < 250))
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic training-order shuffle (md5-keyed distributed sort)
+    "q_corpus_shuffle" -> ((s, dir) =>
+      CorpusOps.deterministicShuffle(t(s, dir, "documents"))
+        .select(col("doc_id"), col("shuffle_key"))
+        .orderBy(col("shuffle_key"), col("doc_id"))),
+
     // Deterministic source mixing: first-50 quota per source
     "q_source_mix" -> ((s, dir) =>
       CorpusOps.sourceQuota(t(s, dir, "documents"), quota = 50)
@@ -892,6 +908,26 @@ object Registry {
         |)
         |SELECT doc_id, content_hash FROM r WHERE doc_id = canon
         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental_bloom" ->
+      """WITH seen AS (
+        |  SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id < 250
+        |), batch AS (
+        |  SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id >= 250
+        |), surv AS (
+        |  SELECT b.doc_id, b.content_hash FROM batch b
+        |  LEFT JOIN seen s USING (content_hash) WHERE s.content_hash IS NULL
+        |), r AS (
+        |  SELECT doc_id, content_hash,
+        |         min(doc_id) OVER (PARTITION BY content_hash) AS canon
+        |  FROM surv
+        |)
+        |SELECT doc_id, content_hash FROM r WHERE doc_id = canon
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_shuffle" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
 
     "q_source_mix" ->
       """WITH r AS (

@@ -20,6 +20,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(11L, 13L))
   }
 
+  test("incrementalDedupBloom equals the exact anti-join form on real docs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val seen = docs.where($"doc_id" < 250)
+    val batch = docs.where($"doc_id" >= 250)
+    val exact = CorpusOps.incrementalDedup(batch, seen)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val bloomed = CorpusOps.incrementalDedupBloom(batch, seen)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(bloomed == exact && exact.nonEmpty)
+  }
+
+  test("deterministicShuffle is a reproducible permutation") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = CorpusOps.deterministicShuffle(docs).select($"doc_id").as[Long].collect()
+    val b = CorpusOps.deterministicShuffle(docs).select($"doc_id").as[Long].collect()
+    assert(a.sameElements(b))
+    assert(a.sorted.toSeq == docs.select($"doc_id").as[Long].collect().sorted.toSeq)
+    assert(!a.sameElements(a.sorted)) // it actually permutes
+  }
+
   test("sourceQuota keeps the first N per source in doc_id order") {
     val docs = (0L until 20L).map(i => (i, s"s${i % 2}", s"doc $i"))
       .toDF("doc_id", "source", "text")
