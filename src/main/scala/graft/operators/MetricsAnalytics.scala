@@ -48,6 +48,39 @@ object MetricsAnalytics {
         round(col("avg_v"), 4).as("avg_value"))
       .orderBy(col("event_type"))
 
+  /** Bounded-memory form of [[percentiles]] for the 100 TB regime: exact
+    * `percentile` buffers every value per group (fine for the
+    * reference's last-1000 windows and the oracle gate; an OOM hazard on
+    * unbounded groups at corpus scale). `approx_percentile` holds a
+    * fixed-size sketch per group — same columns, accuracy-bounded
+    * values (spec-checked against the exact form). */
+  def percentilesApprox(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.95), lit(0.99), lit(0.999)), lit(accuracy)).as("ps"),
+        avg(col("value")).as("avg_v"))
+      .select(
+        col("event_type"),
+        round(col("ps").getItem(0), 4).as("p50"),
+        round(col("ps").getItem(1), 4).as("p95"),
+        round(col("ps").getItem(2), 4).as("p99"),
+        round(col("ps").getItem(3), 4).as("p999"),
+        round(col("avg_v"), 4).as("avg_value"))
+      .orderBy(col("event_type"))
+
+  /** Bounded-memory form of [[counters]]: exact `countDistinct` expands
+    * to a per-group distinct set; the HLL++ sketch keeps it O(1) per
+    * group at corpus scale (rsd-bounded, spec-checked). */
+  def countersApprox(events: DataFrame, rsd: Double = 0.05): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        approx_count_distinct(col("user_id"), rsd).as("n_users"))
+      .orderBy(col("event_type"))
+
   /** A7/A8 — hit-rate style ratio: rows matching `hit` over all rows
     * (cache_hits / total_queries, :427-429; healthy/total, :431-434). */
   def hitRate(events: DataFrame, hit: Column): DataFrame =

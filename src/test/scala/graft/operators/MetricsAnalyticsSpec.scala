@@ -33,6 +33,33 @@ class MetricsAnalyticsSpec extends SparkSpec {
     assert(got.getAs[Double]("avg_value") == math.rint(70.0 / 3 * 1e4) / 1e4)
   }
 
+  test("approx forms track the exact forms within tolerance on real events") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val exact = MetricsAnalytics.percentiles(events).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // the approx-quantile contract is RANK-space: the returned sample's
+    // quantile position must be within the sketch's rank error — value-
+    // space distance is unbounded on heavy tails (adjacent tail order
+    // stats can sit 25% apart at this SF)
+    val byType = events.select($"event_type", $"value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    MetricsAnalytics.percentilesApprox(events).collect().foreach { a =>
+      val vals = byType(a.getString(0))
+      def rankOf(v: Double): Double = vals.count(_ <= v).toDouble / vals.length
+      assert(rankOf(a.getAs[Double]("p50")) >= 0.48 && rankOf(a.getAs[Double]("p50")) <= 0.53)
+      assert(rankOf(a.getAs[Double]("p95")) >= 0.93 && rankOf(a.getAs[Double]("p95")) <= 0.97)
+      assert(rankOf(a.getAs[Double]("p99")) >= 0.975)
+      assert(a.getAs[Double]("avg_value") == exact(a.getString(0)).getAs[Double]("avg_value"))
+    }
+    val exactUsers = MetricsAnalytics.counters(events).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    MetricsAnalytics.countersApprox(events).collect().foreach { a =>
+      val e = exactUsers(a.getString(0))
+      assert(math.abs(a.getAs[Long]("n_users") - e) <= math.max(0.15 * e, 2.0))
+    }
+  }
+
   test("hitRate") {
     val got = MetricsAnalytics.hitRate(ev, $"event_type" === "click").head()
     assert(got.getAs[Long]("total") == 4 && got.getAs[Long]("hits") == 3)
