@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,6 +86,47 @@ object CorpusOps {
     docs
       .withColumn("rank_in_source", row_number().over(w).cast("long"))
       .where(col("rank_in_source") <= quota)
+  }
+
+  /** Hex threshold for an md5-prefix fraction test: a row whose first 8
+    * md5 hex chars compare `<` this string is inside the fraction.
+    * The 8-char prefix is uniform over 2^32, so the selected share is
+    * within 2^-32 of `frac`. `frac >= 1` returns a sentinel above every
+    * hex string ('z' > 'f'), selecting everything. */
+  def fracThresholdHex(frac: Double): String =
+    if (frac >= 1.0) "zzzzzzzz"
+    else f"${math.max((frac * 4294967296.0).toLong, 0L)}%08x"
+
+  private def md5Prefix(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 8)
+
+  /** Deterministic train/val/test split by md5 of the key: membership is
+    * a pure row-local function — reproducible across runs, engines, and
+    * cluster layouts, recomputable at 100 TB with zero joins or state.
+    * (`rand()`-based splits change under retries and repartitioning;
+    * this never does.) Adds a `split` column. */
+  def hashSplit(docs: DataFrame, key: Column,
+      trainFrac: Double, valFrac: Double): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0)
+    val p = md5Prefix(key)
+    docs.withColumn("split",
+      when(p < lit(fracThresholdHex(trainFrac)), "train")
+        .when(p < lit(fracThresholdHex(trainFrac + valFrac)), "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic stratified sampling: keep each row with a per-stratum
+    * fraction (`fracs`, else `default`), decided by md5 of the key — the
+    * corpus-mixing knob (downsample web, keep all of wiki) as a pure
+    * map-side filter: no sampleBy nondeterminism, no shuffle, and the
+    * same doc is kept or dropped in every run. */
+  def stratifiedSample(docs: DataFrame, key: Column, stratum: Column,
+      fracs: Map[String, Double], default: Double): DataFrame = {
+    val thr = fracs.toSeq.sortBy(_._1).foldLeft(
+        lit(fracThresholdHex(default))) { case (acc, (s, f)) =>
+      when(stratum === s, lit(fracThresholdHex(f))).otherwise(acc)
+    }
+    docs.where(md5Prefix(key) < thr)
   }
 
   /** Context-window packing: assign docs to training bins of ~`budget`

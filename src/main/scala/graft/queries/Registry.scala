@@ -33,6 +33,12 @@ object Registry {
     }
   }
 
+  /** q_stratified_sample corpus-mixing fractions — shared between the
+    * Spark query and its generated oracle CASE. */
+  private val stratifiedFracs: Map[String, Double] =
+    Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.5, "src3" -> 0.1)
+  private val stratifiedDefault: Double = 0.25
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- vector search core (SURVEY §2.3/§2.4/§2.5) ----
 
@@ -288,6 +294,26 @@ object Registry {
         .select(col("doc_id"), col("source"), col("rank_in_source"))
         .orderBy(col("doc_id"))),
 
+    // Deterministic train/val/test split: pure row-local md5 routing
+    "q_hash_split" -> ((s, dir) =>
+      CorpusOps.hashSplit(t(s, dir, "documents"), col("doc_id"), 0.8, 0.1)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic stratified sampling: per-source keep fractions
+    "q_stratified_sample" -> ((s, dir) =>
+      CorpusOps.stratifiedSample(t(s, dir, "documents"),
+          col("doc_id"), col("source"), stratifiedFracs, stratifiedDefault)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    // Exact heavy hitters via bounded-state Misra–Gries candidates +
+    // exact recount — never shuffles per-distinct-key state
+    "q_heavy_hitters_mg" -> ((s, dir) =>
+      HeavyHitters.exactAboveThreshold(events(s, dir), "user_id", k = 124)
+        .select(col("user_id"), col("cnt").as("n_events"))
+        .orderBy(col("n_events").desc, col("user_id"))),
+
     // Context-window packing: ~512-token bins per (source, subshard)
     "q_token_pack" -> ((s, dir) =>
       CorpusOps.packByTokens(t(s, dir, "documents"), budget = 512, subShards = 4)
@@ -449,6 +475,39 @@ object Registry {
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    // As-of join: each view event gets the latest prior purchase by the
+    // same user — union-window form, one sort-shuffle, no range join
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val probes = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val refs = TemporalJoins.latestPerKeyTime(
+        ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        "user_id", "ts", "event_id").drop("event_id")
+      TemporalJoins.asofJoin(probes, refs, "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) DIV 1000000").as("ts_sec"),
+          coalesce(round(col("asof_value"), 4), lit(-1.0)).as("last_purchase_value"),
+          coalesce(expr("unix_micros(asof_ts) DIV 1000000"), lit(-1L)).as("last_purchase_sec"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Interval-containment join: events within 5 minutes after each error
+    // of the same user — bin-bucketed equi-join, never all pairs per key.
+    // Window sums use ×10000 fixed-point so the integer sum is
+    // order-independent (double sums are not associative).
+    "q_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val anchors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      TemporalJoins.intervalJoinBinned(ev, anchors, "user_id", "ts", "event_id", 300L)
+        .groupBy(col("_anchor_id").as("anchor_event_id"))
+        .agg(count(lit(1)).cast("long").as("n_in_window"),
+          sum(floor(col("value") * 10000).cast("long")).as("value_fp"))
+        .orderBy(col("anchor_event_id"))
+    }),
 
     // batch sliding window (10 min window, 5 min slide) over event time
     "q_sliding_window" -> ((s, dir) =>
@@ -938,6 +997,29 @@ object Registry {
         |SELECT doc_id, source, CAST(rank_in_source AS BIGINT) AS rank_in_source
         |FROM r WHERE rank_in_source <= 50 ORDER BY doc_id""".stripMargin,
 
+    "q_hash_split" ->
+      s"""SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${CorpusOps.fracThresholdHex(0.8)}' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${CorpusOps.fracThresholdHex(0.9)}' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" -> {
+      val cases = stratifiedFracs.toSeq.sorted.map { case (src, f) =>
+        s"WHEN '$src' THEN '${CorpusOps.fracThresholdHex(f)}'"
+      }.mkString(" ")
+      s"""SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  (CASE source $cases ELSE '${CorpusOps.fracThresholdHex(stratifiedDefault)}' END)
+        |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_heavy_hitters_mg" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id
+        |HAVING count(*) > (SELECT count(*) // 125 FROM events)
+        |ORDER BY n_events DESC, user_id""".stripMargin,
+
     "q_token_pack" ->
       """WITH tk AS (
         |  SELECT doc_id, source, doc_id % 4 AS subshard,
@@ -1189,6 +1271,29 @@ object Registry {
         |       round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH refs0 AS (
+        |  SELECT user_id, ts, value,
+        |         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'
+        |), r AS (SELECT user_id, ts, value FROM refs0 WHERE rn = 1),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_sec,
+        |       coalesce(round(r.value, 4), -1.0) AS last_purchase_value,
+        |       coalesce(CAST(floor(epoch(r.ts)) AS BIGINT), -1) AS last_purchase_sec
+        |FROM p ASOF LEFT JOIN r ON p.user_id = r.user_id AND p.ts >= r.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH a AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+        |SELECT a.event_id AS anchor_event_id,
+        |       CAST(count(*) AS BIGINT) AS n_in_window,
+        |       CAST(sum(CAST(floor(e.value * 10000) AS BIGINT)) AS BIGINT) AS value_fp
+        |FROM a JOIN events e
+        |  ON e.user_id = a.user_id AND e.ts >= a.ts AND e.ts < a.ts + INTERVAL 300 SECOND
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
 
     "q_sliding_window" ->
       """WITH e AS (

@@ -61,6 +61,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 3L, 0L), (1L, 3L, 0L), (2L, 3L, 1L), (3L, 3L, 1L)))
   }
 
+  test("hashSplit fractions land near target and are key-deterministic") {
+    val docs = (0L until 20000L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val split = CorpusOps.hashSplit(docs, col("doc_id"), 0.8, 0.1)
+    val counts = split.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 16000.0) < 400)
+    assert(math.abs(counts("val") - 2000.0) < 200)
+    assert(math.abs(counts("test") - 2000.0) < 200)
+    // pure function of the key: same assignment after repartition
+    val again = CorpusOps.hashSplit(docs.repartition(13), col("doc_id"), 0.8, 0.1)
+      .select($"doc_id", $"split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = split.select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == again)
+  }
+
+  test("hashSplit edge fractions: 1.0 keeps everything in train") {
+    val docs = (0L until 100L).map(i => (i, "")).toDF("doc_id", "text")
+    val all = CorpusOps.hashSplit(docs, col("doc_id"), 1.0, 0.0)
+      .groupBy($"split").count().collect()
+    assert(all.length == 1 && all(0).getString(0) == "train")
+  }
+
+  test("stratifiedSample keeps per-stratum fractions") {
+    val docs = (0L until 30000L).map(i =>
+      (i, if (i % 3 == 0) "web" else if (i % 3 == 1) "wiki" else "books"))
+      .toDF("doc_id", "source")
+    val out = CorpusOps.stratifiedSample(docs, col("doc_id"), col("source"),
+      Map("web" -> 0.25, "wiki" -> 1.0), default = 0.5)
+    val counts = out.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("web") - 2500.0) < 250)   // 10000 × 0.25
+    assert(counts("wiki") == 10000L)                 // frac 1.0 = all
+    assert(math.abs(counts("books") - 5000.0) < 300) // default 0.5
+  }
+
   test("packByTokens parallelism: bins are independent per subshard") {
     val docs = (0L until 8L).map(i => (i, "s", "a b"))
       .toDF("doc_id", "source", "text")
