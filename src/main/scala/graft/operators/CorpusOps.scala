@@ -88,6 +88,33 @@ object CorpusOps {
       .where(col("rank_in_source") <= quota)
   }
 
+  /** Document chunking: split each doc's whitespace tokens into sliding
+    * context windows of `chunkTokens` with stride `strideTokens` (overlap
+    * = chunk − stride) — the tokenize-and-window step before training
+    * batches. Pure per-row explode: chunk count for a doc is
+    * 1 + max(0, ⌈(n − chunk)/stride⌉) (every token covered, last window
+    * may be short), all integer arithmetic so the layout is
+    * engine-reproducible. Emits `chunk_hash` (md5 of the joined window)
+    * rather than the window text — the dedup/verification currency.
+    *
+    * Scale: no shuffle at all — chunking is a map-side explode; output
+    * size is (total tokens)/stride rows regardless of doc skew. */
+  def chunkByTokens(docs: DataFrame, chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1 && strideTokens >= 1)
+    docs
+      .withColumn("_toks", split(trim(col("text")), "\\s+"))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        greatest(lit(0L),
+          expr(s"(n_tokens - $chunkTokens + $strideTokens - 1) DIV $strideTokens")))))
+      .withColumn("_window",
+        slice(col("_toks"), (col("chunk_id") * strideTokens + 1).cast("int"),
+          lit(chunkTokens)))
+      .withColumn("chunk_tokens", size(col("_window")).cast("long"))
+      .withColumn("chunk_hash", md5(array_join(col("_window"), " ")))
+      .drop("_toks", "_window")
+  }
+
   /** Hex threshold for an md5-prefix fraction test: a row whose first 8
     * md5 hex chars compare `<` this string is inside the fraction.
     * The 8-char prefix is uniform over 2^32, so the selected share is

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalar quantization (SQ8) ANN — the third FAISS-standard compression
+  * path next to PQ ([[PqIndex]]) and IVFPQ ([[IvfPqIndex]]): each
+  * dimension is independently quantized to one byte against per-dimension
+  * [min, max] bounds (FAISS `IndexScalarQuantizer(d, QT_8bit)` semantics),
+  * a 4× memory cut with far better distance fidelity than PQ's 16×.
+  *
+  * Search decodes candidates on the fly and ranks by squared L2 to the
+  * reconstructed vector — deterministic arithmetic end to end, so the
+  * whole path is DuckDB-oracle-checkable (no recall gate needed).
+  *
+  * Scale design: training is one map-side-combinable aggregate (d groups
+  * — the shuffle carries d×partitions rows, not the corpus); the (vmin,
+  * scale) model is 2×d doubles inlined as literals, so encoding and
+  * distance are shuffle-free codegen'd projections; search broadcasts
+  * only the Q query vectors and ranks with the same partial/final
+  * window-top-k as the FLAT path — no shuffle of the codes table.
+  */
+object SqIndex {
+
+  /** Per-dimension (vmin, scale) with scale = (vmax − vmin)/255 — the
+    * QT_8bit training step. Exact corpus min/max (not sampled) so the
+    * model, and therefore every downstream code, is engine-reproducible. */
+  def trainMinMax(embeddings: DataFrame, d: Int): (Array[Double], Array[Double]) = {
+    val mm = embeddings
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("vmin"),
+        max(col("x").cast("double")).as("vmax"))
+      .collect() // d rows — control-plane small
+    val vmin = new Array[Double](d)
+    val scale = new Array[Double](d)
+    mm.foreach { r =>
+      val i = r.getInt(0)
+      vmin(i) = r.getDouble(1)
+      scale(i) = (r.getDouble(2) - r.getDouble(1)) / 255.0
+    }
+    (vmin, scale)
+  }
+
+  /** Byte codes: code_i = clamp(round((x_i − vmin_i)/scale_i), 0, 255);
+    * a constant dimension (scale 0) encodes as 0. */
+  def encodeExpr(vec: Column, vmin: Array[Double], scale: Array[Double]): Column = {
+    val vminL = typedLit(vmin.toSeq)
+    val scaleL = typedLit(scale.toSeq)
+    transform(vec, (x, i) => {
+      val idx = (i + 1).cast("int")
+      when(element_at(scaleL, idx) === 0.0, lit(0L))
+        .otherwise(least(lit(255L), greatest(lit(0L),
+          round((x.cast("double") - element_at(vminL, idx)) /
+            element_at(scaleL, idx)).cast("long"))))
+    })
+  }
+
+  /** Codes table: (vec_id, codes array<long>) + passthrough columns. */
+  def encode(embeddings: DataFrame, vmin: Array[Double], scale: Array[Double]): DataFrame =
+    embeddings.withColumn("codes", encodeExpr(col("embedding"), vmin, scale))
+
+  /** Squared L2 between a raw query vector and a reconstructed candidate:
+    * Σ_i (q_i − (vmin_i + codes_i·scale_i))², ascending-i fold for
+    * oracle bit parity. */
+  def sqDist(qvec: Column, codes: Column, d: Int,
+      vmin: Array[Double], scale: Array[Double]): Column = {
+    val vminL = typedLit(vmin.toSeq)
+    val scaleL = typedLit(scale.toSeq)
+    aggregate(sequence(lit(0), lit(d - 1)), lit(0.0), (acc, i) => {
+      val idx = (i + 1).cast("int")
+      val recon = element_at(vminL, idx) +
+        element_at(codes, idx).cast("double") * element_at(scaleL, idx)
+      val diff = element_at(qvec, idx).cast("double") - recon
+      acc + diff * diff
+    })
+  }
+
+  /** End-to-end SQ8 self-search: train bounds, encode, rank by decoded
+    * L2² — same query protocol as the FLAT path (queries = vec_id <
+    * numQueries, self excluded, ties by vec_id). */
+  def selfSearch(embeddings: DataFrame, numQueries: Int, d: Int, k: Int): DataFrame = {
+    val (vmin, scale) = trainMinMax(embeddings, d)
+    val codes = encode(embeddings, vmin, scale)
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    codes
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        sqDist(col("qvec"), col("codes"), d, vmin, scale).as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

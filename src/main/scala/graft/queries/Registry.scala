@@ -81,6 +81,11 @@ object Registry {
       PqIndex.selfSearchSeeded(t(s, dir, "embeddings"),
         numQueries = 8, m = 16, subDim = 4, ksub = 32, k = 10)),
 
+    // SQ8 scalar quantization: per-dimension 8-bit codes (QT_8bit
+    // semantics) — 4× compression, deterministic arithmetic → exact oracle
+    "q_sq8_knn" -> ((s, dir) =>
+      SqIndex.selfSearch(t(s, dir, "embeddings"), numQueries = 8, d = 64, k = 10)),
+
     // J3 full fidelity: IVF+PQ with residual encoding (IndexIVFPQ,
     // vector_search_cluster.py:1033-1041) — coarse assign, PQ codes over
     // residuals, probe-local ADC
@@ -228,6 +233,14 @@ object Registry {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // Recall@k harness as an operator: LSH result vs exact cosine ground
+    // truth — integer overlap counts (engine-exact; callers divide)
+    "q_ann_recall" -> ((s, dir) =>
+      AnnEval.recallCounts(
+          approx = queries("q_lsh_cosine_knn")(s, dir),
+          exact = queries("q_cosine_knn")(s, dir))
+        .orderBy(col("query_id"))),
+
     // LSH-bucketed cosine ANN: random-hyperplane buckets + 1-bit
     // multi-probe, true-cosine rank among candidates (the bucketed scale
     // path for similarity search)
@@ -293,6 +306,13 @@ object Registry {
       CorpusOps.sourceQuota(t(s, dir, "documents"), quota = 50)
         .select(col("doc_id"), col("source"), col("rank_in_source"))
         .orderBy(col("doc_id"))),
+
+    // Sliding-window chunking: 32-token windows, stride 24 — map-side
+    // explode, chunk hashes as the dedup currency
+    "q_doc_chunks" -> ((s, dir) =>
+      CorpusOps.chunkByTokens(t(s, dir, "documents"), chunkTokens = 32, strideTokens = 24)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"), col("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
 
     // Deterministic train/val/test split: pure row-local md5 routing
     "q_hash_split" -> ((s, dir) =>
@@ -580,6 +600,62 @@ object Registry {
     """'query:' || array_to_string(list_transform(embedding[1:8] || embedding[-8:],
       | x -> printf('%.5f', CAST(x AS DOUBLE))), ',') || ':10'""".stripMargin
 
+  /** q_cosine_knn oracle — shared with q_ann_recall's ground-truth
+    * subquery. */
+  private val cosineKnnSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+       |), j AS (
+       |  SELECT q.query_id, v.vec_id, 1 - ${cosSimSql("q.qvec", "v.embedding")} AS dist
+       |  FROM q CROSS JOIN embeddings v
+       |  WHERE v.vec_id <> q.query_id
+       |), r AS (
+       |  SELECT query_id, vec_id, dist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+       |  FROM j
+       |)
+       |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+       |FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** q_lsh_cosine_knn oracle — shared with q_ann_recall's approximate
+    * subquery. */
+  private val lshCosineKnnSql: String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id, embedding,
+       |         array_to_string(list_transform(range(1, 9), p ->
+       |           CASE WHEN list_sum(list_transform(range(1, len(embedding)+1),
+       |                  i -> CAST(embedding[i] AS DOUBLE) * (($lshPlanesSql)[p][i]))) >= 0
+       |                THEN '1' ELSE '0' END), '') AS bucket
+       |  FROM embeddings
+       |), q0 AS (
+       |  SELECT vec_id AS query_id, bucket FROM sigs WHERE vec_id < 8
+       |), probes AS (
+       |  SELECT query_id,
+       |         unnest([bucket] || list_transform(range(1, 9), p ->
+       |           substr(bucket, 1, CAST(p-1 AS INT)) ||
+       |           (CASE WHEN substr(bucket, CAST(p AS INT), 1) = '1' THEN '0' ELSE '1' END) ||
+       |           substr(bucket, CAST(p+1 AS INT), 8 - CAST(p AS INT)))) AS bucket
+       |  FROM q0
+       |), cand AS (
+       |  SELECT DISTINCT p.query_id, s.vec_id
+       |  FROM probes p JOIN sigs s ON s.bucket = p.bucket
+       |  WHERE s.vec_id <> p.query_id
+       |), scored AS (
+       |  SELECT c.query_id, c.vec_id,
+       |         1 - ${cosSimSql("q.embedding", "v.embedding")} AS dist
+       |  FROM cand c
+       |  JOIN embeddings q ON q.vec_id = c.query_id
+       |  JOIN embeddings v ON v.vec_id = c.vec_id
+       |), r AS (
+       |  SELECT query_id, vec_id, dist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+       |FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_flat_knn" -> flatKnnSql,
 
@@ -731,6 +807,37 @@ object Registry {
          |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    "q_sq8_knn" ->
+      """WITH mm AS (
+        |  SELECT t.i, min(CAST(e.embedding[t.i] AS DOUBLE)) AS vmin,
+        |         max(CAST(e.embedding[t.i] AS DOUBLE)) AS vmax
+        |  FROM range(1, 65) t(i) CROSS JOIN embeddings e GROUP BY t.i
+        |), mdl AS (
+        |  SELECT list(vmin ORDER BY i) AS vmin,
+        |         list((vmax - vmin)/255.0 ORDER BY i) AS scale
+        |  FROM mm
+        |), enc AS (
+        |  SELECT e.vec_id, list_transform(range(1, 65), i ->
+        |    CASE WHEN m.scale[i] = 0 THEN 0
+        |         ELSE least(255, greatest(0, CAST(round(
+        |           (CAST(e.embedding[i] AS DOUBLE) - m.vmin[i]) / m.scale[i]) AS BIGINT))) END) AS codes
+        |  FROM embeddings e CROSS JOIN mdl m
+        |), qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+        |), j AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      (CAST(q.qvec[i] AS DOUBLE) - (m.vmin[i] + e.codes[i] * m.scale[i]))^2)) AS dist
+        |  FROM qs q CROSS JOIN enc e CROSS JOIN mdl m
+        |  WHERE e.vec_id <> q.query_id
+        |), r AS (
+        |  SELECT query_id, vec_id, dist,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+        |  FROM j
+        |)
+        |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "q_shard_even" ->
       """WITH s AS (
         |  SELECT vec_id, ntile(16) OVER (ORDER BY vec_id) - 1 AS shard_id FROM embeddings
@@ -805,21 +912,7 @@ object Registry {
         |       CAST(sum(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_dim
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
-    "q_cosine_knn" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
-         |), j AS (
-         |  SELECT q.query_id, v.vec_id, 1 - ${cosSimSql("q.qvec", "v.embedding")} AS dist
-         |  FROM q CROSS JOIN embeddings v
-         |  WHERE v.vec_id <> q.query_id
-         |), r AS (
-         |  SELECT query_id, vec_id, dist,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
-         |  FROM j
-         |)
-         |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
-         |FROM r WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+    "q_cosine_knn" -> cosineKnnSql,
 
     "q_cosine_simjoin" ->
       s"""WITH f AS (
@@ -832,41 +925,16 @@ object Registry {
          |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin,
 
-    "q_lsh_cosine_knn" ->
-      s"""WITH sigs AS (
-         |  SELECT vec_id, embedding,
-         |         array_to_string(list_transform(range(1, 9), p ->
-         |           CASE WHEN list_sum(list_transform(range(1, len(embedding)+1),
-         |                  i -> CAST(embedding[i] AS DOUBLE) * (($lshPlanesSql)[p][i]))) >= 0
-         |                THEN '1' ELSE '0' END), '') AS bucket
-         |  FROM embeddings
-         |), q0 AS (
-         |  SELECT vec_id AS query_id, bucket FROM sigs WHERE vec_id < 8
-         |), probes AS (
-         |  SELECT query_id,
-         |         unnest([bucket] || list_transform(range(1, 9), p ->
-         |           substr(bucket, 1, CAST(p-1 AS INT)) ||
-         |           (CASE WHEN substr(bucket, CAST(p AS INT), 1) = '1' THEN '0' ELSE '1' END) ||
-         |           substr(bucket, CAST(p+1 AS INT), 8 - CAST(p AS INT)))) AS bucket
-         |  FROM q0
-         |), cand AS (
-         |  SELECT DISTINCT p.query_id, s.vec_id
-         |  FROM probes p JOIN sigs s ON s.bucket = p.bucket
-         |  WHERE s.vec_id <> p.query_id
-         |), scored AS (
-         |  SELECT c.query_id, c.vec_id,
-         |         1 - ${cosSimSql("q.embedding", "v.embedding")} AS dist
-         |  FROM cand c
-         |  JOIN embeddings q ON q.vec_id = c.query_id
-         |  JOIN embeddings v ON v.vec_id = c.vec_id
-         |), r AS (
-         |  SELECT query_id, vec_id, dist,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
-         |  FROM scored
-         |)
-         |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
-         |FROM r WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+    "q_lsh_cosine_knn" -> lshCosineKnnSql,
+
+    "q_ann_recall" ->
+      s"""SELECT e.query_id,
+         |       CAST(sum(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
+         |       CAST(count(*) AS BIGINT) AS n_exact
+         |FROM ($cosineKnnSql) e
+         |LEFT JOIN ($lshCosineKnnSql) a
+         |  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
@@ -996,6 +1064,21 @@ object Registry {
         |)
         |SELECT doc_id, source, CAST(rank_in_source AS BIGINT) AS rank_in_source
         |FROM r WHERE rank_in_source <= 50 ORDER BY doc_id""".stripMargin,
+
+    "q_doc_chunks" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, greatest(0, (n_tokens - 32 + 24 - 1) // 24) + 1)) AS chunk_id
+        |  FROM tk
+        |)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(len(toks[chunk_id*24+1 : chunk_id*24+32]) AS BIGINT) AS chunk_tokens,
+        |       md5(array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_hash_split" ->
       s"""SELECT doc_id,

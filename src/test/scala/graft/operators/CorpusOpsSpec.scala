@@ -97,6 +97,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(counts("books") - 5000.0) < 300) // default 0.5
   }
 
+  test("chunkByTokens covers every token with stride overlap") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = CorpusOps.chunkByTokens(docs, chunkTokens = 32, strideTokens = 24)
+      .orderBy($"chunk_id")
+      .select($"chunk_id", $"chunk_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // n=100: starts 0,24,48,72 → last window covers tokens 73..100 (28)
+    assert(chunks.toSeq == Seq((0L, 32L), (1L, 32L), (2L, 32L), (3L, 28L)))
+    // coverage: last start + window reaches the end
+    assert(72 + 28 == 100)
+  }
+
+  test("chunkByTokens yields one short chunk for docs below the window") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val chunks = CorpusOps.chunkByTokens(docs, 32, 24).collect()
+    assert(chunks.length == 1 && chunks(0).getAs[Long]("chunk_tokens") == 3L)
+  }
+
   test("packByTokens parallelism: bins are independent per subshard") {
     val docs = (0L until 8L).map(i => (i, "s", "a b"))
       .toDF("doc_id", "source", "text")
