@@ -71,4 +71,75 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("Partial"),
       "grouped aggregates must partial-aggregate before the shuffle")
   }
+
+  test("asofJoin: union-window form — no join operator, one key shuffle") {
+    import graft.operators.TemporalJoins
+    import spark.implicits._
+    val probes = Seq((1L, 10L, 1L)).toDF("k", "sec", "probe_id")
+      .withColumn("t", timestamp_micros($"sec" * 1000000L)).drop("sec")
+    val refs = Seq((1L, 5L, 1.0)).toDF("k", "sec", "v")
+      .withColumn("t", timestamp_micros($"sec" * 1000000L)).drop("sec")
+    val p = planOf(TemporalJoins.asofJoin(probes, refs, "k", "t", Seq("v")))
+    assert(!p.contains("Join"),
+      "as-of must resolve via union + running window, not any join")
+    val keyShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(keyShuffles == 1,
+      s"exactly one shuffle on the key expected, saw $keyShuffles:\n$p")
+  }
+
+  test("q_interval_join: equi-join on (key, bin) — no cartesian/nested-loop pair generation") {
+    val p = planOf(Registry.queries("q_interval_join")(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "interval join must bin-bucket into an equi-join, never generate all pairs")
+  }
+
+  test("hashSplit: pure projection — zero shuffles, zero joins") {
+    import graft.operators.CorpusOps
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = planOf(CorpusOps.hashSplit(docs, col("doc_id"), 0.8, 0.1))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "split membership must be row-local (recomputable at 100 TB with no shuffle)")
+  }
+
+  test("q_sq8_knn: codes table never shuffles — queries broadcast") {
+    val p = planOf(Registry.queries("q_sq8_knn")(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast against the codes scan")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("heavy hitters recount: candidate In-filter pushed to the parquet scan") {
+    import graft.operators.HeavyHitters
+    spark.catalog.clearCache()
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val df = HeavyHitters.exactAboveThreshold(ev, "user_id", k = 20)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(user_id"),
+      "pass-2 recount must scan only candidate keys (pushdown), not re-read all rows")
+  }
+
+  test("bucketed tables co-locate: same-bucket join plans with no shuffle") {
+    val wh = Files.createTempDirectory("bucketwh").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      emb.write.format("parquet")
+        .option("path", s"$wh/emb_a").bucketBy(8, "vec_id")
+        .saveAsTable("graft_bucket_a")
+      emb.select(col("vec_id"), col("embedding").as("emb2")).write.format("parquet")
+        .option("path", s"$wh/emb_b").bucketBy(8, "vec_id")
+        .saveAsTable("graft_bucket_b")
+      val joined = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), "vec_id")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        "matching bucket spec must make the join shuffle-free:\n" + p)
+      assert(joined.count() == emb.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }
