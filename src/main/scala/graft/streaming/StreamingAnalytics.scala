@@ -125,6 +125,59 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Stream-stream interval join: pair each event with every anchor of
+    * the same key whose window `[anchor.ts, anchor.ts + lenSec)` contains
+    * the event's time — the streaming form of
+    * `TemporalJoins.intervalJoinBinned` (error-context windows over live
+    * telemetry). Both sides carry watermarks and the join condition is
+    * time-bounded, so Spark derives a state-retention bound on each side
+    * (watermark + lenSec) — state is O(in-flight window), not O(history).
+    * Inner join ⇒ matches emit as soon as both rows have arrived. */
+  def streamingIntervalJoin(
+      events: DataFrame,
+      anchors: DataFrame,
+      keyCol: String,
+      anchorIdCol: String,
+      lenSec: Long,
+      watermark: String): DataFrame = {
+    val e = events.withWatermark("ts", watermark)
+    val a = anchors
+      .select(col(anchorIdCol).as("_anchor_id"),
+        col(keyCol).as("_a_key"), col("ts").as("_a_ts"))
+      .withWatermark("_a_ts", watermark)
+    e.join(a,
+      col(keyCol) === col("_a_key") &&
+        col("ts") >= col("_a_ts") &&
+        col("ts") < col("_a_ts") + expr(s"INTERVAL $lenSec SECONDS"))
+      .drop("_a_key")
+  }
+
+  /** Streaming as-of enrichment: each micro-batch of probe events is
+    * as-of joined (latest prior reading per key) against a static ref
+    * snapshot — the serve-loop pattern of [[knnServeLoop]] applied to
+    * `TemporalJoins.asofJoin`. The batch side is micro-batch-small, so
+    * every batch reuses the batch operator's single-key-shuffle plan;
+    * the ref snapshot is the static side. (A fully stream-stream as-of
+    * needs ordered per-key state — `flatMapGroupsWithState` — and
+    * weaker delivery guarantees; the snapshot form is the standard
+    * enrichment shape.) */
+  def asofEnrichLoop(
+      probeStream: DataFrame,
+      staticRefs: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCols: Seq[String])(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    probeStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          sink(graft.operators.TemporalJoins.asofJoin(
+            batch, staticRefs, keyCol, timeCol, valueCols), batchId)
+        }
+      }
+      .start()
+
   /** Convenience: run a streaming DataFrame to a named in-memory table and
     * block until the source drains (local smoke; spark_guide.md pattern). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

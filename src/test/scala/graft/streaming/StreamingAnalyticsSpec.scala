@@ -139,6 +139,49 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(!ids.contains(2L))
   }
 
+  test("streamingIntervalJoin pairs events with containing anchor windows") {
+    implicit val sc = spark.sqlContext
+    val eSrc = MemoryStream[(Long, Long, Timestamp)]
+    val aSrc = MemoryStream[(Long, Long, Timestamp)]
+    val e = eSrc.toDF().toDF("event_id", "k", "ts")
+    val a = aSrc.toDF().toDF("aid", "k", "ts")
+    aSrc.addData(
+      (100L, 1L, ts("2024-01-01 00:00:30")),  // window [00:30, 01:00)
+      (101L, 2L, ts("2024-01-01 00:00:00")))
+    eSrc.addData(
+      (1L, 1L, ts("2024-01-01 00:00:45")), // inside 100's window
+      (2L, 1L, ts("2024-01-01 00:01:10")), // after 100's window → no match
+      (3L, 2L, ts("2024-01-01 00:00:29")), // inside 101's window
+      (4L, 1L, ts("2024-01-01 00:00:10"))) // before 100's window → no match
+    StreamingAnalytics.runToMemory(
+      StreamingAnalytics.streamingIntervalJoin(e, a, "k", "aid",
+        lenSec = 30L, watermark = "10 minutes"),
+      "sij_out", OutputMode.Append)
+    val pairs = spark.table("sij_out")
+      .select($"_anchor_id", $"event_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 1L), (101L, 3L)))
+  }
+
+  test("asofEnrichLoop matches the batch asofJoin per micro-batch") {
+    implicit val sc = spark.sqlContext
+    val refs = Seq((1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:05:00"), 2.0))
+      .toDF("k", "t", "v")
+    val src = MemoryStream[(Long, Long, Timestamp)]
+    val probes = src.toDF().toDF("probe_id", "k", "t")
+    src.addData(
+      (10L, 1L, ts("2024-01-01 00:03:00")),  // latest prior ref: v=1.0
+      (11L, 1L, ts("2024-01-01 00:06:00")))  // latest prior ref: v=2.0
+    val got = scala.collection.mutable.Map.empty[Long, Double]
+    val q = StreamingAnalytics.asofEnrichLoop(probes, refs, "k", "t", Seq("v")) {
+      (out, _) =>
+        out.select($"probe_id", $"asof_v").collect()
+          .foreach(r => got(r.getLong(0)) = r.getDouble(1))
+    }
+    q.processAllAvailable(); q.stop()
+    assert(got == Map(10L -> 1.0, 11L -> 2.0))
+  }
+
   test("slidingMean emits overlapping windows") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[(Long, Timestamp, String, Double)]
