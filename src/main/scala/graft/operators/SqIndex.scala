@@ -62,9 +62,19 @@ object SqIndex {
     embeddings.withColumn("codes", encodeExpr(col("embedding"), vmin, scale))
 
   /** Squared L2 between a raw query vector and a reconstructed candidate:
-    * Σ_i (q_i − (vmin_i + codes_i·scale_i))², ascending-i fold for
-    * oracle bit parity. */
+    * Σ_i (q_i − (vmin_i + codes_i·scale_i))², as a fused codegen loop
+    * (graft.plans.SqDistance) — bit-identical to [[sqDistHof]]
+    * (parity-tested). */
   def sqDist(qvec: Column, codes: Column, d: Int,
+      vmin: Array[Double], scale: Array[Double]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.SqDistance(
+      ColumnBridge.expression(qvec), ColumnBridge.expression(codes), vmin, scale))
+  }
+
+  /** HOF reference form of [[sqDist]] (ascending-i fold, mirrors the
+    * q_sq8_knn oracle SQL shape). */
+  def sqDistHof(qvec: Column, codes: Column, d: Int,
       vmin: Array[Double], scale: Array[Double]): Column = {
     val vminL = typedLit(vmin.toSeq)
     val scaleL = typedLit(scale.toSeq)

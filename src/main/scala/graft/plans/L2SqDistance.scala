@@ -271,3 +271,70 @@ case class DotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Fused SQ8 decoded squared-L2 (the performance form of
+  * SqIndex.sqDistHof): Σ_i (q_i − (vmin_i + codes_i·scale_i))² as one
+  * primitive loop in whole-stage codegen; the (vmin, scale) model rides
+  * along as JVM reference objects, not literal expression trees, so
+  * generated-code size is O(1) in the dimensionality.
+  *
+  * Numerics are IDENTICAL to the HOF form (per-element double cast,
+  * recon = vmin + code·scale, left-to-right accumulation) — parity
+  * spec-gated, so swapping it in cannot change the q_sq8_knn oracle
+  * result.
+  */
+case class SqDistance(
+    left: Expression,
+    right: Expression,
+    vmin: Array[Double],
+    scale: Array[Double])
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"sq_distance expects (array<float>, array<long>), got ($l, $r)")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val d = codes.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < d) {
+      val recon = vmin(i) + codes.getLong(i).toDouble * scale(i)
+      val diff = q.getFloat(i).toDouble - recon
+      acc += diff * diff
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val vminRef = ctx.addReferenceObj("sqVmin", vmin, "double[]")
+      val scaleRef = ctx.addReferenceObj("sqScale", scale, "double[]")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val recon = ctx.freshName("recon")
+      val diff = ctx.freshName("diff")
+      s"""
+         |double $acc = 0.0;
+         |int $d = $b.numElements();
+         |for (int $i = 0; $i < $d; $i++) {
+         |  double $recon = $vminRef[$i] + (double) $b.getLong($i) * $scaleRef[$i];
+         |  double $diff = (double) $a.getFloat($i) - $recon;
+         |  $acc += $diff * $diff;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -39,6 +39,18 @@ class L2SqDistanceSpec extends SparkSpec {
     assert(both.where($"gen" =!= $"hof").count() == 0)
   }
 
+  test("codegen SqDistance is bit-identical to the HOF fold on real SQ8 data") {
+    import graft.operators.SqIndex
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (vmin, scale) = SqIndex.trainMinMax(emb, 64)
+    val codes = SqIndex.encode(emb, vmin, scale)
+    val q = emb.where($"vec_id" < 4).select($"embedding".as("qvec"))
+    val both = codes.crossJoin(q).select(
+      SqIndex.sqDist($"qvec", $"codes", 64, vmin, scale).as("gen"),
+      SqIndex.sqDistHof($"qvec", $"codes", 64, vmin, scale).as("hof"))
+    assert(both.where($"gen" =!= $"hof").count() == 0)
+  }
+
   test("null and hand-computed values") {
     val r = Seq(1).toDF("x").select(
       Distances.l2SqFast(typedLit(Array(1f, 2f)), typedLit(Array(3f, 5f))).as("d"),
