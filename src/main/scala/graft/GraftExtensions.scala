@@ -61,7 +61,29 @@ object GraftFunctions {
     "minhash_signature" -> {
       case Seq(shingles, h) => MinHashSignature(shingles, intLit(h, "minhash_signature numHashes"))
       case args => throw new IllegalArgumentException(s"minhash_signature expects 2 args, got ${args.length}")
+    },
+    "sq_distance" -> {
+      case Seq(q, codes, vmin, scale) =>
+        SqDistance(q, codes,
+          doubleArrayLit(vmin, "sq_distance vmin"),
+          doubleArrayLit(scale, "sq_distance scale"))
+      case args => throw new IllegalArgumentException(s"sq_distance expects 4 args, got ${args.length}")
     })
+
+  /** Fold a constant array<double> argument (an array(...) literal in
+    * SQL) down to the JVM array the expression embeds. */
+  private def doubleArrayLit(e: Expression, what: String): Array[Double] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val ok = e.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (!e.foldable || !ok)
+      throw new IllegalArgumentException(
+        s"$what must be a constant array<double>, got $e")
+    e.eval().asInstanceOf[ArrayData].toDoubleArray()
+  }
 
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo("graft", name)

@@ -61,6 +61,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(1) == 2)
   }
 
+  test("sq_distance from SQL equals the Column API on real SQ8 data") {
+    registered
+    import graft.operators.SqIndex
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (vmin, scale) = SqIndex.trainMinMax(emb, 64)
+    SqIndex.encode(emb, vmin, scale).createOrReplaceTempView("sq_ext")
+    def arr(a: Array[Double]) = a.mkString("array(", "D,", "D)")
+    val sql = spark.sql(
+      s"""SELECT a.vec_id AS ai, b.vec_id AS bi,
+         |       sq_distance(a.embedding, b.codes, ${arr(vmin)}, ${arr(scale)}) AS d
+         |FROM sq_ext a JOIN sq_ext b ON a.vec_id < 3 AND b.vec_id >= 3""".stripMargin)
+    val t = spark.table("sq_ext")
+    val api = t.as("a").join(t.as("b"), $"a.vec_id" < 3 && $"b.vec_id" >= 3)
+      .select($"a.vec_id".as("ai"), $"b.vec_id".as("bi"),
+        SqIndex.sqDist($"a.embedding", $"b.codes", 64, vmin, scale).as("d"))
+    assert(sql.exceptAll(api).isEmpty && api.exceptAll(sql).isEmpty)
+  }
+
   test("extensions injection path builds the same descriptors") {
     // the config path (spark.sql.extensions=graft.GraftExtensions) uses
     // injectFunction with the identical builders; exercising apply()
