@@ -86,6 +86,12 @@ object Registry {
     "q_sq8_knn" -> ((s, dir) =>
       SqIndex.selfSearch(t(s, dir, "embeddings"), numQueries = 8, d = 64, k = 10)),
 
+    // IVF + SQ8: partition-pruned cells over 4×-compressed codes
+    // (IndexIVFScalarQuantizer composition) — deterministic → exact oracle
+    "q_ivfsq_knn" -> ((s, dir) =>
+      IvfSqIndex.selfSearchSeeded(t(s, dir, "embeddings"),
+        numQueries = 8, nlist = 16, d = 64, nprobe = 4, k = 10)),
+
     // J3 full fidelity: IVF+PQ with residual encoding (IndexIVFPQ,
     // vector_search_cluster.py:1033-1041) — coarse assign, PQ codes over
     // residuals, probe-local ADC
@@ -803,6 +809,53 @@ object Registry {
          |  SELECT query_id, vec_id, dist,
          |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
          |  FROM adc
+         |)
+         |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ivfsq_knn" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+         |), d0 AS (
+         |  SELECT v.vec_id, v.embedding, c.cid, ${l2sqSql("v.embedding", "c.cvec")} AS d
+         |  FROM embeddings v CROSS JOIN cent c
+         |), assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT vec_id, embedding, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0
+         |  ) WHERE rn = 1
+         |), mm AS (
+         |  SELECT t.i, min(CAST(e.embedding[t.i] AS DOUBLE)) AS vmin,
+         |         max(CAST(e.embedding[t.i] AS DOUBLE)) AS vmax
+         |  FROM range(1, 65) t(i) CROSS JOIN embeddings e GROUP BY t.i
+         |), mdl AS (
+         |  SELECT list(vmin ORDER BY i) AS vmin,
+         |         list((vmax - vmin)/255.0 ORDER BY i) AS scale
+         |  FROM mm
+         |), enc AS (
+         |  SELECT a.vec_id, a.cid, list_transform(range(1, 65), i ->
+         |    CASE WHEN m.scale[i] = 0 THEN 0
+         |         ELSE least(255, greatest(0, CAST(round(
+         |           (CAST(a.embedding[i] AS DOUBLE) - m.vmin[i]) / m.scale[i]) AS BIGINT))) END) AS codes
+         |  FROM assign a CROSS JOIN mdl m
+         |), q AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+         |), p0 AS (
+         |  SELECT q.query_id, q.qvec, c.cid, ${l2sqSql("q.qvec", "c.cvec")} AS d
+         |  FROM q CROSS JOIN cent c
+         |), probes AS (
+         |  SELECT query_id, qvec, cid FROM (
+         |    SELECT query_id, qvec, cid, row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn FROM p0
+         |  ) WHERE rn <= 4
+         |), cand AS (
+         |  SELECT p.query_id, e.vec_id,
+         |    list_sum(list_transform(range(1, 65), i ->
+         |      (CAST(p.qvec[i] AS DOUBLE) - (m.vmin[i] + e.codes[i] * m.scale[i]))^2)) AS dist
+         |  FROM probes p JOIN enc e ON e.cid = p.cid CROSS JOIN mdl m
+         |  WHERE e.vec_id <> p.query_id
+         |), r AS (
+         |  SELECT query_id, vec_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |  FROM cand
          |)
          |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
