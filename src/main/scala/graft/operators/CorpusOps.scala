@@ -156,6 +156,32 @@ object CorpusOps {
     docs.where(md5Prefix(key) < thr)
   }
 
+  /** Deterministic weighted source interleaving — the corpus-mixing
+    * ORDER: docs from source s appear in the training stream with
+    * frequency ∝ `weights(s)` (the deterministic analog of
+    * temperature-based source sampling). Each source is shuffled
+    * internally (md5 rank — unique, reproducible), then globally ordered
+    * by rank/weight: a source with weight 2 places its k-th doc where a
+    * weight-1 source places its (k/2)-th, so heavy sources interleave
+    * proportionally more often from the very start of the stream.
+    *
+    * Scale: per-source rank windows parallelize over sources; the global
+    * order is a range-partitioned sort (a linear distributed pass) — no
+    * global row-number window anywhere. */
+  def weightedInterleave(docs: DataFrame,
+      weights: Map[String, Double], default: Double): DataFrame = {
+    require(default > 0 && weights.values.forall(_ > 0))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")))
+    val weight = weights.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (acc, (s, x)) => when(col("source") === s, lit(x)).otherwise(acc)
+    }
+    docs
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .withColumn("mix_key", col("rank_in_source").cast("double") / weight)
+      .orderBy(col("mix_key"), col("source"), col("doc_id"))
+  }
+
   /** Context-window packing: assign docs to training bins of ~`budget`
     * tokens. Within each (source, subshard) stream — subshards keep the
     * window parallel at corpus scale — docs in doc_id order land in bin

@@ -39,6 +39,11 @@ object Registry {
     Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.5, "src3" -> 0.1)
   private val stratifiedDefault: Double = 0.25
 
+  /** q_source_interleave mixing weights — shared with the oracle CASE. */
+  private val interleaveWeights: Map[String, Double] =
+    Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 4.0)
+  private val interleaveDefault: Double = 1.0
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- vector search core (SURVEY §2.3/§2.4/§2.5) ----
 
@@ -339,6 +344,14 @@ object Registry {
       HeavyHitters.exactAboveThreshold(events(s, dir), "user_id", k = 124)
         .select(col("user_id"), col("cnt").as("n_events"))
         .orderBy(col("n_events").desc, col("user_id"))),
+
+    // Deterministic weighted source interleaving (temperature-mixing
+    // analog): global order by rank/weight, range-sort executed
+    "q_source_interleave" -> ((s, dir) =>
+      CorpusOps.weightedInterleave(t(s, dir, "documents"),
+          interleaveWeights, interleaveDefault)
+        .select(col("doc_id"), col("source"), col("rank_in_source"),
+          round(col("mix_key"), 6).as("mix_key"))),
 
     // Context-window packing: ~512-token bins per (source, subshard)
     "q_token_pack" -> ((s, dir) =>
@@ -1155,6 +1168,21 @@ object Registry {
         |FROM events GROUP BY user_id
         |HAVING count(*) > (SELECT count(*) // 125 FROM events)
         |ORDER BY n_events DESC, user_id""".stripMargin,
+
+    "q_source_interleave" -> {
+      val wcase = interleaveWeights.toSeq.sorted
+        .map { case (s, x) => s"WHEN '$s' THEN ${x}" }.mkString(" ")
+      val wexpr = s"(CASE source $wcase ELSE $interleaveDefault END)"
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |         row_number() OVER (PARTITION BY source
+         |             ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, CAST(rk AS BIGINT) AS rank_in_source,
+         |       round(rk / $wexpr, 6) AS mix_key
+         |FROM r ORDER BY rk / $wexpr, source, doc_id""".stripMargin
+    },
 
     "q_token_pack" ->
       """WITH tk AS (

@@ -97,6 +97,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(counts("books") - 5000.0) < 300) // default 0.5
   }
 
+  test("weightedInterleave orders sources proportionally to weight") {
+    val docs = (0L until 3000L).map(i =>
+      (i, if (i % 3 == 0) "heavy" else if (i % 3 == 1) "light" else "mid"))
+      .toDF("doc_id", "source")
+    val out = CorpusOps.weightedInterleave(docs,
+        Map("heavy" -> 4.0, "light" -> 1.0), default = 2.0)
+      .select($"source").collect().map(_.getString(0))
+    // in any prefix, counts should track weights 4:2:1 (heavy:mid:light)
+    val prefix = out.take(700)
+    val c = prefix.groupBy(identity).view.mapValues(_.length).toMap
+    assert(c("heavy") > 2.5 * c("light"), s"counts $c")
+    assert(c("mid") > 1.3 * c("light") && c("heavy") > 1.3 * c("mid"), s"counts $c")
+    // deterministic: same order every run
+    val again = CorpusOps.weightedInterleave(docs.repartition(7),
+        Map("heavy" -> 4.0, "light" -> 1.0), default = 2.0)
+      .select($"doc_id").collect().map(_.getLong(0))
+    val first = CorpusOps.weightedInterleave(docs,
+        Map("heavy" -> 4.0, "light" -> 1.0), default = 2.0)
+      .select($"doc_id").collect().map(_.getLong(0))
+    assert(first.sameElements(again))
+  }
+
   test("chunkByTokens covers every token with stride overlap") {
     val text = (1 to 100).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, text)).toDF("doc_id", "text")
