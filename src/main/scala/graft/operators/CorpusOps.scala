@@ -156,6 +156,33 @@ object CorpusOps {
     docs.where(md5Prefix(key) < thr)
   }
 
+  /** Benchmark decontamination — the standard eval-set hygiene step:
+    * flag every training doc sharing at least one word `n`-gram with the
+    * benchmark corpus (the n-gram-collision method used for pretraining
+    * decontamination; n≈8-13 in practice). Adds `is_contaminated`.
+    *
+    * Scale: the benchmark side is tiny by construction (an eval set), so
+    * its distinct gram set broadcasts; training docs explode to grams
+    * MAP-side and probe the broadcast — the corpus never shuffles. The
+    * hit list (contaminated doc ids) is again small → broadcast
+    * flag-join back onto the corpus. */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, n: Int,
+      textCol: String = "text"): DataFrame = {
+    val bGrams = benchmark
+      .select(explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val contaminated = train
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
+      .join(broadcast(bGrams), Seq("gram"))
+      .select(col("doc_id")).distinct()
+      .withColumn("is_contaminated", lit(true))
+    train
+      .join(broadcast(contaminated), Seq("doc_id"), "left")
+      .withColumn("is_contaminated",
+        coalesce(col("is_contaminated"), lit(false)))
+  }
+
   /** Deterministic weighted source interleaving — the corpus-mixing
     * ORDER: docs from source s appear in the training stream with
     * frequency ∝ `weights(s)` (the deterministic analog of

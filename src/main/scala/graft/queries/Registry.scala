@@ -345,6 +345,18 @@ object Registry {
         .select(col("user_id"), col("cnt").as("n_events"))
         .orderBy(col("n_events").desc, col("user_id"))),
 
+    // Benchmark decontamination: 8-gram collision vs a held-out eval
+    // slice (doc_id % 50 = 0) — two broadcast joins, corpus never shuffles
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusOps.decontaminate(
+          train = docs.where(pmod(col("doc_id"), lit(50L)) =!= 0L),
+          benchmark = docs.where(pmod(col("doc_id"), lit(50L)) === 0L),
+          n = 8)
+        .select(col("doc_id"), col("is_contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic weighted source interleaving (temperature-mixing
     // analog): global order by rank/weight, range-sort executed
     "q_source_interleave" -> ((s, dir) =>
@@ -1168,6 +1180,24 @@ object Registry {
         |FROM events GROUP BY user_id
         |HAVING count(*) > (SELECT count(*) // 125 FROM events)
         |ORDER BY n_events DESC, user_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-6),
+        |    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||
+        |         toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7]))) AS gram
+        |  FROM tk
+        |), bg AS (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+        |), hits AS (
+        |  SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram) WHERE g.doc_id % 50 <> 0
+        |)
+        |SELECT t.doc_id, (h.doc_id IS NOT NULL) AS is_contaminated
+        |FROM documents t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        |WHERE t.doc_id % 50 <> 0
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_source_interleave" -> {
       val wcase = interleaveWeights.toSeq.sorted

@@ -97,6 +97,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(counts("books") - 5000.0) < 300) // default 0.5
   }
 
+  test("decontaminate flags docs sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x alpha beta gamma delta y"), // contains the benchmark 4-gram
+      (2L, "alpha beta gamma zeta"),      // only a 3-gram overlap → clean
+      (3L, "unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.decontaminate(train, bench, n = 4).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("is_contaminated"))).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("weightedInterleave orders sources proportionally to weight") {
     val docs = (0L until 3000L).map(i =>
       (i, if (i % 3 == 0) "heavy" else if (i % 3 == 1) "light" else "mid"))
