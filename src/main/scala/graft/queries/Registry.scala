@@ -345,6 +345,14 @@ object Registry {
         .select(col("user_id"), col("cnt").as("n_events"))
         .orderBy(col("n_events").desc, col("user_id"))),
 
+    // TF-IDF top terms per doc: vocab-sized df table broadcast, corpus
+    // side never shuffles past the tf aggregate
+    "q_tfidf" -> ((s, dir) =>
+      TfIdf.topTerms(t(s, dir, "documents"), k = 3)
+        .select(col("doc_id"), col("rank"), col("term"),
+          col("tf"), col("df"), round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"), col("rank"))),
+
     // Benchmark decontamination: 8-gram collision vs a held-out eval
     // slice (doc_id % 50 = 0) — two broadcast joins, corpus never shuffles
     "q_decontaminate" -> ((s, dir) => {
@@ -1180,6 +1188,27 @@ object Registry {
         |FROM events GROUP BY user_id
         |HAVING count(*) > (SELECT count(*) // 125 FROM events)
         |ORDER BY n_events DESC, user_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+        |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         tf.tf * (ln((n.n + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) + 1.0) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |), r AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, round(score, 6) AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_decontaminate" ->
       """WITH tk AS (
