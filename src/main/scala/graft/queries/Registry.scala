@@ -345,6 +345,13 @@ object Registry {
         .select(col("user_id"), col("cnt").as("n_events"))
         .orderBy(col("n_events").desc, col("user_id"))),
 
+    // BM25 ranked retrieval for a fixed bag-of-words query — lexical
+    // search next to the vector paths; global top-N via orderBy.limit
+    "q_bm25" -> ((s, dir) =>
+      Bm25.rank(t(s, dir, "documents"),
+          queryTerms = Seq("join", "hash", "filter", "scan"), topN = 20)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))),
+
     // TF-IDF top terms per doc: vocab-sized df table broadcast, corpus
     // side never shuffles past the tf aggregate
     "q_tfidf" -> ((s, dir) =>
@@ -1188,6 +1195,36 @@ object Registry {
         |FROM events GROUP BY user_id
         |HAVING count(*) > (SELECT count(*) // 125 FROM events)
         |ORDER BY n_events DESC, user_id""".stripMargin,
+
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+        |), lens AS (
+        |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS len
+        |  FROM documents
+        |), consts AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         (SELECT CAST(sum(len) AS DOUBLE) FROM lens) /
+        |           CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+        |  WHERE term IN ('join', 'hash', 'filter', 'scan') GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+        |), ts AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         ln((c.n - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |           * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |           / (CAST(tf.tf AS DOUBLE) +
+        |              1.2 * ((1.0 - 0.75) + 0.75 * CAST(l.len AS DOUBLE) / c.avgdl)) AS tscore
+        |  FROM tf JOIN df USING (term) JOIN lens l ON l.doc_id = tf.doc_id CROSS JOIN consts c
+        |), agg AS (
+        |  SELECT doc_id, list_sum(list(tscore ORDER BY term)) AS score
+        |  FROM ts GROUP BY doc_id
+        |)
+        |SELECT doc_id, round(score, 6) AS score
+        |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_tfidf" ->
       """WITH toks AS (
