@@ -352,6 +352,21 @@ object Registry {
           queryTerms = Seq("join", "hash", "filter", "scan"), topN = 20)
         .select(col("doc_id"), round(col("score"), 6).as("score"))),
 
+    // Hybrid search: RRF fusion of the BM25 list and the cosine k-NN
+    // list for query 0 (vec_id ≡ doc_id in the test corpus). The rank
+    // window runs on the 20-row BM25 result — bounded by construction
+    "q_hybrid_search" -> ((s, dir) => {
+      val bmRanked = queries("q_bm25")(s, dir)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r"))
+      val cos = queries("q_cosine_knn")(s, dir)
+        .where(col("query_id") === 0)
+        .select(col("vec_id").as("doc_id"), col("rank").as("r"))
+      HybridSearch.rrfFuse(bmRanked, cos, kConst = 60, topN = 10)
+        .select(col("doc_id"), round(col("rrf"), 6).as("rrf"))
+    }),
+
     // TF-IDF top terms per doc: vocab-sized df table broadcast, corpus
     // side never shuffles past the tf aggregate
     "q_tfidf" -> ((s, dir) =>
@@ -701,6 +716,37 @@ object Registry {
        |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
        |FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+
+  /** q_bm25 oracle — shared with q_hybrid_search's lexical subquery. */
+  private val bm25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+      |), lens AS (
+      |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS len
+      |  FROM documents
+      |), consts AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |         (SELECT CAST(sum(len) AS DOUBLE) FROM lens) /
+      |           CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+      |  WHERE term IN ('join', 'hash', 'filter', 'scan') GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+      |), ts AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         ln((c.n - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+      |           * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+      |           / (CAST(tf.tf AS DOUBLE) +
+      |              1.2 * ((1.0 - 0.75) + 0.75 * CAST(l.len AS DOUBLE) / c.avgdl)) AS tscore
+      |  FROM tf JOIN df USING (term) JOIN lens l ON l.doc_id = tf.doc_id CROSS JOIN consts c
+      |), agg AS (
+      |  SELECT doc_id, list_sum(list(tscore ORDER BY term)) AS score
+      |  FROM ts GROUP BY doc_id
+      |)
+      |SELECT doc_id, round(score, 6) AS score
+      |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_flat_knn" -> flatKnnSql,
@@ -1196,35 +1242,21 @@ object Registry {
         |HAVING count(*) > (SELECT count(*) // 125 FROM events)
         |ORDER BY n_events DESC, user_id""".stripMargin,
 
-    "q_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
-        |), lens AS (
-        |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS len
-        |  FROM documents
-        |), consts AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n,
-        |         (SELECT CAST(sum(len) AS DOUBLE) FROM lens) /
-        |           CAST(count(*) AS DOUBLE) AS avgdl
-        |  FROM documents
-        |), tf AS (
-        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
-        |  WHERE term IN ('join', 'hash', 'filter', 'scan') GROUP BY doc_id, term
-        |), df AS (
-        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
-        |), ts AS (
-        |  SELECT tf.doc_id, tf.term,
-        |         ln((c.n - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
-        |           * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
-        |           / (CAST(tf.tf AS DOUBLE) +
-        |              1.2 * ((1.0 - 0.75) + 0.75 * CAST(l.len AS DOUBLE) / c.avgdl)) AS tscore
-        |  FROM tf JOIN df USING (term) JOIN lens l ON l.doc_id = tf.doc_id CROSS JOIN consts c
-        |), agg AS (
-        |  SELECT doc_id, list_sum(list(tscore ORDER BY term)) AS score
-        |  FROM ts GROUP BY doc_id
-        |)
-        |SELECT doc_id, round(score, 6) AS score
-        |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_bm25" -> bm25Sql,
+
+    "q_hybrid_search" ->
+      s"""WITH bm AS ($bm25Sql),
+         |bmr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm
+         |), cos AS (
+         |  SELECT vec_id AS doc_id, rank AS r FROM ($cosineKnnSql) WHERE query_id = 0
+         |), f AS (
+         |  SELECT coalesce(bmr.doc_id, cos.doc_id) AS doc_id,
+         |         coalesce(1.0/(60.0 + bmr.r), 0.0) + coalesce(1.0/(60.0 + cos.r), 0.0) AS rrf
+         |  FROM bmr FULL OUTER JOIN cos ON bmr.doc_id = cos.doc_id
+         |)
+         |SELECT doc_id, round(rrf, 6) AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_tfidf" ->
       """WITH toks AS (
