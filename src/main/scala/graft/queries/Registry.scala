@@ -478,6 +478,18 @@ object Registry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Session windows via the native session_window operator (gap-based,
+    // streaming-capable) — same session semantics as q_sessionize's
+    // handrolled lag/cumsum form, executed as a single grouped aggregate
+    "q_session_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("session_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // CUBE aggregation (grouping-sets family, complements q_rollup)
     "q_cube" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -1296,6 +1308,29 @@ object Registry {
         |FROM documents t LEFT JOIN hits h ON t.doc_id = h.doc_id
         |WHERE t.doc_id % 50 <> 0
         |ORDER BY t.doc_id""".stripMargin,
+
+    "q_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM o
+        |), sid AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s
+        |)
+        |SELECT user_id,
+        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM sid GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_source_interleave" -> {
       val wcase = interleaveWeights.toSeq.sorted

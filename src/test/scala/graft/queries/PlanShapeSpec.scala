@@ -118,6 +118,20 @@ class PlanShapeSpec extends SparkSpec {
       "pass-2 recount must scan only candidate keys (pushdown), not re-read all rows")
   }
 
+  test("q_bm25: global top-N is TakeOrdered, never a single-partition window") {
+    val p = planOf(Registry.queries("q_bm25")(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      "orderBy.limit must plan per-partition top-N + merge")
+    assert(!p.contains("WindowExec"), "no window operator in the retrieval path")
+  }
+
+  test("q_tfidf: document-frequency side broadcasts") {
+    val p = planOf(Registry.queries("q_tfidf")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab-sized df table must broadcast against the tf side")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("bucketed tables co-locate: same-bucket join plans with no shuffle") {
     val wh = Files.createTempDirectory("bucketwh").toString
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
