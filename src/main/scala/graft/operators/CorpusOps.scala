@@ -156,6 +156,28 @@ object CorpusOps {
     docs.where(md5Prefix(key) < thr)
   }
 
+  /** Quantile-based quality filtering — keep docs whose composite
+    * quality score ([[TextFunctions.qualityScore]]) is at or above the
+    * corpus `pct` quantile (the relative-threshold form of quality
+    * pruning: "drop the worst quartile" rather than a magic constant).
+    *
+    * The threshold is a control-plane scalar; the filter itself is a
+    * map-side projection. `exact = true` computes the quantile with the
+    * exact single-group `percentile` (buffers every score — the
+    * oracle/reference form); the default uses the fixed-size
+    * `percentile_approx` sketch, the bounded-memory path for unbounded
+    * corpora. */
+  def qualityFilter(docs: DataFrame, pct: Double, exact: Boolean = false,
+      textCol: String = "text"): DataFrame = {
+    val scored = docs.withColumn("quality",
+      TextFunctions.qualityScore(col(textCol)))
+    val thrRow =
+      if (exact) scored.agg(percentile(col("quality"), lit(pct)))
+      else scored.agg(percentile_approx(col("quality"), lit(pct), lit(10000)))
+    val thr = thrRow.head().getDouble(0)
+    scored.where(col("quality") >= thr)
+  }
+
   /** Benchmark decontamination — the standard eval-set hygiene step:
     * flag every training doc sharing at least one word `n`-gram with the
     * benchmark corpus (the n-gram-collision method used for pretraining

@@ -375,6 +375,13 @@ object Registry {
           col("tf"), col("df"), round(col("score"), 6).as("score"))
         .orderBy(col("doc_id"), col("rank"))),
 
+    // Quality filtering: drop the worst quartile by composite quality
+    // score (exact-percentile threshold → oracle-checkable)
+    "q_quality_filter" -> ((s, dir) =>
+      CorpusOps.qualityFilter(t(s, dir, "documents"), pct = 0.25, exact = true)
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))),
+
     // Benchmark decontamination: 8-gram collision vs a held-out eval
     // slice (doc_id % 50 = 0) — two broadcast joins, corpus never shuffles
     "q_decontaminate" -> ((s, dir) => {
@@ -1290,6 +1297,20 @@ object Registry {
         |)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, round(score, 6) AS score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_quality_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+         |), q AS (
+         |  SELECT doc_id,
+         |    round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         |          (CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / len(text)) * 0.3 +
+         |          least((CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks)) * 5.0, 1.0) * 0.3, 4) AS quality
+         |  FROM t
+         |)
+         |SELECT doc_id, quality FROM q
+         |WHERE quality >= (SELECT quantile_cont(quality, 0.25) FROM q)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->
       """WITH tk AS (

@@ -97,6 +97,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(counts("books") - 5000.0) < 300) // default 0.5
   }
 
+  test("qualityFilter keeps the top (1-pct) of the corpus; approx tracks exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val exact = CorpusOps.qualityFilter(docs, pct = 0.25, exact = true)
+    val kept = exact.count()
+    assert(kept >= (0.70 * n).toLong && kept <= (0.80 * n).toLong,
+      s"kept $kept of $n")
+    val approx = CorpusOps.qualityFilter(docs, pct = 0.25).count()
+    assert(math.abs(approx - kept) <= 0.05 * n)
+  }
+
   test("decontaminate flags docs sharing an n-gram with the benchmark") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val train = Seq(
