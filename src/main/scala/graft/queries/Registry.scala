@@ -86,6 +86,13 @@ object Registry {
       PqIndex.selfSearchSeeded(t(s, dir, "embeddings"),
         numQueries = 8, m = 16, subDim = 4, ksub = 32, k = 10)),
 
+    // PCA reduction (FAISS PCAMatrix pre-stage) — trained path, so
+    // rows-only + spec-gated like trained IVF/HNSW (no SQL oracle)
+    "q_pca_reduce" -> ((s, dir) =>
+      PcaReduce.reduce(t(s, dir, "embeddings"), k = 16)
+        .select(col("vec_id"), col("reduced"))
+        .orderBy(col("vec_id"))),
+
     // SQ8 scalar quantization: per-dimension 8-bit codes (QT_8bit
     // semantics) — 4× compression, deterministic arithmetic → exact oracle
     "q_sq8_knn" -> ((s, dir) =>
