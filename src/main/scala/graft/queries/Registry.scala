@@ -63,6 +63,21 @@ object Registry {
         .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
         .orderBy(col("query_id"), col("rank"))),
 
+    // Filtered vector search: metadata predicate + k-NN — the predicate
+    // prunes candidates AT THE SCAN (PushedFilters), then the standard
+    // broadcast top-k runs over the reduced set
+    "q_filtered_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val cands = emb.where(col("label") < 4)
+        .select(col("vec_id"), col("embedding").as("vec"))
+      KnnSearch.topK(q, cands, k = 10, excludeSelf = true)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- IVF / PQ ANN (SURVEY §2.3 J2/J3, §2.4 A2-A4) ----
 
     // A4: inverted-list build with deterministic seed centroids → per-list stats
@@ -782,6 +797,22 @@ object Registry {
 
     // UDAF path computes the identical top-k
     "q_flat_knn_agg" -> flatKnnSql,
+
+    "q_filtered_knn" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+         |), j AS (
+         |  SELECT q.query_id, v.vec_id, $l2sq AS dist
+         |  FROM q CROSS JOIN embeddings v
+         |  WHERE v.label < 4 AND v.vec_id <> q.query_id
+         |), r AS (
+         |  SELECT query_id, vec_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |  FROM j
+         |)
+         |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+         |FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_ivf_build" ->
       s"""WITH cent AS (

@@ -132,6 +132,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_filtered_knn: metadata predicate reaches the candidate parquet scan") {
+    val p = planOf(Registry.queries("q_filtered_knn")(spark, sf0001))
+    assert(p.contains("LessThan(label,4)"),
+      "the label filter must push into the scan — filtered ANN prunes " +
+        "candidates before any distance is computed")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
   test("bucketed tables co-locate: same-bucket join plans with no shuffle") {
     val wh = Files.createTempDirectory("bucketwh").toString
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

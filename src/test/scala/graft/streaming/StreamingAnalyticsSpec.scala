@@ -182,6 +182,33 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got == Map(10L -> 1.0, 11L -> 2.0))
   }
 
+  test("session_window works as a streaming aggregation (gap sessions)") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    val src = MemoryStream[(Long, Long, Timestamp)]
+    val df = src.toDF().toDF("event_id", "user_id", "ts")
+    val sessions = df
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    // Append mode: a session emits once the watermark passes its end —
+    // drive the watermark forward with a later sentinel batch
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sw_out").start()
+    src.addData(
+      (1L, 7L, ts("2024-01-01 00:00:00")),
+      (2L, 7L, ts("2024-01-01 00:10:00")),  // within 30 min → same session
+      (3L, 7L, ts("2024-01-01 01:00:00")))  // 50 min gap → new session
+    q.processAllAvailable()
+    src.addData((99L, 8L, ts("2024-01-01 06:00:00"))) // watermark → 05:50
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sw_out")
+      .where(col("user_id") === 7L)
+      .select(col("n_events")).collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(1L, 2L))
+  }
+
   test("slidingMean emits overlapping windows") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[(Long, Timestamp, String, Double)]
