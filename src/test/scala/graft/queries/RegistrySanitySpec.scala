@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry wiring guards: every oracle belongs to a query, the
+  * no-oracle set is exactly the documented approximate/trained paths,
+  * and no Map literal silently swallows a duplicated key (in Scala a
+  * later duplicate wins and the earlier entry becomes dead code — the
+  * round-1 q_json_props bug class). */
+class RegistrySanitySpec extends AnyFunSuite {
+
+  // trained/approximate paths: verified by recall/variance specs, not SQL
+  private val documentedNoOracle =
+    Set("q_hnsw_knn", "q_ivf_trained_knn", "q_pca_reduce")
+
+  test("every oracle key has a matching query") {
+    val orphans = Registry.oracleSql.keySet -- Registry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("queries without an oracle are exactly the documented approximate set") {
+    val noOracle = Registry.queries.keySet -- Registry.oracleSql.keySet
+    assert(noOracle == documentedNoOracle,
+      s"undocumented no-oracle queries: ${noOracle -- documentedNoOracle}; " +
+        s"stale entries: ${documentedNoOracle -- noOracle}")
+  }
+
+  test("no duplicated keys in the Registry source (later dup silently wins)") {
+    val src = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        "src/main/scala/graft/queries/Registry.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val keyPattern = """"(q_[a-z0-9_]+)" ->""".r
+    val counts = keyPattern.findAllMatchIn(src).map(_.group(1)).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // each key appears at most twice: once in queries, once in oracleSql
+    val dups = counts.filter(_._2 > 2)
+    assert(dups.isEmpty, s"keys defined more than twice in source: $dups")
+    // and oracle-less keys exactly once
+    documentedNoOracle.foreach { k =>
+      assert(counts.getOrElse(k, 0) == 1, s"$k should appear exactly once")
+    }
+  }
+}
