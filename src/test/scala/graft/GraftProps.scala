@@ -168,4 +168,57 @@ object GraftProps extends Properties("graft") {
       .collect().map(_.getSeq[Long](0))
     a1.sameElements(a2) && c1.sameElements(c2)
   }
+
+  /** Growing the train fraction may only ADD docs to train — hash splits
+    * never reshuffle existing assignments (the no-leakage property that
+    * makes md5 routing safe to resize mid-project). */
+  property("hashSplitMonotoneInTrainFraction") = forAll(
+    Gen.chooseNum(0.05, 0.45), Gen.chooseNum(0.5, 0.95)) { (f1, f2) =>
+    import graft.operators.CorpusOps
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 150L).map(i => (i, "")).toDF("doc_id", "text")
+    def train(f: Double): Set[Long] =
+      CorpusOps.hashSplit(docs, col("doc_id"), f, 0.0)
+        .where(col("split") === "train")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    train(f1).subsetOf(train(f2))
+  }
+
+  /** Chunk windows tile the token stream: each chunk covers
+    * min(chunk, n − start) tokens and the last chunk reaches the end —
+    * no token is dropped for any (n, chunk, stride ≤ chunk). */
+  property("chunkWindowsCoverEveryToken") = forAll(for {
+    n <- Gen.chooseNum(1, 120)
+    chunk <- Gen.chooseNum(1, 40)
+    stride <- Gen.chooseNum(1, chunk)
+  } yield (n, chunk, stride)) { case (n, chunk, stride) =>
+    import graft.operators.CorpusOps
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, (0 until n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = CorpusOps.chunkByTokens(docs, chunk, stride)
+      .select(col("chunk_id"), col("chunk_tokens")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val sizesOk = chunks.forall { case (cid, ct) =>
+      ct == math.min(chunk.toLong, n - cid * stride) }
+    val lastEndsAtN = chunks.last._1 * stride + chunks.last._2 == n
+    val startsInRange = chunks.forall { case (cid, _) => cid * stride < n }
+    sizesOk && lastEndsAtN && startsInRange
+  }
+
+  /** weightedInterleave emits a permutation of its input — mixing
+    * reorders, never drops or duplicates. */
+  property("weightedInterleaveIsPermutation") = forAll(
+    Gen.chooseNum(10, 80), Gen.chooseNum(0.25, 4.0)) { (n, w) =>
+    import graft.operators.CorpusOps
+    val s = spark
+    import s.implicits._
+    val docs = (0L until n.toLong).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val out = CorpusOps.weightedInterleave(docs, Map("a" -> w), default = 1.0)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    out.sorted.sameElements(0L until n.toLong)
+  }
 }
