@@ -31,6 +31,8 @@ object Bench {
     } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // stderr marker so engine warnings in the log tail attribute to a query
+      System.err.println(s"[bench] $name")
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -54,6 +54,10 @@ object GraftFunctions {
       case Seq(tokens, n) => ShingleWindows(tokens, intLit(n, "shingle_windows n"))
       case args => throw new IllegalArgumentException(s"shingle_windows expects 2 args, got ${args.length}")
     },
+    "pair_windows" -> {
+      case Seq(tokens) => PairWindows(tokens)
+      case args => throw new IllegalArgumentException(s"pair_windows expects 1 arg, got ${args.length}")
+    },
     "min_shingle_hash" -> {
       case Seq(tokens, n) => MinShingleHash(tokens, intLit(n, "min_shingle_hash n"))
       case args => throw new IllegalArgumentException(s"min_shingle_hash expects 2 args, got ${args.length}")

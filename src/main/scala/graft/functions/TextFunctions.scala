@@ -42,6 +42,30 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Adjacent token pairs WITH multiplicity (unlike the distinct
+    * [[wordShingles]]) — the pair-count input of a BPE merge round:
+    * tokenizer training ranks candidate merges by corpus-wide adjacent
+    * pair frequency. Fused one-pass expression
+    * (graft.plans.PairWindows), value-identical to [[wordBigramsHof]]
+    * (parity-tested). */
+  def wordBigrams(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.PairWindows(
+      ColumnBridge.expression(tokens(text))))
+  }
+
+  /** HOF reference form of [[wordBigrams]] (parity-tested; mirrors the
+    * list_transform(range(...)) shape of the q_bigram_stats DuckDB
+    * oracle). Re-evaluates `toks` inside the lambda — O(tokens²) per
+    * row; reference/oracle-mirror only, use [[wordBigrams]] in queries. */
+  def wordBigramsHof(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1, lit(1)),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Count of tokens present in `words` (with multiplicity). */
   def wordListHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words))).cast("long")

@@ -16,6 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object HybridSearch {
 
+  /** Rank a bounded result list (≤ top-N rows by construction) without
+    * a window: rank(x) = 1 + |{y : y sorts strictly before x}|, via a
+    * broadcast theta-join of the list against itself. Equal to
+    * `row_number().over(Window.orderBy(score desc, id))` when
+    * (scoreCol, idCol) is unique — which a top-N list always is — but
+    * plans as a broadcast join + partial agg instead of the
+    * single-partition global WindowExec. The input is evaluated twice;
+    * callers pass an already-materialized (checkpointed) list.
+    *
+    * Output: (idCol, rank) with rank 1-based long. */
+  def rankBounded(list: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    val better = list.select(col(idCol).as("_y_id"), col(scoreCol).as("_y_s"))
+    list.join(broadcast(better),
+        col("_y_s") > col(scoreCol) ||
+          (col("_y_s") === col(scoreCol) && col("_y_id") < col(idCol)),
+        "left")
+      .groupBy(col(idCol))
+      .agg((count(col("_y_id")) + 1L).cast("long").as("rank"))
+  }
+
   /** Fuse two (doc_id, rank) lists; returns (doc_id, rrf) top `topN` by
     * (rrf desc, doc_id). The two reciprocal terms are summed in fixed
     * written order, so the double arithmetic is reproducible. */

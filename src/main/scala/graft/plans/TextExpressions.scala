@@ -151,6 +151,44 @@ case class ShingleWindows(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Adjacent token pairs WITH multiplicity from a token array in one
+  * pass — ShingleWindows at n=2 minus the distinct set. Value-identical
+  * to the HOF form `when(size(toks) >= 2, transform(sequence(1, size-1),
+  * i => concat_ws(" ", toks[i], toks[i+1]))).otherwise(array())`
+  * (TextFunctions.wordBigramsHof). The HOF form re-evaluates the token
+  * array inside the per-element lambda (O(tokens²) per row); the fused
+  * form is one pass over the materialized array. */
+case class PairWindows(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pair_windows expects array<string>, got $t")
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val windows = toks.numElements() - 1
+    if (windows <= 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](windows)
+      var i = 0
+      while (i < windows) {
+        out(i) = UTF8String.concatWs(space, toks.getUTF8String(i), toks.getUTF8String(i + 1))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Minimum 60-bit shingle hash over a token array in one pass — the doc
   * fingerprint. Value-identical to
   * `array_min(transform(wordShingles(text, n), md5Long))` (and the DuckDB

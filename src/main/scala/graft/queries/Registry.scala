@@ -367,6 +367,17 @@ object Registry {
         .select(col("user_id"), col("cnt").as("n_events"))
         .orderBy(col("n_events").desc, col("user_id"))),
 
+    // BPE-style pair statistics: adjacent-token pair counts (the merge
+    // ranking input of tokenizer training) — map-side explode + one
+    // map-combinable aggregate + TakeOrdered top-N
+    "q_bigram_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.wordBigrams(col("text"))).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)),
+
     // BM25 ranked retrieval for a fixed bag-of-words query — lexical
     // search next to the vector paths; global top-N via orderBy.limit
     "q_bm25" -> ((s, dir) =>
@@ -375,13 +386,14 @@ object Registry {
         .select(col("doc_id"), round(col("score"), 6).as("score"))),
 
     // Hybrid search: RRF fusion of the BM25 list and the cosine k-NN
-    // list for query 0 (vec_id ≡ doc_id in the test corpus). The rank
-    // window runs on the 20-row BM25 result — bounded by construction
+    // list for query 0 (vec_id ≡ doc_id in the test corpus). The BM25
+    // list is ≤20 rows by construction — checkpoint it once and rank it
+    // window-free (broadcast count-of-better-rows), so no plan in the
+    // suite carries an unpartitioned global WindowExec
     "q_hybrid_search" -> ((s, dir) => {
-      val bmRanked = queries("q_bm25")(s, dir)
-        .withColumn("r", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-        .select(col("doc_id"), col("r"))
+      val bm = queries("q_bm25")(s, dir).localCheckpoint(true)
+      val bmRanked = HybridSearch.rankBounded(bm, "doc_id", "score")
+        .select(col("doc_id"), col("rank").as("r"))
       val cos = queries("q_cosine_knn")(s, dir)
         .where(col("query_id") === 0)
         .select(col("vec_id").as("doc_id"), col("rank").as("r"))
@@ -1298,6 +1310,16 @@ object Registry {
         |FROM events GROUP BY user_id
         |HAVING count(*) > (SELECT count(*) // 125 FROM events)
         |ORDER BY n_events DESC, user_id""".stripMargin,
+
+    "q_bigram_stats" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), p AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS pair
+        |  FROM toks
+        |)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
     "q_bm25" -> bm25Sql,
 

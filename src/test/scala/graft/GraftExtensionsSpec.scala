@@ -39,12 +39,14 @@ class GraftExtensionsSpec extends SparkSpec {
         |       simhash64(split(trim(text), '\\s+')) AS sh,
         |       min_shingle_hash(split(trim(text), '\\s+'), 3) AS fp,
         |       shingle_windows(split(trim(text), '\\s+'), 3) AS shg,
+        |       pair_windows(split(trim(text), '\\s+')) AS pw,
         |       minhash_signature(shingle_windows(split(trim(text), '\\s+'), 3), 4) AS sig
         |FROM docs_ext""".stripMargin)
     val api = spark.table("docs_ext").select($"doc_id",
       Dedup.simhashExpr($"text").as("sh"),
       TextFunctions.docFingerprint($"text", 3).as("fp"),
       TextFunctions.wordShingles($"text", 3).as("shg"),
+      TextFunctions.wordBigrams($"text").as("pw"),
       org.apache.spark.sql.graft.ColumnBridge.column(
         graft.plans.MinHashSignature(
           org.apache.spark.sql.graft.ColumnBridge.expression(

@@ -28,6 +28,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("wordBigrams keeps multiplicity; short text → empty") {
+    val r = Seq("a b a b").toDF("text").select(
+      TextFunctions.wordBigrams($"text").as("bg")).head().getSeq[String](0)
+    assert(r == Seq("a b", "b a", "a b"))
+    val short = Seq("solo").toDF("text").select(
+      TextFunctions.wordBigrams($"text").as("bg")).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
   test("langId picks the marker-dominant language, ties to list order") {
     val r = Seq(
       "the cat is of the house",  // en

@@ -22,4 +22,20 @@ class HybridSearchSpec extends SparkSpec {
     val b = (1L to 20L).map(i => (i + 100, i)).toDF("doc_id", "rank")
     assert(HybridSearch.rrfFuse(a, b, 60, 7).count() == 7)
   }
+
+  test("rankBounded equals the global row_number window, with no WindowExec") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // ties in score broken by doc_id, like a real top-N list
+    val list = Seq((5L, 0.9), (3L, 0.9), (8L, 1.4), (1L, 0.2), (7L, 0.9))
+      .toDF("doc_id", "score").localCheckpoint(true)
+    val viaWindow = list.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank")
+    val viaCount = HybridSearch.rankBounded(list, "doc_id", "score")
+    assert(viaCount.orderBy("doc_id").collect().toSeq ==
+      viaWindow.orderBy("doc_id").collect().toSeq)
+    val plan = viaCount.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rankBounded must not plan a window:\n$plan")
+  }
 }

@@ -59,6 +59,20 @@ class TextExpressionsSpec extends SparkSpec {
     assert(edge(1).getSeq[String](0).isEmpty)
   }
 
+  test("fused PairWindows is identical to the HOF bigram form on real docs") {
+    val both = spark.read.parquet(s"$sf0001/documents.parquet").select(
+      TextFunctions.wordBigrams($"text").as("fast"),
+      TextFunctions.wordBigramsHof($"text").as("hof"))
+    assert(both.where(not($"fast" <=> $"hof")).count() == 0)
+    // edge cases: multiplicity preserved; single token / empty → empty
+    val edge = Seq("a b a b", "solo", "").toDF("text").select(
+      TextFunctions.wordBigrams($"text").as("fast"),
+      TextFunctions.wordBigramsHof($"text").as("hof")).collect()
+    edge.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    assert(edge(0).getSeq[String](0) == Seq("a b", "b a", "a b"))
+    assert(edge(1).getSeq[String](0).isEmpty)
+  }
+
   test("fused MinShingleHash is identical to the HOF/oracle fingerprint on real docs") {
     val both = spark.read.parquet(s"$sf0001/documents.parquet").select(
       TextFunctions.docFingerprint($"text", 3).as("fast"),
