@@ -58,6 +58,10 @@ object GraftFunctions {
       case Seq(tokens) => PairWindows(tokens)
       case args => throw new IllegalArgumentException(s"pair_windows expects 1 arg, got ${args.length}")
     },
+    "top_token_count" -> {
+      case Seq(tokens) => TopTokenCount(tokens)
+      case args => throw new IllegalArgumentException(s"top_token_count expects 1 arg, got ${args.length}")
+    },
     "min_shingle_hash" -> {
       case Seq(tokens, n) => MinShingleHash(tokens, intLit(n, "min_shingle_hash n"))
       case args => throw new IllegalArgumentException(s"min_shingle_hash expects 2 args, got ${args.length}")

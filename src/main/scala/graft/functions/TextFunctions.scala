@@ -66,6 +66,27 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Highest single-token occurrence count — numerator of the
+    * Gopher-style "top word fraction" repetition signal. Fused one-pass
+    * expression (graft.plans.TopTokenCount), value-identical to
+    * [[topTokenCountHof]] (parity-tested). */
+  def topTokenCount(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.TopTokenCount(
+      ColumnBridge.expression(tokens(text))))
+  }
+
+  /** HOF reference form of [[topTokenCount]] (parity-tested; mirrors the
+    * q_repetition DuckDB oracle). O(distinct·tokens) per row —
+    * reference/oracle-mirror only, use [[topTokenCount]] in queries. */
+  def topTokenCountHof(text: Column): Column = {
+    val toks = tokens(text)
+    coalesce(
+      array_max(transform(array_distinct(toks),
+        t => size(filter(toks, x => x === t)).cast("long"))),
+      lit(0L))
+  }
+
   /** Count of tokens present in `words` (with multiplicity). */
   def wordListHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words))).cast("long")

@@ -49,6 +49,56 @@ object KnnSearch {
       .where(col("rank") <= k)
   }
 
+  /** FAISS `range_search` analog: every vector within `radiusSq`
+    * (squared L2 — the same metric FAISS `IndexFlatL2.range_search`
+    * takes) of each query. Unlike top-k the result is ragged —
+    * data-dependent rows per query — so the relational form is simply
+    * the filtered (query_id, vec_id, dist) set with no window at all.
+    *
+    * Scale: [[topK]] minus the top-k machinery — broadcast query set,
+    * map-side distance + selective filter fused into the scan stage; at
+    * 100 TB this is one shuffle-free pass with only matches surviving.
+    */
+  def rangeSearch(
+      queries: DataFrame,
+      vectors: DataFrame,
+      radiusSq: Double,
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "qvec",
+      vecIdCol: String = "vec_id",
+      vecCol: String = "vec",
+      dist: (Column, Column) => Column = Distances.l2SqFast,
+      excludeSelf: Boolean = false): DataFrame = {
+    val joined = vectors.crossJoin(broadcast(queries))
+    val filtered =
+      if (excludeSelf) joined.where(col(vecIdCol) =!= col(queryIdCol))
+      else joined
+    filtered
+      .select(
+        col(queryIdCol),
+        col(vecIdCol),
+        dist(col(queryVecCol), col(vecCol)).as("dist"))
+      .where(col("dist") <= radiusSq)
+  }
+
+  /** Self range-search over an embeddings table: first `numQueries`
+    * vectors (by id) against the full table, excluding the query row.
+    * Totally ordered on (query_id, vec_id) — dist is functionally
+    * determined by the pair, so the order is unambiguous. */
+  def selfRange(
+      embeddings: DataFrame,
+      numQueries: Int,
+      radiusSq: Double,
+      dist: (Column, Column) => Column = Distances.l2SqFast): DataFrame = {
+    val q = embeddings
+      .where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val v = embeddings.select(col("vec_id"), col("embedding").as("vec"))
+    rangeSearch(q, v, radiusSq, excludeSelf = true, dist = dist)
+      .select(col("query_id"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("vec_id"))
+  }
+
   /** Self-kNN via the typed bounded-heap aggregator
     * (graft.functions.TopKAggregator) instead of the window — identical
     * results by construction (same (dist, vec_id) order); the UDAF path

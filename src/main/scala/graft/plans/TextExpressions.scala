@@ -189,6 +189,44 @@ case class PairWindows(child: Expression)
     copy(child = newChild)
 }
 
+/** Highest single-token occurrence count in a token array, one pass —
+  * the numerator of the Gopher-style "top word fraction" repetition
+  * signal (a document dominated by one repeated token is boilerplate).
+  * Value-identical to the HOF form
+  * `array_max(transform(array_distinct(toks), t => size(filter(toks,
+  * x => x === t))))` (TextFunctions.topTokenCountHof) — which is
+  * O(distinct·n) per row where this is one hash-map pass. Empty → 0. */
+case class TopTokenCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"top_token_count expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n == 0) 0L
+    else {
+      val counts = new java.util.HashMap[UTF8String, Int]((n * 2) max 16)
+      var best = 0
+      var i = 0
+      while (i < n) {
+        val c = counts.merge(toks.getUTF8String(i), 1, (a, b) => a + b)
+        if (c > best) best = c
+        i += 1
+      }
+      best.toLong
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Minimum 60-bit shingle hash over a token array in one pass — the doc
   * fingerprint. Value-identical to
   * `array_min(transform(wordShingles(text, n), md5Long))` (and the DuckDB

@@ -78,6 +78,12 @@ object Registry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // FAISS range_search analog: ragged radius query — broadcast query
+    // set, map-side distance + filter fused into the scan, zero shuffles
+    // before the output sort
+    "q_range_search" -> ((s, dir) =>
+      KnnSearch.selfRange(t(s, dir, "embeddings"), numQueries = 8, radiusSq = 1.45)),
+
     // ---- IVF / PQ ANN (SURVEY §2.3 J2/J3, §2.4 A2-A4) ----
 
     // A4: inverted-list build with deterministic seed centroids → per-list stats
@@ -488,6 +494,27 @@ object Registry {
         TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-style repetition signals (Rae et al.): a doc dominated by a
+    // single token or by repeated n-grams is boilerplate. Pure map-side
+    // projection — one fused-expression pass per signal, no shuffle
+    "q_repetition" -> ((s, dir) => {
+      val n = TextFunctions.tokenCountWs(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        n.as("n_tokens"),
+        round(TextFunctions.topTokenCount(col("text")).cast("double") /
+          n.cast("double"), 4).as("top_word_frac"),
+        round(when(n > 1, lit(1.0) -
+            size(TextFunctions.wordShingles(col("text"), 2)).cast("double") /
+              (n - 1).cast("double"))
+          .otherwise(0.0), 4).as("dup_2gram_frac"),
+        round(when(n > 2, lit(1.0) -
+            size(TextFunctions.wordShingles(col("text"), 3)).cast("double") /
+              (n - 2).cast("double"))
+          .otherwise(0.0), 4).as("dup_3gram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_lang_id" -> ((s, dir) => {
       val scores = TextFunctions.langScores(col("text"))
       t(s, dir, "documents").select(
@@ -809,6 +836,18 @@ object Registry {
 
     // UDAF path computes the identical top-k
     "q_flat_knn_agg" -> flatKnnSql,
+
+    "q_range_search" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+         |), j AS (
+         |  SELECT q.query_id, v.vec_id, $l2sq AS dist
+         |  FROM q CROSS JOIN embeddings v
+         |  WHERE v.vec_id <> q.query_id
+         |)
+         |SELECT query_id, vec_id, round(dist, 4) AS dist
+         |FROM j WHERE dist <= 1.45
+         |ORDER BY query_id, vec_id""".stripMargin,
 
     "q_filtered_knn" ->
       s"""WITH q AS (
@@ -1529,6 +1568,27 @@ object Registry {
          |        (CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / len(text)) * 0.3 +
          |        least((CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks)) * 5.0, 1.0) * 0.3, 4) AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(list_max(list_transform(list_distinct(toks),
+        |          t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) /
+        |        CAST(len(toks) AS DOUBLE), 4) AS top_word_frac,
+        |  round(CASE WHEN len(toks) > 1 THEN
+        |          1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |                  i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) /
+        |                CAST(len(toks) - 1 AS DOUBLE)
+        |        ELSE 0.0 END, 4) AS dup_2gram_frac,
+        |  round(CASE WHEN len(toks) > 2 THEN
+        |          1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE) /
+        |                CAST(len(toks) - 2 AS DOUBLE)
+        |        ELSE 0.0 END, 4) AS dup_3gram_frac
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" ->
       """WITH t AS (

@@ -40,6 +40,7 @@ class GraftExtensionsSpec extends SparkSpec {
         |       min_shingle_hash(split(trim(text), '\\s+'), 3) AS fp,
         |       shingle_windows(split(trim(text), '\\s+'), 3) AS shg,
         |       pair_windows(split(trim(text), '\\s+')) AS pw,
+        |       top_token_count(split(trim(text), '\\s+')) AS ttc,
         |       minhash_signature(shingle_windows(split(trim(text), '\\s+'), 3), 4) AS sig
         |FROM docs_ext""".stripMargin)
     val api = spark.table("docs_ext").select($"doc_id",
@@ -47,6 +48,7 @@ class GraftExtensionsSpec extends SparkSpec {
       TextFunctions.docFingerprint($"text", 3).as("fp"),
       TextFunctions.wordShingles($"text", 3).as("shg"),
       TextFunctions.wordBigrams($"text").as("pw"),
+      TextFunctions.topTokenCount($"text").as("ttc"),
       org.apache.spark.sql.graft.ColumnBridge.column(
         graft.plans.MinHashSignature(
           org.apache.spark.sql.graft.ColumnBridge.expression(

@@ -37,4 +37,25 @@ class KnnSearchSpec extends SparkSpec {
     assert(!got.exists(r => r.getAs[Long]("query_id") == r.getAs[Long]("vec_id")))
     assert(got.forall(_.getAs[Double]("dist") > 0.0))
   }
+
+  test("rangeSearch returns exactly the pairs within radiusSq, no window in the plan") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val r2 = 1.5
+    val got = KnnSearch.selfRange(emb, numQueries = 4, radiusSq = r2)
+    // reference: brute force via the HOF distance (cross-checks the fused
+    // expr), filtering on the UNROUNDED distance like the operator does
+    val q = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val all = emb.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.Distances.l2Sq(col("qvec"), col("embedding")).as("d"))
+      .where(col("d") <= r2)
+      .select(col("query_id"), col("vec_id"), round(col("d"), 4).as("dist"))
+      .orderBy(col("query_id"), col("vec_id"))
+    assert(got.collect().toSeq == all.collect().toSeq)
+    assert(got.collect().nonEmpty, "radius too small for the fixture")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"range search must not plan a window:\n$plan")
+  }
 }

@@ -73,6 +73,20 @@ class TextExpressionsSpec extends SparkSpec {
     assert(edge(1).getSeq[String](0).isEmpty)
   }
 
+  test("fused TopTokenCount is identical to the HOF form on real docs") {
+    val both = spark.read.parquet(s"$sf0001/documents.parquet").select(
+      TextFunctions.topTokenCount($"text").as("fast"),
+      TextFunctions.topTokenCountHof($"text").as("hof"))
+    assert(both.where(not($"fast" <=> $"hof")).count() == 0)
+    val edge = Seq("a b a b a", "solo", "x y z").toDF("text").select(
+      TextFunctions.topTokenCount($"text").as("fast"),
+      TextFunctions.topTokenCountHof($"text").as("hof")).collect()
+    edge.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(edge(0).getLong(0) == 3L) // 'a' ×3
+    assert(edge(1).getLong(0) == 1L)
+    assert(edge(2).getLong(0) == 1L)
+  }
+
   test("fused MinShingleHash is identical to the HOF/oracle fingerprint on real docs") {
     val both = spark.read.parquet(s"$sf0001/documents.parquet").select(
       TextFunctions.docFingerprint($"text", 3).as("fast"),
