@@ -165,6 +165,18 @@ object IvfIndex {
     assign(newVectors, centroids).write.mode("append")
       .partitionBy("cluster_id").parquet(s"$dir/assignments")
 
+  /** `index.remove_ids` analog (FAISS `IndexIVF.remove_ids`): drop a set
+    * of vector ids from the inverted lists. Relationally a broadcast
+    * LEFT ANTI join of the assignments against the (small) removal set —
+    * the big side streams through unshuffled, every partition drops its
+    * own members, and the cluster layout is untouched (subsequent
+    * searches prune identically). For a persisted index, rewrite via
+    * `removeIds(load, ids).write.partitionBy("cluster_id")` — same
+    * compaction-style rewrite FAISS does internally on remove. */
+  def removeIds(assignments: DataFrame, removeIds: DataFrame): DataFrame =
+    assignments.join(broadcast(removeIds.select(col("vec_id"))),
+      Seq("vec_id"), "left_anti")
+
   /** S3 — load a persisted index. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): (Array[Centroid], DataFrame) = {
     val cents = spark.read.parquet(s"$dir/centroids")

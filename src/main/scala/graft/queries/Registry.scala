@@ -97,6 +97,21 @@ object Registry {
         .orderBy(col("cluster_id"))
     }),
 
+    // FAISS remove_ids analog: broadcast anti-join drops the removal set
+    // from the inverted lists in one unshuffled pass; per-cell stats
+    // prove the surviving layout
+    "q_index_remove" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val assigned = IvfIndex.assign(emb, IvfIndex.seedCentroids(emb, 16))
+      val rm = emb.where(col("vec_id") % 7 === 0).select(col("vec_id"))
+      IvfIndex.removeIds(assigned, rm)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("num_vectors"),
+          min(col("vec_id")).as("min_vec_id"),
+          max(col("vec_id")).as("max_vec_id"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // J2: two-phase IVF search (probe top-nprobe lists, scan, merge)
     "q_ivf_knn" -> ((s, dir) =>
       IvfIndex.selfSearchSeeded(t(s, dir, "embeddings"),
@@ -270,6 +285,16 @@ object Registry {
           round(Distances.cosineSimFast(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
         .where(col("cos_sim") >= 0.25)
         .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // SemDeDup (Abbas et al.): semantic dedup — cluster embeddings with
+    // the deterministic seed centroids, within-cell cosine pairs ≥ tau,
+    // lower id wins. Quadratic work confined to cells (size constant
+    // under nlist ∝ n), assignment shuffle-free
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SemanticDedup.verdicts(emb, IvfIndex.seedCentroids(emb, 16), tau = 0.35)
+        .orderBy(col("vec_id"))
     }),
 
     // Recall@k harness as an operator: LSH result vs exact cosine ground
@@ -880,6 +905,22 @@ object Registry {
          |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
          |FROM a GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
+    "q_index_remove" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+         |), d0 AS (
+         |  SELECT v.vec_id, c.cid, ${l2sqSql("v.embedding", "c.cvec")} AS d
+         |  FROM embeddings v CROSS JOIN cent c
+         |), a AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0
+         |  ) WHERE rn = 1
+         |)
+         |SELECT cid AS cluster_id, count(*) AS num_vectors,
+         |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+         |FROM a WHERE vec_id % 7 <> 0
+         |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
     "q_ivf_knn" ->
       s"""WITH cent AS (
          |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
@@ -1171,6 +1212,25 @@ object Registry {
          |)
          |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_semantic_dedup" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+         |), d0 AS (
+         |  SELECT v.vec_id, v.embedding, c.cid, ${l2sqSql("v.embedding", "c.cvec")} AS d
+         |  FROM embeddings v CROSS JOIN cent c
+         |), a AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT vec_id, embedding, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0
+         |  ) WHERE rn = 1
+         |), p AS (
+         |  SELECT y.vec_id AS vec_b
+         |  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |  WHERE round(${cosSimSql("x.embedding", "y.embedding")}, 4) >= 0.35
+         |)
+         |SELECT a.vec_id, a.cid AS cluster_id,
+         |       (a.vec_id IN (SELECT vec_b FROM p)) AS is_dup
+         |FROM a ORDER BY a.vec_id""".stripMargin,
 
     "q_lsh_cosine_knn" -> lshCosineKnnSql,
 

@@ -63,6 +63,27 @@ class IndexPersistenceSpec extends SparkSpec {
     assert(incremental == oneShot && incremental.nonEmpty)
   }
 
+  test("removeIds drops exactly the removal set; search never returns a removed id") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = IvfIndex.seedCentroids(emb, 16)
+    val assigned = IvfIndex.assign(emb, cents)
+    val rm = emb.where($"vec_id" % 5 === 0).select($"vec_id")
+    val removed = IvfIndex.removeIds(assigned, rm)
+    assert(removed.count() == emb.count() - rm.count())
+    assert(removed.where($"vec_id" % 5 === 0).count() == 0)
+    // anti-join must not shuffle the big side: no Exchange above the scan
+    // feeding the join's left (broadcast hash join expected)
+    val plan = removed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join:\n$plan")
+
+    val q = emb.where($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val res = IvfIndex.search(q, cents, removed, nprobe = 4, k = 10,
+      excludeSelf = true).select($"vec_id").as[Long].collect()
+    assert(res.nonEmpty && res.forall(_ % 5 != 0))
+  }
+
   test("evenSplitScalable matches the window-based evenSplit assignment") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val viaWindow = Sharding.evenSplit(emb, 7, "vec_id")
