@@ -30,8 +30,14 @@ object SemanticDedup {
     * threshold applied to the rounded value, so the cut is
     * engine-portable). */
   def dupPairs(embeddings: DataFrame, centroids: Array[Centroid],
-      tau: Double): DataFrame = {
-    val assigned = IvfIndex.assign(embeddings, centroids)
+      tau: Double): DataFrame =
+    pairsFromAssigned(IvfIndex.assign(embeddings, centroids), tau)
+
+  /** Pair stage over an already-assigned table — both join sides are the
+    * SAME subplan shuffled on cluster_id, so Spark plans a
+    * ReusedExchange: the corpus is scanned and shuffled once, not twice. */
+  private def pairsFromAssigned(assignedIn: DataFrame, tau: Double): DataFrame = {
+    val assigned = assignedIn
       .select(col("vec_id"), col("embedding"), col("cluster_id"))
     assigned.as("a").join(assigned.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
@@ -49,11 +55,11 @@ object SemanticDedup {
   def verdicts(embeddings: DataFrame, centroids: Array[Centroid],
       tau: Double): DataFrame = {
     val assigned = IvfIndex.assign(embeddings, centroids)
-      .select(col("vec_id"), col("cluster_id"))
-    val dups = dupPairs(embeddings, centroids, tau)
+    val dups = pairsFromAssigned(assigned, tau)
       .select(col("vec_b").as("vec_id")).distinct()
       .withColumn("is_dup", lit(true))
-    assigned.join(dups, Seq("vec_id"), "left")
+    assigned.select(col("vec_id"), col("cluster_id"))
+      .join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster_id"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }

@@ -140,6 +140,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("q_semantic_dedup: within-cell equi-join, never all pairs") {
+    val p = planOf(Registry.queries("q_semantic_dedup")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"),
+      "the pair stage must equi-join on cluster_id, never generate all pairs")
+  }
+
+  test("semantic dedup pair stage at scale (broadcast off): one shuffle, exchange reused") {
+    import graft.operators.SemanticDedup
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      spark.catalog.clearCache()
+      val df = SemanticDedup.dupPairs(emb, IvfIndex.seedCentroids(emb, 8), 0.3)
+      // AQE only materializes stage reuse in the FINAL plan, and only for
+      // THIS QueryExecution — collect() drives it (count() would plan anew)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // when neither side can broadcast (the 100 TB regime), both sides are
+      // the SAME assignment subplan shuffled on cluster_id — Spark must
+      // compute the shuffle once and reuse it
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+        s"self-join sides must share one exchange:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q_range_search: broadcast queries, no window, no sort-merge join") {
+    val p = planOf(Registry.queries("q_range_search")(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("WindowExec") && !p.contains("SortMergeJoin"))
+  }
+
   test("bucketed tables co-locate: same-bucket join plans with no shuffle") {
     val wh = Files.createTempDirectory("bucketwh").toString
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
