@@ -97,6 +97,20 @@ object Registry {
         .orderBy(col("cluster_id"))
     }),
 
+    // Binary (sign-bit) quantization + Hamming k-NN — IndexBinaryFlat
+    // analog: 32× smaller codes, deterministic end-to-end (exact oracle)
+    "q_binary_knn" -> ((s, dir) =>
+      BinaryIndex.selfSearch(t(s, dir, "embeddings"), d = 64,
+        numQueries = 8, k = 10)),
+
+    // Matryoshka coarse-to-fine: prefix-dim shortlist, exact re-rank —
+    // deterministic two-stage composition (PQ-re-rank's dataflow twin)
+    // (coarseDims=48 on the ISOTROPIC test fixture — real MRL embeddings
+    // front-load information and take far shorter prefixes)
+    "q_mrl_knn" -> ((s, dir) =>
+      MrlSearch.selfSearch(t(s, dir, "embeddings"), numQueries = 8,
+        coarseDims = 48, shortlist = 60, k = 10)),
+
     // FAISS remove_ids analog: broadcast anti-join drops the removal set
     // from the inverted lists in one unshuffled pass; per-cell stats
     // prove the surviving layout
@@ -904,6 +918,52 @@ object Registry {
          |SELECT cid AS cluster_id, count(*) AS num_vectors,
          |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
          |FROM a GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "q_binary_knn" ->
+      """WITH c AS (
+        |  SELECT vec_id, list_transform(range(0, 2), w ->
+        |    CAST(list_sum(list_transform(range(1, 33), j ->
+        |      CASE WHEN embedding[w*32 + j] > 0 THEN CAST(power(2, j-1) AS BIGINT) ELSE 0 END)) AS BIGINT)) AS code
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, code AS qcode FROM c WHERE vec_id < 8
+        |), j AS (
+        |  SELECT q.query_id, c.vec_id,
+        |         CAST(list_sum(list_transform(range(1, 3), i -> bit_count(xor(q.qcode[i], c.code[i])))) AS BIGINT) AS hamming
+        |  FROM q CROSS JOIN c WHERE c.vec_id <> q.query_id
+        |), r AS (
+        |  SELECT query_id, vec_id, hamming,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rank
+        |  FROM j
+        |)
+        |SELECT query_id, rank, vec_id, hamming FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_mrl_knn" ->
+      s"""WITH q0 AS (
+         |  SELECT vec_id AS query_id, embedding[1:48] AS qcvec, embedding AS qvec
+         |  FROM embeddings WHERE vec_id < 8
+         |), cj AS (
+         |  SELECT q0.query_id, v.vec_id, ${l2sqSql("q0.qcvec", "v.embedding[1:48]")} AS cdist
+         |  FROM q0 CROSS JOIN embeddings v WHERE v.vec_id <> q0.query_id
+         |), sl AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY cdist, vec_id) AS crank
+         |    FROM cj
+         |  ) WHERE crank <= 60
+         |), fj AS (
+         |  SELECT sl.query_id, sl.vec_id, ${l2sqSql("q0.qvec", "v.embedding")} AS dist
+         |  FROM sl
+         |  JOIN embeddings v ON v.vec_id = sl.vec_id
+         |  JOIN q0 ON q0.query_id = sl.query_id
+         |), r AS (
+         |  SELECT query_id, vec_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |  FROM fj
+         |)
+         |SELECT query_id, rank, vec_id, round(dist, 4) AS dist FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_index_remove" ->
       s"""WITH cent AS (
