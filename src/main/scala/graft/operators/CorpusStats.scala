@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-level statistical quality signals for LLM training-data
+  * curation — the cross-document counterparts of the per-document
+  * Gopher signals in [[Dedup.repetitionSignals]]:
+  *
+  *  - duplicated n-gram fraction: what share of a document's n-gram
+  *    occurrences also appear in at least one OTHER document (the
+  *    FineWeb/RefinedWeb "dup_ngram" pruning signal — high values mean
+  *    boilerplate);
+  *  - unigram-LM negative log-likelihood: score each document against a
+  *    unigram language model trained on the corpus itself (the CCNet
+  *    perplexity-bucketing signal, with the corpus standing in for the
+  *    target-domain LM).
+  *
+  * Scale design: both passes shuffle only on content keys (gram / term /
+  * doc_id) with map-side partial aggregation — never a global sort or a
+  * broadcast of a corpus-sized table. The term vocabulary is Heaps'-law
+  * sublinear, so the corpus-frequency table broadcasts; the n-gram table
+  * is NOT vocabulary-sized, so gram-side joins stay shuffle hash/sort-merge
+  * joins (AQE splits hot grams). Float sums fold left-to-right over
+  * term-sorted lists on both engines for bit parity with the oracle.
+  */
+object CorpusStats {
+
+  /** Word n-grams WITH multiplicity (unlike the distinct
+    * `TextFunctions.wordShingles`): one entry per window position, the
+    * occurrence unit of the duplicated-n-gram fraction. */
+  def wordNgrams(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val toks = TextFunctions.tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1), lit(1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-document cross-corpus duplicated n-gram stats. Output:
+    * (doc_id, n_grams, dup_grams, dup_frac) where dup_grams counts the
+    * document's n-gram occurrences whose gram appears in ≥2 distinct
+    * documents. Documents shorter than `n` tokens emit no grams and are
+    * dropped (same on both engines).
+    *
+    * Plan: explode grams (map-side); distinct docs per gram → ndocs
+    * (shuffle on gram, partial-agg); left-semi join occurrences against
+    * duplicated grams (shuffle on gram); two per-doc count aggregates
+    * (shuffle on doc_id). No quadratic pair generation anywhere — this is
+    * the scalable alternative to an all-pairs overlap join. */
+  def dupNgramStats(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(wordNgrams(col(textCol), n)).as("gram"))
+    val dupGrams = grams.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("ndocs"))
+      .where(col("ndocs") >= 2).select(col("gram"))
+    val tot = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val dup = grams.join(dupGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_grams"))
+    tot.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .withColumn("dup_frac",
+        round(col("dup_grams").cast("double") / col("n_grams").cast("double"), 4))
+  }
+
+  /** Per-document unigram-LM score: mean negative log-likelihood of the
+    * document's tokens under the corpus unigram distribution
+    * p(w) = cf(w)/N. Output: (doc_id, n_tokens, nll) with
+    * nll = round(Σ tf·ln(N/cf) / n_tokens, 4) — low nll ≈ stereotypical
+    * text, high nll ≈ rare-word text (CCNet buckets on exactly this).
+    *
+    * Plan: per-(doc,term) tf and per-term cf are both map-side-combinable
+    * aggregates; cf is vocabulary-sized → broadcast join; the per-doc sum
+    * folds left-to-right over the term-sorted contribution list so the
+    * double sum is order-deterministic and matches the oracle bitwise. */
+  def unigramNll(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val cf = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val nTotal = cf.agg(sum(col("cf"))).head().getLong(0) // control-plane scalar
+    tf.join(broadcast(cf), Seq("term"))
+      .withColumn("contrib",
+        col("tf").cast("double") *
+          log(lit(nTotal.toDouble) / col("cf").cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sort_array(collect_list(struct(col("term"), col("contrib")))).as("lst"))
+      .withColumn("nll",
+        round(
+          aggregate(col("lst"), lit(0.0d), (acc, x) => acc + x.getField("contrib")) /
+            col("n_tokens").cast("double"), 4))
+      .select(col("doc_id"), col("n_tokens"), col("nll"))
+  }
+}

@@ -177,6 +177,37 @@ object IvfIndex {
     assignments.join(broadcast(removeIds.select(col("vec_id"))),
       Seq("vec_id"), "left_anti")
 
+  /** FAISS `merge_from` analog: combine two indexes built against the
+    * SAME centroid set by unioning their inverted lists — merge is pure
+    * metadata (a multi-path scan), no re-assignment, no shuffle, and the
+    * merged index partition-prunes exactly like either input. Searching
+    * the merge of disjoint halves is row-identical to searching one index
+    * over the union (spec + oracle-asserted). */
+  def mergeFrom(a: DataFrame, b: DataFrame): DataFrame = a.unionByName(b)
+
+  /** FAISS `reconstruct`/`reconstruct_n` analog (DirectMap id lookup):
+    * fetch the stored vectors for a set of ids from the inverted lists.
+    * Broadcast inner join — the assignments side streams unshuffled and
+    * the vec_id filter pushes into the parquet scan. */
+  def reconstruct(assignments: DataFrame, ids: DataFrame): DataFrame =
+    assignments.join(broadcast(ids.select(col("vec_id"))), Seq("vec_id"))
+
+  /** FAISS `imbalance_factor` + `ntotal` index diagnostics: one row of
+    * (nlist, nonempty_lists, ntotal, imbalance) where imbalance =
+    * nlist · Σsᵢ² / (Σsᵢ)² over inverted-list sizes (1.0 = perfectly
+    * balanced; the reference monitors this to decide retraining). Two
+    * map-side-combinable integer aggregates — exact at any scale. */
+  def indexStats(assignments: DataFrame, nlist: Int): DataFrame =
+    assignments.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("nonempty_lists"),
+        sum(col("sz")).as("ntotal"),
+        sum(col("sz") * col("sz")).as("sum_sq"))
+      .select(lit(nlist.toLong).as("nlist"), col("nonempty_lists"),
+        col("ntotal"),
+        round(lit(nlist.toDouble) * col("sum_sq").cast("double") /
+          (col("ntotal").cast("double") * col("ntotal").cast("double")), 6)
+          .as("imbalance"))
+
   /** S3 — load a persisted index. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): (Array[Centroid], DataFrame) = {
     val cents = spark.read.parquet(s"$dir/centroids")

@@ -731,6 +731,73 @@ object Registry {
           sum(col("l_quantity")).over(w).as("running_qty"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("running_qty"))
+    }),
+
+    // Cross-document duplicated 3-gram fraction (FineWeb boilerplate
+    // signal) — gram-keyed shuffles only, no pair generation
+    "q_dup_ngrams" -> ((s, dir) =>
+      CorpusStats.dupNgramStats(t(s, dir, "documents"), n = 3)
+        .orderBy(col("doc_id"))),
+
+    // Unigram-LM mean negative log-likelihood per doc (CCNet-style
+    // perplexity bucketing signal) — vocab-sized broadcast, sorted fold
+    "q_unigram_nll" -> ((s, dir) =>
+      CorpusStats.unigramNll(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // FAISS merge_from: two half-indexes on the same centroids, merged,
+    // must search identically to the single full index (shared oracle)
+    "q_ivf_merge" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = IvfIndex.seedCentroids(emb, 16)
+      val merged = IvfIndex.mergeFrom(
+        IvfIndex.assign(emb.where(pmod(col("vec_id"), lit(2L)) === 0L), cents),
+        IvfIndex.assign(emb.where(pmod(col("vec_id"), lit(2L)) === 1L), cents))
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      IvfIndex.search(q, cents, merged, nprobe = 4, k = 10, excludeSelf = true)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // FAISS imbalance_factor / ntotal diagnostics over the inverted lists
+    "q_index_stats" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      IvfIndex.indexStats(IvfIndex.assign(emb, IvfIndex.seedCentroids(emb, 16)), nlist = 16)
+    }),
+
+    // Mean-pool embeddings per label (class centroids for SemDeDup-style
+    // pruning / chunk→doc pooling) — partial-agg before the shuffle
+    "q_label_centroids" -> ((s, dir) =>
+      EmbeddingPool.meanPool(t(s, dir, "embeddings"), "label")
+        .orderBy(col("label"), col("dim"))),
+
+    // Vocabulary Zipf head: top-25 corpus terms by frequency (tokenizer
+    // design signal) — TakeOrdered, no global window over the vocabulary
+    "q_vocab_zipf" -> ((s, dir) => {
+      val cf = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+        .orderBy(col("cf").desc, col("term")).limit(25)
+      val w = Window.orderBy(col("cf").desc, col("term")) // bounded: 25 rows
+      cf.withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("term"), col("cf"))
+        .orderBy(col("rank"))
+    }),
+
+    // FAISS reconstruct_n: fetch stored vectors by id from the inverted
+    // lists; scalar digest (dim + element checksum) for the oracle
+    "q_reconstruct" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val assignments = IvfIndex.assign(emb, IvfIndex.seedCentroids(emb, 16))
+      val ids = emb.where(pmod(col("vec_id"), lit(97L)) === 0L).select(col("vec_id"))
+      IvfIndex.reconstruct(assignments, ids)
+        .select(col("vec_id"), col("cluster_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(aggregate(transform(col("embedding"), _.cast("double")),
+            lit(0.0d), (acc, x) => acc + x), 4).as("checksum"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -867,6 +934,40 @@ object Registry {
       |SELECT doc_id, round(score, 6) AS score
       |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Shared by q_ivf_knn and q_ivf_merge: merging two disjoint
+    * half-indexes built on the same centroids must search identically to
+    * the single full index. */
+  private val ivfKnnSql: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+       |), d0 AS (
+       |  SELECT v.vec_id, v.embedding, c.cid, ${l2sqSql("v.embedding", "c.cvec")} AS d
+       |  FROM embeddings v CROSS JOIN cent c
+       |), assign AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT vec_id, embedding, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0
+       |  ) WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+       |), p0 AS (
+       |  SELECT q.query_id, q.qvec, c.cid, ${l2sqSql("q.qvec", "c.cvec")} AS d
+       |  FROM q CROSS JOIN cent c
+       |), probes AS (
+       |  SELECT query_id, qvec, cid FROM (
+       |    SELECT query_id, qvec, cid, row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn FROM p0
+       |  ) WHERE rn <= 4
+       |), cand AS (
+       |  SELECT p.query_id, a.vec_id, ${l2sqSql("p.qvec", "a.embedding")} AS dist
+       |  FROM probes p JOIN assign a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.query_id
+       |), r AS (
+       |  SELECT query_id, vec_id, dist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+       |  FROM cand
+       |)
+       |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_flat_knn" -> flatKnnSql,
 
@@ -981,36 +1082,72 @@ object Registry {
          |FROM a WHERE vec_id % 7 <> 0
          |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
-    "q_ivf_knn" ->
+    "q_ivf_knn" -> ivfKnnSql,
+
+    // identical oracle: searching the merge of two disjoint half-indexes
+    // (same centroids) must equal searching the single full index
+    "q_ivf_merge" -> ivfKnnSql,
+
+    "q_index_stats" ->
       s"""WITH cent AS (
          |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
          |), d0 AS (
-         |  SELECT v.vec_id, v.embedding, c.cid, ${l2sqSql("v.embedding", "c.cvec")} AS d
+         |  SELECT v.vec_id, c.cid, ${l2sqSql("v.embedding", "c.cvec")} AS d
          |  FROM embeddings v CROSS JOIN cent c
-         |), assign AS (
+         |), a AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0
+         |  ) WHERE rn = 1
+         |), sz AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS sz FROM a GROUP BY cid
+         |)
+         |SELECT CAST(16 AS BIGINT) AS nlist,
+         |       CAST(count(*) AS BIGINT) AS nonempty_lists,
+         |       CAST(sum(sz) AS BIGINT) AS ntotal,
+         |       round(16.0 * CAST(sum(sz*sz) AS DOUBLE) /
+         |             (CAST(sum(sz) AS DOUBLE) * CAST(sum(sz) AS DOUBLE)), 6) AS imbalance
+         |FROM sz""".stripMargin,
+
+    "q_reconstruct" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+         |), ids AS (
+         |  SELECT vec_id FROM embeddings WHERE vec_id % 97 = 0
+         |), d0 AS (
+         |  SELECT v.vec_id, v.embedding, c.cid, ${l2sqSql("v.embedding", "c.cvec")} AS d
+         |  FROM embeddings v SEMI JOIN ids USING (vec_id) CROSS JOIN cent c
+         |), a AS (
          |  SELECT vec_id, embedding, cid FROM (
          |    SELECT vec_id, embedding, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0
          |  ) WHERE rn = 1
-         |), q AS (
-         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
-         |), p0 AS (
-         |  SELECT q.query_id, q.qvec, c.cid, ${l2sqSql("q.qvec", "c.cvec")} AS d
-         |  FROM q CROSS JOIN cent c
-         |), probes AS (
-         |  SELECT query_id, qvec, cid FROM (
-         |    SELECT query_id, qvec, cid, row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn FROM p0
-         |  ) WHERE rn <= 4
-         |), cand AS (
-         |  SELECT p.query_id, a.vec_id, ${l2sqSql("p.qvec", "a.embedding")} AS dist
-         |  FROM probes p JOIN assign a ON a.cid = p.cid
-         |  WHERE a.vec_id <> p.query_id
-         |), r AS (
-         |  SELECT query_id, vec_id, dist,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
-         |  FROM cand
          |)
-         |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
-         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+         |SELECT vec_id, cid AS cluster_id,
+         |       CAST(len(embedding) AS BIGINT) AS dim,
+         |       round(list_sum(list_transform(range(1, len(embedding)+1),
+         |         i -> CAST(embedding[i] AS DOUBLE))), 4) AS checksum
+         |FROM a ORDER BY vec_id""".stripMargin,
+
+    "q_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label,
+        |         unnest(range(0, len(embedding))) AS dim,
+        |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM embeddings
+        |)
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        |       CAST(count(*) AS BIGINT) AS n, round(avg(x), 4) AS mean
+        |FROM e GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
+
+    "q_vocab_zipf" ->
+      """WITH cf AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS cf
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents)
+        |  GROUP BY term
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY cf DESC, term) AS BIGINT) AS rank,
+        |       term, cf
+        |FROM cf ORDER BY cf DESC, term LIMIT 25""".stripMargin,
 
     "q_ivfpq_knn" ->
       s"""WITH cent AS (
@@ -1898,6 +2035,52 @@ object Registry {
         |           ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, running_qty""".stripMargin
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey, running_qty""".stripMargin,
+
+    "q_dup_ngrams" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)-1),
+        |    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])) AS gram
+        |  FROM tk
+        |), dg AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, count(*) AS ndocs
+        |    FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY gram
+        |  ) WHERE ndocs >= 2
+        |), tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id
+        |), dup AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_grams
+        |  FROM g SEMI JOIN dg USING (gram) GROUP BY doc_id
+        |)
+        |SELECT tot.doc_id, tot.n_grams,
+        |       coalesce(dup.dup_grams, 0) AS dup_grams,
+        |       round(CAST(coalesce(dup.dup_grams, 0) AS DOUBLE) /
+        |             CAST(tot.n_grams AS DOUBLE), 4) AS dup_frac
+        |FROM tot LEFT JOIN dup USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_unigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term
+        |), cf AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks GROUP BY term
+        |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks
+        |), j AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(cf.cf AS DOUBLE)) AS contrib
+        |  FROM tf JOIN cf USING (term) CROSS JOIN n
+        |), d AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |         list_sum(list(contrib ORDER BY term)) AS nll_sum
+        |  FROM j GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens,
+        |       round(nll_sum / CAST(n_tokens AS DOUBLE), 4) AS nll
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }

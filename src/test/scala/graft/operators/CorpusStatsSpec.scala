@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusStats
+
+/** Cross-doc duplicated-n-gram fraction and unigram-LM NLL — checked
+  * against brute-force recomputation on a tiny in-memory corpus where
+  * the expected values are hand-derivable. */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tiny = Seq(
+    (0L, "a b c d"),      // grams: "a b c", "b c d"
+    (1L, "a b c x"),      // grams: "a b c", "b c x"
+    (2L, "z z z z z"),    // grams: "z z z" ×3 (within-doc only)
+    (3L, "q r")           // too short for 3-grams — dropped
+  ).toDF("doc_id", "text")
+
+  test("dupNgramStats counts cross-doc duplicated gram occurrences") {
+    val out = CorpusStats.dupNgramStats(tiny, n = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    // doc 0: 2 grams, "a b c" shared with doc 1 → 1 dup
+    // doc 1: 2 grams, "a b c" shared → 1 dup
+    // doc 2: 3 grams, "z z z" appears only in doc 2 → 0 dups
+    // doc 3: dropped (no grams)
+    assert(out === Seq(
+      (0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5), (2L, 3L, 0L, 0.0)))
+  }
+
+  test("dupNgramStats matches per-doc brute force on real docs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(60)
+    val out = CorpusStats.dupNgramStats(docs, n = 3)
+    // brute force: explode grams, mark each occurrence dup iff its gram's
+    // distinct-doc count ≥ 2, aggregate per doc
+    val g = docs.select($"doc_id", explode(CorpusStats.wordNgrams($"text", 3)).as("gram"))
+    val nd = g.groupBy($"gram").agg(countDistinct($"doc_id").as("ndocs"))
+    val brute = g.join(nd, Seq("gram"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"ndocs" >= 2, 1L).otherwise(0L)).as("dup_grams"))
+      .withColumn("dup_frac",
+        round($"dup_grams".cast("double") / $"n_grams".cast("double"), 4))
+    assert(out.exceptAll(brute).isEmpty && brute.exceptAll(out).isEmpty)
+  }
+
+  test("unigramNll: uniform corpus scores ln(V) per token") {
+    // 4 docs over a vocabulary of 2 tokens with equal frequency:
+    // p(w) = 1/2 for both, so every doc's mean NLL is ln(2)
+    val df = Seq((0L, "a b"), (1L, "b a"), (2L, "a b"), (3L, "b a"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.unigramNll(df).orderBy($"doc_id")
+      .as[(Long, Long, Double)].collect()
+    val ln2 = BigDecimal(math.log(2.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Seq((0L, 2L, ln2), (1L, 2L, ln2), (2L, 2L, ln2), (3L, 2L, ln2)))
+  }
+
+  test("unigramNll orders rare-word docs above stereotypical docs") {
+    val df = Seq(
+      (0L, "common common common common"),
+      (1L, "common common rareword common")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.unigramNll(df).orderBy($"doc_id")
+      .as[(Long, Long, Double)].collect()
+    assert(out(0)._3 < out(1)._3) // doc with the rare word scores higher NLL
+    assert(out.forall(_._2 == 4L))
+  }
+}
