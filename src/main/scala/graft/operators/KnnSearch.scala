@@ -130,6 +130,35 @@ object KnnSearch {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** FAISS `IndexFlatIP` analog — maximum-inner-product search (MIPS),
+    * the metric behind dot-product retrieval (DPR-style dense passage
+    * search, unnormalized recommendation embeddings). Identical plan
+    * shape to [[topK]] — broadcast queries, fused codegen dot product,
+    * `WindowGroupLimit` top-k — but ranked by DESCENDING score (ties by
+    * vec_id), and the output column is a similarity `score`, not a
+    * distance. Cosine k-NN is NOT the same operator unless vectors are
+    * pre-normalized; this is the un-normalized metric FAISS exposes as
+    * `METRIC_INNER_PRODUCT`. */
+  def selfTopKIp(
+      embeddings: DataFrame,
+      numQueries: Int,
+      k: Int): DataFrame = {
+    val q = embeddings
+      .where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    embeddings.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Distances.dotFast(col("qvec"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Self-kNN over an embeddings table: the first `numQueries` vectors (by
     * id) act as queries against the full table, excluding the query row
     * itself. Mirrors the driver-contract query shape (FIXTURES.md). */

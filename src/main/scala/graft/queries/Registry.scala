@@ -291,6 +291,18 @@ object Registry {
       KnnSearch.selfTopK(t(s, dir, "embeddings"), numQueries = 8, k = 5,
         dist = Distances.cosineDistFast)),
 
+    // FAISS METRIC_INNER_PRODUCT (IndexFlatIP): max-inner-product search,
+    // ranked by DESCENDING raw dot product — distinct from cosine unless
+    // vectors are pre-normalized
+    "q_mips_knn" -> ((s, dir) =>
+      KnnSearch.selfTopKIp(t(s, dir, "embeddings"), numQueries = 8, k = 10)),
+
+    // MMR diversification: cosine top-12 candidates → greedy pick of 4
+    // at λ=0.7 (score = λ·rel − (1−λ)·max cos-sim to already-picked)
+    "q_mmr_rerank" -> ((s, dir) =>
+      MmrRerank.selfRerank(t(s, dir, "embeddings"), numQueries = 4,
+        n = 12, m = 4, lam = 0.7)),
+
     "q_cosine_simjoin" -> ((s, dir) => {
       val f = t(s, dir, "embeddings").where(col("vec_id") < 100)
         .select(col("vec_id"), col("embedding"))
@@ -422,6 +434,15 @@ object Registry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(20)),
+
+    // Full BPE merge training (q_bigram_stats is one round's input
+    // statistic; this runs the iterative algorithm): 8 merges learned
+    // over the word-type dictionary — vocab-sized loop, corpus touched
+    // once. Iterative + driver-argmax ⇒ not SQL-expressible: spec-gated
+    // (BpeTrainSpec pins the exact merge table on a classic corpus),
+    // rows-only here — the same verification class as the recall paths.
+    "q_bpe_merges" -> ((s, dir) =>
+      BpeTrain.trainDF(t(s, dir, "documents"), numMerges = 8)),
 
     // BM25 ranked retrieval for a fixed bag-of-words query — lexical
     // search next to the vector paths; global top-N via orderBy.limit
@@ -808,6 +829,10 @@ object Registry {
 
   private val l2sq = l2sqSql("q.qvec", "v.embedding")
 
+  /** DuckDB inner-product snippet matching Distances.dot. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
   /** DuckDB cosine-similarity snippet matching Distances.cosineSim. */
   private def cosSimSql(a: String, b: String): String =
     s"(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
@@ -864,6 +889,77 @@ object Registry {
        |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
        |FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+
+  /** q_mmr_rerank oracle: the m=4 greedy MMR loop unrolled into chained
+    * CTEs — step t scores every unpicked candidate as λ·rel − (1−λ)·
+    * greatest(cos-sim to each previous pick) and takes the row_number-1
+    * row (score DESC, vec_id ASC), exactly [[graft.plans.MmrSelect]]'s
+    * argmax. Constants are emitted via Double.toString round-trip so
+    * `1−λ` is the SAME double on both engines (a plain `1 - 0.7` in
+    * DuckDB would be exact DECIMAL 0.3 ≠ the Scala double). */
+  private val mmrRerankSql: String = {
+    val lam = "CAST('0.7' AS DOUBLE)"
+    val oml = s"CAST('${java.lang.Double.toString(1.0 - 0.7)}' AS DOUBLE)"
+    def sim(s: String) = cosSimSql("c.vec", s"$s.vec")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 4
+       |), j AS (
+       |  SELECT q.query_id, v.vec_id, v.embedding AS vec,
+       |         ${cosSimSql("q.qvec", "v.embedding")} AS rel
+       |  FROM q CROSS JOIN embeddings v
+       |  WHERE v.vec_id <> q.query_id
+       |), cand AS (
+       |  SELECT query_id, vec_id, vec, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rk
+       |    FROM j) WHERE rk <= 12
+       |), m1 AS (
+       |  SELECT c.query_id, c.vec_id, c.vec, $lam*c.rel - $oml*0.0 AS score
+       |  FROM cand c
+       |), s1 AS (
+       |  SELECT query_id, vec_id, vec, score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rr
+       |    FROM m1) WHERE rr = 1
+       |), m2 AS (
+       |  SELECT c.query_id, c.vec_id, c.vec,
+       |         $lam*c.rel - $oml*(${sim("s1")}) AS score
+       |  FROM cand c JOIN s1 ON s1.query_id = c.query_id
+       |  WHERE c.vec_id <> s1.vec_id
+       |), s2 AS (
+       |  SELECT query_id, vec_id, vec, score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rr
+       |    FROM m2) WHERE rr = 1
+       |), m3 AS (
+       |  SELECT c.query_id, c.vec_id, c.vec,
+       |         $lam*c.rel - $oml*greatest(${sim("s1")}, ${sim("s2")}) AS score
+       |  FROM cand c
+       |  JOIN s1 ON s1.query_id = c.query_id
+       |  JOIN s2 ON s2.query_id = c.query_id
+       |  WHERE c.vec_id <> s1.vec_id AND c.vec_id <> s2.vec_id
+       |), s3 AS (
+       |  SELECT query_id, vec_id, vec, score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rr
+       |    FROM m3) WHERE rr = 1
+       |), m4 AS (
+       |  SELECT c.query_id, c.vec_id, c.vec,
+       |         $lam*c.rel - $oml*greatest(${sim("s1")}, ${sim("s2")}, ${sim("s3")}) AS score
+       |  FROM cand c
+       |  JOIN s1 ON s1.query_id = c.query_id
+       |  JOIN s2 ON s2.query_id = c.query_id
+       |  JOIN s3 ON s3.query_id = c.query_id
+       |  WHERE c.vec_id <> s1.vec_id AND c.vec_id <> s2.vec_id AND c.vec_id <> s3.vec_id
+       |), s4 AS (
+       |  SELECT query_id, vec_id, vec, score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rr
+       |    FROM m4) WHERE rr = 1
+       |), sel AS (
+       |  SELECT query_id, CAST(1 AS BIGINT) AS rank, vec_id, score FROM s1
+       |  UNION ALL SELECT query_id, CAST(2 AS BIGINT), vec_id, score FROM s2
+       |  UNION ALL SELECT query_id, CAST(3 AS BIGINT), vec_id, score FROM s3
+       |  UNION ALL SELECT query_id, CAST(4 AS BIGINT), vec_id, score FROM s4
+       |)
+       |SELECT query_id, rank, vec_id, round(score, 4) AS score
+       |FROM sel ORDER BY query_id, rank""".stripMargin
+  }
 
   /** q_lsh_cosine_knn oracle — shared with q_ann_recall's approximate
     * subquery. */
@@ -1398,6 +1494,24 @@ object Registry {
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
     "q_cosine_knn" -> cosineKnnSql,
+
+    "q_mips_knn" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+         |), j AS (
+         |  SELECT q.query_id, v.vec_id, ${dotSql("q.qvec", "v.embedding")} AS score
+         |  FROM q CROSS JOIN embeddings v
+         |  WHERE v.vec_id <> q.query_id
+         |), r AS (
+         |  SELECT query_id, vec_id, score,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         |  FROM j
+         |)
+         |SELECT query_id, rank, vec_id, round(score, 4) AS score
+         |FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_mmr_rerank" -> mmrRerankSql,
 
     "q_cosine_simjoin" ->
       s"""WITH f AS (

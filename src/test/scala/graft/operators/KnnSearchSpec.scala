@@ -30,6 +30,21 @@ class KnnSearchSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(3L, 5L, 7L))
   }
 
+  test("selfTopKIp ranks by descending inner product (MIPS), not distance") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)),   // query
+      (1L, Array(3f, 0f)),   // dot 3 — farthest by L2 among candidates, best by IP
+      (2L, Array(1f, 1f)),   // dot 1
+      (3L, Array(0f, 1f)))   // dot 0
+      .toDF("vec_id", "embedding")
+    val got = KnnSearch.selfTopKIp(emb, numQueries = 1, k = 3).collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(got.map(_.getAs[Double]("score")).toSeq == Seq(3.0, 1.0, 0.0))
+    // L2 would have ranked 2 before 1 — IP is a genuinely different metric
+    val l2 = KnnSearch.selfTopK(emb, numQueries = 1, k = 1).head.getAs[Long]("vec_id")
+    assert(l2 == 2L)
+  }
+
   test("selfTopK excludes the query row and returns k rows per query") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val got = KnnSearch.selfTopK(emb, numQueries = 4, k = 5).collect()

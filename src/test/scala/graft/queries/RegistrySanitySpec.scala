@@ -9,9 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * round-1 q_json_props bug class). */
 class RegistrySanitySpec extends AnyFunSuite {
 
-  // trained/approximate paths: verified by recall/variance specs, not SQL
+  // trained/approximate paths: verified by recall/variance specs, not
+  // SQL; q_bpe_merges is iterative with a driver-side argmax per round
+  // (not SQL-expressible) — its exact merge table is pinned by BpeTrainSpec
   private val documentedNoOracle =
-    Set("q_hnsw_knn", "q_ivf_trained_knn", "q_pca_reduce")
+    Set("q_hnsw_knn", "q_ivf_trained_knn", "q_pca_reduce", "q_bpe_merges")
 
   test("every oracle key has a matching query") {
     val orphans = Registry.oracleSql.keySet -- Registry.queries.keySet
