@@ -25,13 +25,15 @@ import org.apache.spark.sql.functions._
 object BinaryIndex {
 
   /** Pack dims [w·32, w·32+32) into one long: Σ 2^j over positive dims.
-    * Integer sum of distinct powers ≡ bitwise OR — fold-order-free. */
+    * Integer sum of distinct powers ≡ bitwise OR — fold-order-free.
+    * Unrolled as 32 literal-shift terms (the bit values are compile-time
+    * constants) so the packing is a flat codegen'd integer sum — no
+    * sequence/lambda allocation and no floating-point pow per element. */
   private def packWord(vec: Column, w: Int): Column =
-    aggregate(sequence(lit(1), lit(32)), lit(0L),
-      (acc, j) => acc +
-        when(element_at(vec, lit(w * 32) + j) > 0f,
-          pow(lit(2.0), j.cast("double") - 1.0).cast("long"))
-          .otherwise(lit(0L)))
+    (0 until 32).map { j =>
+      when(element_at(vec, lit(w * 32 + j + 1)) > 0f, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Sign-binarize a d-dim float vector into ⌈d/32⌉ packed longs. */
   def encode(vec: Column, d: Int): Column = {

@@ -45,23 +45,25 @@ object CorpusStats {
     * documents. Documents shorter than `n` tokens emit no grams and are
     * dropped (same on both engines).
     *
-    * Plan: explode grams (map-side); distinct docs per gram → ndocs
-    * (shuffle on gram, partial-agg); left-semi join occurrences against
-    * duplicated grams (shuffle on gram); two per-doc count aggregates
-    * (shuffle on doc_id). No quadratic pair generation anywhere — this is
-    * the scalable alternative to an all-pairs overlap join. */
+    * Plan: collapse occurrences to per-(doc, gram) counts first (ONE
+    * map-side-combinable aggregate — the only pass over the full
+    * occurrence stream); per-gram document counts then ride a window over
+    * the already-collapsed pairs (shuffle carries distinct (doc, gram)
+    * pairs, not occurrences — the natural-text dedup is large); one final
+    * per-doc aggregate. No occurrence-stream join, no quadratic pair
+    * generation anywhere — this is the scalable alternative to an
+    * all-pairs overlap join. Hot grams concentrate a window partition;
+    * AQE's skew handling applies, and the pair collapse bounds a gram's
+    * rows by ndocs, not occurrences. */
   def dupNgramStats(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame = {
-    val grams = docs.select(col("doc_id"),
+    val pairs = docs.select(col("doc_id"),
       explode(wordNgrams(col(textCol), n)).as("gram"))
-    val dupGrams = grams.select(col("doc_id"), col("gram")).distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("ndocs"))
-      .where(col("ndocs") >= 2).select(col("gram"))
-    val tot = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val dup = grams.join(dupGrams, Seq("gram"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_grams"))
-    tot.join(dup, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("occ"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    pairs.withColumn("ndocs", count(lit(1)).over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_grams"),
+        sum(when(col("ndocs") >= 2, col("occ")).otherwise(0L)).as("dup_grams"))
       .withColumn("dup_frac",
         round(col("dup_grams").cast("double") / col("n_grams").cast("double"), 4))
   }

@@ -25,22 +25,25 @@ object SqIndex {
 
   /** Per-dimension (vmin, scale) with scale = (vmax − vmin)/255 — the
     * QT_8bit training step. Exact corpus min/max (not sampled) so the
-    * model, and therefore every downstream code, is engine-reproducible. */
+    * model, and therefore every downstream code, is engine-reproducible:
+    * min/max are order-insensitive and float→double is exact, so the
+    * vectorized one-pass Summarizer aggregate yields bit-identical bounds
+    * to a per-element explode (which would blow every d-dim row into d
+    * shuffle-input rows — pure overhead at corpus scale). */
   def trainMinMax(embeddings: DataFrame, d: Int): (Array[Double], Array[Double]) = {
-    val mm = embeddings
-      .select(posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy(col("i"))
-      .agg(min(col("x").cast("double")).as("vmin"),
-        max(col("x").cast("double")).as("vmax"))
-      .collect() // d rows — control-plane small
-    val vmin = new Array[Double](d)
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.stat.Summarizer
+    val row = embeddings
+      .select(Summarizer.metrics("min", "max")
+        .summary(array_to_vector(col("embedding"))).as("s"))
+      .select(col("s.min"), col("s.max"))
+      .head() // one row of two d-dim vectors — control-plane small
+    val lo = row.getAs[org.apache.spark.ml.linalg.Vector](0).toArray
+    val hi = row.getAs[org.apache.spark.ml.linalg.Vector](1).toArray
     val scale = new Array[Double](d)
-    mm.foreach { r =>
-      val i = r.getInt(0)
-      vmin(i) = r.getDouble(1)
-      scale(i) = (r.getDouble(2) - r.getDouble(1)) / 255.0
-    }
-    (vmin, scale)
+    var i = 0
+    while (i < d) { scale(i) = (hi(i) - lo(i)) / 255.0; i += 1 }
+    (lo, scale)
   }
 
   /** Byte codes: code_i = clamp(round((x_i − vmin_i)/scale_i), 0, 255);

@@ -303,6 +303,14 @@ object Registry {
       MmrRerank.selfRerank(t(s, dir, "embeddings"), numQueries = 4,
         n = 12, m = 4, lam = 0.7)),
 
+    // FAISS RandomRotationMatrix / IndexPreTransform: exact search in the
+    // seeded-rotation space (map-side by-value MatVec; corpus sliced to
+    // bound the oracle's 64×64 literal mat-vec cost, not a Spark limit)
+    "q_rotated_knn" -> ((s, dir) =>
+      Rotation.selfSearchRotated(
+        t(s, dir, "embeddings").where(col("vec_id") < 2000),
+        numQueries = 4, k = 10)),
+
     "q_cosine_simjoin" -> ((s, dir) => {
       val f = t(s, dir, "embeddings").where(col("vec_id") < 100)
         .select(col("vec_id"), col("embedding"))
@@ -811,9 +819,14 @@ object Registry {
     // lists; scalar digest (dim + element checksum) for the oracle
     "q_reconstruct" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val assignments = IvfIndex.assign(emb, IvfIndex.seedCentroids(emb, 16))
       val ids = emb.where(pmod(col("vec_id"), lit(97L)) === 0L).select(col("vec_id"))
-      IvfIndex.reconstruct(assignments, ids)
+      // reconstruct (the id join) BEFORE computing assignments: the
+      // argmin projection is row-local, so fetching first is
+      // result-identical and the index math runs on |ids| rows, not the
+      // corpus — the same pruning a DirectMap lookup gives FAISS
+      val assignments = IvfIndex.assign(
+        IvfIndex.reconstruct(emb, ids), IvfIndex.seedCentroids(emb, 16))
+      assignments
         .select(col("vec_id"), col("cluster_id"),
           size(col("embedding")).cast("long").as("dim"),
           round(aggregate(transform(col("embedding"), _.cast("double")),
@@ -959,6 +972,40 @@ object Registry {
        |)
        |SELECT query_id, rank, vec_id, round(score, 4) AS score
        |FROM sel ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q_rotated_knn oracle: the seeded rotation matrix inlined as a
+    * nested DOUBLE literal (each float emitted as Double.toString of its
+    * exact double widening, so both engines multiply the SAME doubles),
+    * rotated vectors stored back as REAL — the same double-accumulate /
+    * float32-store arithmetic as graft.plans.MatVec — then plain FLAT
+    * L2² top-k in the rotated space. */
+  private val rotatedKnnSql: String = {
+    val rLit = Rotation.randomOrthogonal(64, 42L)
+      .map(row => row.map(f => java.lang.Double.toString(f.toDouble))
+        .mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""WITH rmat AS (
+       |  SELECT $rLit AS m
+       |), rot AS (
+       |  SELECT vec_id, list_transform(range(1, 65), i ->
+       |    CAST(list_sum(list_transform(range(1, 65), j ->
+       |      m[i][j] * CAST(embedding[j] AS DOUBLE))) AS REAL)) AS rvec
+       |  FROM embeddings, rmat WHERE vec_id < 2000
+       |), q AS (
+       |  SELECT vec_id AS query_id, rvec AS qvec FROM rot WHERE vec_id < 4
+       |), j AS (
+       |  SELECT q.query_id, v.vec_id, ${l2sqSql("q.qvec", "v.rvec")} AS dist
+       |  FROM q CROSS JOIN rot v
+       |  WHERE v.vec_id <> q.query_id
+       |), r AS (
+       |  SELECT query_id, vec_id, dist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+       |  FROM j
+       |)
+       |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+       |FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** q_lsh_cosine_knn oracle — shared with q_ann_recall's approximate
@@ -1512,6 +1559,8 @@ object Registry {
          |ORDER BY query_id, rank""".stripMargin,
 
     "q_mmr_rerank" -> mmrRerankSql,
+
+    "q_rotated_knn" -> rotatedKnnSql,
 
     "q_cosine_simjoin" ->
       s"""WITH f AS (
