@@ -145,6 +145,28 @@ object TextFunctions {
       least(stopwordRatio(text) * 5.0, lit(1.0)) * 0.3, 4)
   }
 
+  /** All counting signals of the quality family in one fused pass over
+    * the raw string (graft.plans.TextStats): struct(n_tokens, n_bpe,
+    * len_sum, alpha, stop_hits, char_len). Each field is value-identical
+    * to the corresponding multi-pass built-in form above (parity-tested);
+    * ratios/scores are derived from it with the same Column arithmetic,
+    * so q_text_quality / quality filtering keep oracle-identical results
+    * while scanning each document once instead of ~10 times. */
+  def textStats(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.TextStats(
+      ColumnBridge.expression(text), enStopwords))
+  }
+
+  /** [[qualityScore]] computed from a [[textStats]] struct — identical
+    * arithmetic on identical counts, one string pass. */
+  def qualityScoreFromStats(st: Column): Column = {
+    val lenSignal = least(st.getField("n_tokens").cast("double") / 100.0, lit(1.0))
+    val alphaR = st.getField("alpha").cast("double") / st.getField("char_len")
+    val stopR = st.getField("stop_hits").cast("double") / st.getField("n_tokens")
+    round(lenSignal * 0.4 + alphaR * 0.3 + least(stopR * 5.0, lit(1.0)) * 0.3, 4)
+  }
+
   /** Text normalization for dedup robustness: lowercase, collapse
     * whitespace runs to one space, trim — the canonical form hashed by
     * near-dup pipelines (portable: lower/regexp/trim behave identically

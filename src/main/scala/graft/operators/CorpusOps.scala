@@ -170,7 +170,7 @@ object CorpusOps {
   def qualityFilter(docs: DataFrame, pct: Double, exact: Boolean = false,
       textCol: String = "text"): DataFrame = {
     val scored = docs.withColumn("quality",
-      TextFunctions.qualityScore(col(textCol)))
+      TextFunctions.qualityScoreFromStats(TextFunctions.textStats(col(textCol))))
     val thrRow =
       if (exact) scored.agg(percentile(col("quality"), lit(pct)))
       else scored.agg(percentile_approx(col("quality"), lit(pct), lit(10000)))

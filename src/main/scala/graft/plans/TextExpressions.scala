@@ -2,6 +2,7 @@ package graft.plans
 
 import java.security.MessageDigest
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -406,4 +407,98 @@ case class HammingDistance(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Every counting signal of the text-quality family in ONE pass over the
+  * raw string — value-identical to the multi-pass built-in forms it
+  * replaces (parity-tested per field):
+  *
+  *   - n_tokens  = size(split(trim(text), "\s+"))   — including Java
+  *     split's limit=-1 edge semantics: the space-only trim, the leading
+  *     empty token when the trimmed text starts with non-space
+  *     whitespace, the trailing empty token when it ends with one, and
+  *     the single empty token of an empty/space-only string
+  *   - n_bpe     = size(regexp_extract_all(text, "[a-z]+|[0-9]|[^a-z0-9\s]"))
+  *   - len_sum   = aggregate(tokens, 0L, (acc, t) -> acc + length(t))
+  *   - alpha     = length(regexp_replace(text, "[^a-z]", ""))
+  *   - stop_hits = size(filter(tokens, t -> t in stopwords))
+  *   - char_len  = length(text)   (codepoints)
+  *
+  * The quality queries derive every ratio/score from these counts with
+  * the same Column arithmetic as before, so division/rounding semantics
+  * are untouched — only the string scanning is fused (the built-in form
+  * re-tokenizes per signal: ~8 regex splits + 2 full-regex passes per
+  * row, plus a very wide expression tree that dominates plan/codegen
+  * time). */
+case class TextStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  private lazy val stopSet: Set[String] = stopwords.toSet
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_bpe", LongType, nullable = false),
+    StructField("len_sum", LongType, nullable = false),
+    StructField("alpha", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false),
+    StructField("char_len", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"text_stats expects string, got $t")
+  }
+
+  // Java regex \s without UNICODE_CHARACTER_CLASS: exactly these six
+  @inline private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    // full-text pass: codepoint length, [a-z] count, BPE-ish token count
+    var charLen = 0L; var alpha = 0L; var bpe = 0L
+    var inAlphaRun = false
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      charLen += 1
+      if (cp >= 'a' && cp <= 'z') {
+        alpha += 1
+        if (!inAlphaRun) { bpe += 1; inAlphaRun = true }
+      } else {
+        inAlphaRun = false
+        if ((cp >= '0' && cp <= '9') || !isWs(cp)) bpe += 1
+      }
+      i += Character.charCount(cp)
+    }
+    // token pass over the space-trimmed region (trim() strips 0x20 only)
+    var a = 0; var b = n
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    var nTok = 0L; var lenSum = 0L; var stopHits = 0L
+    if (a == b) nTok = 1L // empty -> [""]
+    else {
+      if (isWs(s.charAt(a))) nTok += 1 // leading empty token
+      i = a
+      while (i < b) {
+        if (isWs(s.charAt(i))) i += 1
+        else {
+          val st = i
+          var cps = 0L
+          while (i < b && !isWs(s.charAt(i))) {
+            i += Character.charCount(s.codePointAt(i))
+            cps += 1
+          }
+          nTok += 1
+          lenSum += cps
+          if (stopSet.contains(s.substring(st, i))) stopHits += 1
+        }
+      }
+      if (isWs(s.charAt(b - 1))) nTok += 1 // trailing empty token
+    }
+    InternalRow(nTok, bpe, lenSum, alpha, stopHits, charLen)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -297,6 +297,25 @@ object Registry {
     "q_mips_knn" -> ((s, dir) =>
       KnnSearch.selfTopKIp(t(s, dir, "embeddings"), numQueries = 8, k = 10)),
 
+    // Hard-negative mining: per query, the k nearest vectors with a
+    // DIFFERENT label (contrastive-training pair selection); the label
+    // predicate runs map-side, before the top-k heap
+    "q_hard_negatives" -> ((s, dir) =>
+      Mining.hardNegatives(t(s, dir, "embeddings"), numQueries = 8, k = 10)),
+
+    // kNN classification: majority label of the 10 nearest neighbors
+    // (embedding-space quality probe); vote ties to the smaller label
+    "q_knn_classify" -> ((s, dir) =>
+      Mining.knnClassify(t(s, dir, "embeddings"), numQueries = 32, k = 10)),
+
+    // ColBERT-style late-interaction MaxSim: vectors sliced to 8
+    // sub-vectors of 8 dims; score = Σ_i max_j ⟨q_i, v_j⟩, descending
+    // (corpus sliced to bound the oracle's nested-lambda cost)
+    "q_maxsim_knn" -> ((s, dir) =>
+      LateInteraction.selfSearch(
+        t(s, dir, "embeddings").where(col("vec_id") < 2000),
+        numQueries = 4, m = 8, subDim = 8, k = 10)),
+
     // MMR diversification: cosine top-12 candidates → greedy pick of 4
     // at λ=0.7 (score = λ·rel − (1−λ)·max cos-sim to already-picked)
     "q_mmr_rerank" -> ((s, dir) =>
@@ -532,7 +551,8 @@ object Registry {
       val docs = t(s, dir, "documents")
       val filtered = docs.where(
         TextFunctions.langId(col("text")) === "en" &&
-          TextFunctions.qualityScore(col("text")) >= 0.5)
+          TextFunctions.qualityScoreFromStats(
+            TextFunctions.textStats(col("text"))) >= 0.5)
       val w = Window.partitionBy(md5(col("text")))
       filtered
         .withColumn("canon", min(col("doc_id")).over(w))
@@ -551,15 +571,22 @@ object Registry {
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
-    "q_text_quality" -> ((s, dir) =>
+    // one fused string pass (TextStats) feeds every signal; the ratio /
+    // round arithmetic is unchanged, so the oracle result is identical
+    "q_text_quality" -> ((s, dir) => {
+      val st = TextFunctions.textStats(col("text"))
       t(s, dir, "documents").select(
         col("doc_id"),
-        TextFunctions.tokenCountWs(col("text")).as("n_tokens"),
-        TextFunctions.tokenCountBpe(col("text")).as("n_bpe_tokens"),
-        round(TextFunctions.avgTokenLen(col("text")), 4).as("avg_token_len"),
-        round(TextFunctions.alphaRatio(col("text")), 4).as("alpha_ratio"),
-        round(TextFunctions.stopwordRatio(col("text")), 4).as("stopword_ratio"),
-        TextFunctions.qualityScore(col("text")).as("quality"))
+        st.getField("n_tokens").as("n_tokens"),
+        st.getField("n_bpe").as("n_bpe_tokens"),
+        round(st.getField("len_sum").cast("double") / st.getField("n_tokens"), 4)
+          .as("avg_token_len"),
+        round(st.getField("alpha").cast("double") / st.getField("char_len"), 4)
+          .as("alpha_ratio"),
+        round(st.getField("stop_hits").cast("double") / st.getField("n_tokens"), 4)
+          .as("stopword_ratio"),
+        TextFunctions.qualityScoreFromStats(st).as("quality"))
+    }
         .orderBy(col("doc_id"))),
 
     // Gopher-style repetition signals (Rae et al.): a doc dominated by a
@@ -1541,6 +1568,71 @@ object Registry {
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
     "q_cosine_knn" -> cosineKnnSql,
+
+    "q_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+         |  FROM embeddings WHERE vec_id < 8
+         |), j AS (
+         |  SELECT q.query_id, v.vec_id, CAST(v.label AS BIGINT) AS neg_label,
+         |         ${l2sqSql("q.qvec", "v.embedding")} AS dist
+         |  FROM q CROSS JOIN embeddings v
+         |  WHERE v.label <> q.qlabel
+         |), r AS (
+         |  SELECT query_id, vec_id, neg_label, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |  FROM j
+         |)
+         |SELECT query_id, rank, vec_id, neg_label, round(dist, 4) AS dist
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_knn_classify" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+         |  FROM embeddings WHERE vec_id < 32
+         |), j AS (
+         |  SELECT q.query_id, q.qlabel, v.vec_id, v.label,
+         |         ${l2sqSql("q.qvec", "v.embedding")} AS dist
+         |  FROM q CROSS JOIN embeddings v
+         |  WHERE v.vec_id <> q.query_id
+         |), r AS (
+         |  SELECT query_id, qlabel, label,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rk
+         |  FROM j
+         |), votes AS (
+         |  SELECT query_id, qlabel, label, CAST(count(*) AS BIGINT) AS n_votes
+         |  FROM r WHERE rk <= 10 GROUP BY query_id, qlabel, label
+         |), best AS (
+         |  SELECT query_id, qlabel, label, n_votes,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label) AS vr
+         |  FROM votes
+         |)
+         |SELECT query_id, CAST(qlabel AS BIGINT) AS true_label,
+         |       CAST(label AS BIGINT) AS pred_label, n_votes,
+         |       (label = qlabel) AS correct
+         |FROM best WHERE vr = 1 ORDER BY query_id""".stripMargin,
+
+    "q_maxsim_knn" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |         list_transform(range(0, 8), i -> embedding[(i*8+1):(i*8+8)]) AS subs
+        |  FROM embeddings WHERE vec_id < 2000
+        |), q AS (
+        |  SELECT vec_id AS query_id, subs AS qsubs FROM s WHERE vec_id < 4
+        |), j AS (
+        |  SELECT q.query_id, v.vec_id,
+        |         list_sum(list_transform(q.qsubs, qi ->
+        |           list_max(list_transform(v.subs, vj ->
+        |             list_sum(list_transform(range(1, 9), t ->
+        |               CAST(qi[t] AS DOUBLE) * CAST(vj[t] AS DOUBLE))))))) AS score
+        |  FROM q CROSS JOIN s v WHERE v.vec_id <> q.query_id
+        |), r AS (
+        |  SELECT query_id, vec_id, score,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        |  FROM j
+        |)
+        |SELECT query_id, rank, vec_id, round(score, 4) AS score
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_mips_knn" ->
       s"""WITH q AS (

@@ -114,4 +114,65 @@ class TextExpressionsSpec extends SparkSpec {
     assert(e.size == 4 && e.forall(_ == null))
     assert(e == eh)
   }
+
+  test("fused TextStats fields equal the multi-pass built-in forms on real docs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val st = TextFunctions.textStats($"text")
+    val both = docs.select(
+      st.getField("n_tokens").as("f_ntok"),
+      TextFunctions.tokenCountWs($"text").as("h_ntok"),
+      st.getField("n_bpe").as("f_bpe"),
+      TextFunctions.tokenCountBpe($"text").as("h_bpe"),
+      st.getField("len_sum").cast("double").as("f_lsum"),
+      aggregate(TextFunctions.tokens($"text"), lit(0L),
+        (acc, t) => acc + length(t)).cast("double").as("h_lsum"),
+      st.getField("alpha").as("f_alpha"),
+      length(regexp_replace($"text", "[^a-z]", "")).cast("long").as("h_alpha"),
+      st.getField("stop_hits").as("f_stop"),
+      TextFunctions.wordListHits(TextFunctions.tokens($"text"),
+        TextFunctions.enStopwords).as("h_stop"),
+      st.getField("char_len").as("f_len"),
+      length($"text").cast("long").as("h_len"))
+    assert(both.where($"f_ntok" =!= $"h_ntok" || $"f_bpe" =!= $"h_bpe" ||
+      $"f_lsum" =!= $"h_lsum" || $"f_alpha" =!= $"h_alpha" ||
+      $"f_stop" =!= $"h_stop" || $"f_len" =!= $"h_len").count() == 0)
+  }
+
+  test("TextStats replicates split(trim, \\s+) edge semantics and the quality score") {
+    // empty, space-only, tab-only, leading/trailing tab empties, upper
+    // case (BPE counts each char), digits, non-ASCII, stopwords, emoji
+    val edge = Seq("", " ", "\t", "\ta b\t", "  the of x  ", "ABC def",
+      "h\u00e9llo w\u00f6rld 123 !!", "a\ud83d\ude00b c", "the the the",
+      "one\ntwo\rthree").toDF("text")
+    val st = TextFunctions.textStats($"text")
+    val both = edge.select(
+      st.getField("n_tokens").as("f_ntok"),
+      TextFunctions.tokenCountWs($"text").as("h_ntok"),
+      st.getField("n_bpe").as("f_bpe"),
+      TextFunctions.tokenCountBpe($"text").as("h_bpe"),
+      st.getField("len_sum").as("f_lsum"),
+      aggregate(TextFunctions.tokens($"text"), lit(0L),
+        (acc, t) => acc + length(t)).as("h_lsum"),
+      st.getField("alpha").as("f_alpha"),
+      length(regexp_replace($"text", "[^a-z]", "")).cast("long").as("h_alpha"),
+      st.getField("stop_hits").as("f_stop"),
+      TextFunctions.wordListHits(TextFunctions.tokens($"text"),
+        TextFunctions.enStopwords).as("h_stop"),
+      st.getField("char_len").as("f_len"),
+      length($"text").cast("long").as("h_len")).collect()
+    both.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"n_tokens: $r")
+      assert(r.getLong(2) == r.getLong(3), s"n_bpe: $r")
+      assert(r.getLong(4) == r.getLong(5), s"len_sum: $r")
+      assert(r.getLong(6) == r.getLong(7), s"alpha: $r")
+      assert(r.getLong(8) == r.getLong(9), s"stop_hits: $r")
+      assert(r.getLong(10) == r.getLong(11), s"char_len: $r")
+    }
+    // quality score: identical on every non-empty text (both forms raise
+    // DIVIDE_BY_ZERO on char_len = 0 under ANSI mode — same behavior)
+    val q = edge.where(length($"text") > 0).select(
+      TextFunctions.qualityScoreFromStats(st).as("f_q"),
+      TextFunctions.qualityScore($"text").as("h_q")).collect()
+    q.foreach(r => assert(r.getDouble(0) == r.getDouble(1), s"quality: $r"))
+  }
 }
