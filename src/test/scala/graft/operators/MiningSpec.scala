@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("hardNegatives returns k rows per query, all with a different label") {
+    val r = Mining.hardNegatives(emb, numQueries = 4, k = 5).cache()
+    val labels = emb.select($"vec_id".as("query_id"), $"label".as("qlabel"))
+    assert(r.groupBy($"query_id").count().where($"count" =!= 5).count() == 0)
+    val joined = r.join(labels, "query_id")
+    assert(joined.where($"neg_label" === $"qlabel".cast("long")).count() == 0)
+    r.unpersist()
+  }
+
+  test("hardNegatives distances dominate: each negative is at least as far as the previous rank") {
+    val r = Mining.hardNegatives(emb, numQueries = 4, k = 8)
+      .select($"query_id", $"rank", $"dist").collect()
+      .groupBy(_.getLong(0))
+    r.values.foreach { rows =>
+      val byRank = rows.sortBy(_.getLong(1)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("knnClassify emits one prediction per query with consistent vote counts") {
+    val r = Mining.knnClassify(emb, numQueries = 16, k = 10).cache()
+    assert(r.count() == 16)
+    assert(r.select($"query_id").distinct().count() == 16)
+    // votes are a subset of k
+    assert(r.where($"n_votes" < 1 || $"n_votes" > 10).count() == 0)
+    // correct flag is consistent with the labels
+    assert(r.where($"correct" =!= ($"pred_label" === $"true_label")).count() == 0)
+    r.unpersist()
+  }
+
+  test("maxSim self-search: self-similar slices rank high and scores are monotone by rank") {
+    val r = LateInteraction.selfSearch(emb.where($"vec_id" < 500),
+      numQueries = 3, m = 8, subDim = 8, k = 6)
+      .select($"query_id", $"rank", $"score").collect()
+      .groupBy(_.getLong(0))
+    assert(r.size == 3)
+    r.values.foreach { rows =>
+      val byRank = rows.sortBy(_.getLong(1)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("maxSim degenerates to plain dot product at m = 1") {
+    val ms = LateInteraction.selfSearch(emb.where($"vec_id" < 300),
+      numQueries = 3, m = 1, subDim = 64, k = 5)
+      .select($"query_id", $"rank", $"vec_id", $"score".as("s"))
+    val ip = KnnSearch.selfTopKIp(emb.where($"vec_id" < 300), numQueries = 3, k = 5)
+      .select($"query_id", $"rank", $"vec_id", $"score".as("s"))
+    assert(ms.exceptAll(ip).isEmpty && ip.exceptAll(ms).isEmpty)
+  }
+}
