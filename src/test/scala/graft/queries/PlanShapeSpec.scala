@@ -197,4 +197,41 @@ class PlanShapeSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("q_hard_negatives: label predicate stays map-side — broadcast + WindowGroupLimit, no extra shuffle") {
+    val p = planOf(Registry.queries("q_hard_negatives")(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial") && p.contains("Final"),
+      "top-k must partial-limit per partition before the final merge")
+    assert(!p.contains("SortMergeJoin"), "no big-big shuffle join")
+  }
+
+  test("q_knn_classify: corpus stage is the FLAT plan; vote argmax only sees Q*k rows") {
+    val p = planOf(Registry.queries("q_knn_classify")(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("WindowGroupLimit"),
+      "neighbor top-k must be heap-bounded before the vote aggregate")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_maxsim_knn: late-interaction scoring is map-side — broadcast + WindowGroupLimit") {
+    val p = planOf(Registry.queries("q_maxsim_knn")(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial") && p.contains("Final"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_rotated_knn: rotation is a pure projection — no shuffle before the top-k window") {
+    val p = planOf(Registry.queries("q_rotated_knn")(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "rotated query side must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    // exactly two Exchanges — the per-query top-k hash shuffle and the
+    // ordered-output range shuffle every oracle query ends with; the
+    // MatVec rotation itself must not repartition anything
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"rotation path must add no shuffle, saw $exchanges:\n$p")
+    assert(p.contains("matvec"), "rotation must plan as the fused map-side projection")
+  }
 }
