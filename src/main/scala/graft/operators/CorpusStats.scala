@@ -30,8 +30,20 @@ object CorpusStats {
 
   /** Word n-grams WITH multiplicity (unlike the distinct
     * `TextFunctions.wordShingles`): one entry per window position, the
-    * occurrence unit of the duplicated-n-gram fraction. */
+    * occurrence unit of the duplicated-n-gram fraction. Fused one-pass
+    * expression (graft.plans.NgramWindows), value-identical to
+    * [[wordNgramsHof]] (parity-tested). */
   def wordNgrams(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.NgramWindows(
+      ColumnBridge.expression(TextFunctions.tokens(text)), n))
+  }
+
+  /** HOF reference form of [[wordNgrams]] (parity-tested; mirrors the
+    * n-gram CTE shape of the dup-ngram DuckDB oracle). Re-evaluates the
+    * token split inside the per-window lambda — O(tokens²) per row;
+    * reference/oracle-mirror only. */
+  def wordNgramsHof(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
     val toks = TextFunctions.tokens(text)
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1), lit(1)),

@@ -152,6 +152,47 @@ case class ShingleWindows(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Word n-gram windows WITH multiplicity from a token array in one
+  * pass — ShingleWindows minus the distinct set (the occurrence unit of
+  * the duplicated-n-gram fraction). Value-identical to the HOF form
+  * `when(size(toks) >= n, transform(sequence(1, size-n+1), i ->
+  * concat_ws(" ", slice(toks, i, n)))).otherwise(array())`, which
+  * re-evaluates the token split inside the per-window lambda —
+  * O(tokens²) per row; this is one pass over the materialized array. */
+case class NgramWindows(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"ngram_windows expects array<string>, got $t")
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val windows = toks.numElements() - n + 1
+    if (windows <= 0) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[AnyRef](windows)
+      val window = new Array[UTF8String](n)
+      var i = 0
+      while (i < windows) {
+        var j = 0
+        while (j < n) { window(j) = toks.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(space, window: _*)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Adjacent token pairs WITH multiplicity from a token array in one
   * pass — ShingleWindows at n=2 minus the distinct set. Value-identical
   * to the HOF form `when(size(toks) >= 2, transform(sequence(1, size-1),

@@ -175,4 +175,20 @@ class TextExpressionsSpec extends SparkSpec {
       TextFunctions.qualityScore($"text").as("h_q")).collect()
     q.foreach(r => assert(r.getDouble(0) == r.getDouble(1), s"quality: $r"))
   }
+
+  test("fused NgramWindows is identical to the HOF multiplicity n-gram form") {
+    import graft.operators.CorpusStats
+    val both = spark.read.parquet(s"$sf0001/documents.parquet").select(
+      CorpusStats.wordNgrams($"text", 3).as("fast"),
+      CorpusStats.wordNgramsHof($"text", 3).as("hof"))
+    assert(both.where(not($"fast" <=> $"hof")).count() == 0)
+    // multiplicity preserved (unlike ShingleWindows), short docs → empty
+    val edge = Seq("a b a b a b", "a b", "").toDF("text").select(
+      CorpusStats.wordNgrams($"text", 3).as("fast"),
+      CorpusStats.wordNgramsHof($"text", 3).as("hof")).collect()
+    edge.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    assert(edge(0).getSeq[String](0) ==
+      Seq("a b a", "b a b", "a b a", "b a b"))
+    assert(edge(1).getSeq[String](0).isEmpty)
+  }
 }
