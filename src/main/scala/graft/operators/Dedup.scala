@@ -281,4 +281,31 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Quality-aware canonical selection — the curation policy layered on
+    * [[dupClusters]]: each near-dup cluster keeps its HIGHEST-quality
+    * member (ties → smaller doc_id) instead of the lowest id, the form
+    * real corpus builds use (drop the worse near-duplicates, keep the
+    * best exemplar). Input `clusters` is the (doc_id, canonical_id)
+    * labeling; `scored` carries (doc_id, quality). Output: one row per
+    * cluster — (cluster_id, kept_doc_id, n_members, kept_quality).
+    *
+    * Scale: one equi-join on doc_id plus a window partitioned by
+    * cluster — partition size is the cluster size (near-dup clusters
+    * are small by construction), never the corpus. */
+  def keepBestByQuality(clusters: DataFrame, scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCount = Window.partitionBy(col("canonical_id"))
+    val wPick = Window.partitionBy(col("canonical_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(scored, Seq("doc_id"))
+      .withColumn("n_members", count(lit(1)).over(wCount))
+      .withColumn("pick", row_number().over(wPick))
+      .where(col("pick") === 1)
+      .select(col("canonical_id").as("cluster_id"),
+        col("doc_id").as("kept_doc_id"),
+        col("n_members"),
+        col("quality").as("kept_quality"))
+      .orderBy(col("cluster_id"))
+  }
 }

@@ -143,6 +143,22 @@ object Registry {
         .select(col("vec_id"), col("reduced"))
         .orderBy(col("vec_id"))),
 
+    // ZCA whitening pre-stage: fit (mean, W) on a bounded sample, apply
+    // as center + fused map-side MatVec; spec-gated (whitened covariance
+    // = I), rows-only here like the other learned models
+    "q_whiten" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (mu, w) = Whitening.fit(emb)
+      Whitening.whiten(emb, mu, w)
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Embedding outlier pruning: distance to own label centroid vs a
+    // per-label z-score gate (mislabeled/corrupted-sample curation)
+    "q_embedding_outliers" -> ((s, dir) =>
+      EmbeddingQuality.outliers(t(s, dir, "embeddings"), z = 2.0)),
+
     // SQ8 scalar quantization: per-dimension 8-bit codes (QT_8bit
     // semantics) — 4× compression, deterministic arithmetic → exact oracle
     "q_sq8_knn" -> ((s, dir) =>
@@ -385,6 +401,21 @@ object Registry {
       Dedup.dupClusters(docs, pairs)
         .select(col("doc_id"), col("canonical_id"), col("is_dup"))
         .orderBy(col("doc_id"))
+    }),
+
+    // quality-aware canonical selection: each near-dup cluster keeps its
+    // highest-quality member (ties to smaller doc_id) — the real-world
+    // curation policy layered on the same cluster labeling
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshDups(docs,
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)
+      val clusters = Dedup.dupClusters(docs, pairs)
+        .select(col("doc_id"), col("canonical_id"))
+      val scored = docs.select(col("doc_id"),
+        TextFunctions.qualityScoreFromStats(
+          TextFunctions.textStats(col("text"))).as("quality"))
+      Dedup.keepBestByQuality(clusters, scored)
     }),
 
     "q_ngram_jaccard" -> ((s, dir) =>
@@ -1736,6 +1767,79 @@ object Registry {
          |SELECT node AS doc_id, min(lab) AS canonical_id,
          |       node <> min(lab) AS is_dup
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+         |), shs AS (
+         |  SELECT doc_id, $shingles3 AS sh FROM t
+         |), sig AS (
+         |  SELECT doc_id, sh,
+         |         list_transform(range(0, 16), h ->
+         |           list_aggregate(list_transform(sh, s -> md5(h::VARCHAR || ':' || s)), 'min')) AS sig
+         |  FROM shs
+         |), banded AS (
+         |  SELECT doc_id, b.b AS band,
+         |         md5(array_to_string(list_slice(sig, CAST(b.b*4+1 AS INT), CAST(b.b*4+4 AS INT)), '|')) AS bucket
+         |  FROM sig, range(0, 4) b(b)
+         |), cpairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), pairs AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM cpairs p
+         |  JOIN sig sa ON sa.doc_id = p.doc_a
+         |  JOIN sig sb ON sb.doc_id = p.doc_b
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(sa.sh || sb.sh)) >= 0.8
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), reach(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+         |), clusters AS (
+         |  SELECT node AS doc_id, min(lab) AS canonical_id FROM reach GROUP BY node
+         |), tq AS (
+         |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+         |), q AS (
+         |  SELECT doc_id,
+         |    round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         |          (CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / len(text)) * 0.3 +
+         |          least((CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks)) * 5.0, 1.0) * 0.3, 4) AS quality
+         |  FROM tq
+         |), j AS (
+         |  SELECT c.canonical_id, c.doc_id, q.quality,
+         |         row_number() OVER (PARTITION BY c.canonical_id ORDER BY q.quality DESC, c.doc_id) AS pick,
+         |         count(*) OVER (PARTITION BY c.canonical_id) AS n_members
+         |  FROM clusters c JOIN q USING (doc_id)
+         |)
+         |SELECT canonical_id AS cluster_id, doc_id AS kept_doc_id,
+         |       CAST(n_members AS BIGINT) AS n_members, quality AS kept_quality
+         |FROM j WHERE pick = 1 ORDER BY cluster_id""".stripMargin,
+
+    "q_embedding_outliers" ->
+      s"""WITH c AS (
+         |  SELECT label, dim, round(avg(x), 4) AS mean FROM (
+         |    SELECT label,
+         |           unnest(range(0, len(embedding))) AS dim,
+         |           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+         |    FROM embeddings)
+         |  GROUP BY label, dim
+         |), ca AS (
+         |  SELECT label, list(mean ORDER BY dim) AS centroid FROM c GROUP BY label
+         |), s AS (
+         |  SELECT e.vec_id, e.label,
+         |         ${l2sqSql("e.embedding", "ca.centroid")} AS dist
+         |  FROM embeddings e JOIN ca USING (label)
+         |), st AS (
+         |  SELECT label, avg(dist) AS m, stddev_samp(dist) AS sd FROM s GROUP BY label
+         |)
+         |SELECT s.vec_id, CAST(s.label AS BIGINT) AS label,
+         |       round(s.dist, 4) AS dist,
+         |       s.dist > st.m + 2.0 * st.sd AS is_outlier
+         |FROM s JOIN st USING (label) ORDER BY s.vec_id""".stripMargin,
 
     "q_minhash_lsh" ->
       s"""WITH t AS (
