@@ -252,4 +252,30 @@ object CorpusOps {
       .withColumn("bin", expr(s"prior_tokens DIV $budget"))
       .drop("prior_tokens")
   }
+
+  /** Quantile bucketing — assign each row the index of its value's
+    * corpus quantile bucket (decile/percentile binning, the standard
+    * feature-engineering / curriculum-bucketing step). Thresholds are
+    * the (i/n)-quantiles rounded to 4 decimals (rounding pins the
+    * boundary bit-identically across engines); bucket = count of
+    * thresholds strictly below the value, so ties at a boundary fall
+    * deterministically into the lower bucket.
+    *
+    * Scale: like [[qualityFilter]], the threshold vector is a
+    * control-plane scalar — `exact = true` buffers every value (the
+    * oracle/reference form); the default uses the fixed-size
+    * `percentile_approx` sketch. The bucketing itself is a map-side
+    * when-chain — no shuffle, no join. */
+  def quantileBucket(df: DataFrame, valueCol: String, nBuckets: Int,
+      exact: Boolean = false): DataFrame = {
+    val fracs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val pexpr =
+      if (exact) percentile(col(valueCol), typedLit(fracs))
+      else percentile_approx(col(valueCol), typedLit(fracs), lit(10000))
+    val thr = df.agg(transform(pexpr, x => round(x, 4)).as("t"))
+      .head().getSeq[Double](0)
+    val bucket = thr.map(t => when(col(valueCol) > t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
 }

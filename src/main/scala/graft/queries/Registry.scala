@@ -159,6 +159,16 @@ object Registry {
     "q_embedding_outliers" -> ((s, dir) =>
       EmbeddingQuality.outliers(t(s, dir, "embeddings"), z = 2.0)),
 
+    // quality-decile bucketing: corpus quantile thresholds (control-plane
+    // vector, rounded to pin boundaries) -> map-side bucket index
+    "q_quantile_bucket" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.qualityScoreFromStats(
+          TextFunctions.textStats(col("text"))).as("quality"))
+      CorpusOps.quantileBucket(scored, "quality", 10, exact = true)
+        .orderBy(col("doc_id"))
+    }),
+
     // SQ8 scalar quantization: per-dimension 8-bit codes (QT_8bit
     // semantics) — 4× compression, deterministic arithmetic → exact oracle
     "q_sq8_knn" -> ((s, dir) =>
@@ -323,6 +333,11 @@ object Registry {
     // (embedding-space quality probe); vote ties to the smaller label
     "q_knn_classify" -> ((s, dir) =>
       Mining.knnClassify(t(s, dir, "embeddings"), numQueries = 32, k = 10)),
+
+    // ranked-retrieval eval: precision@k / MRR@k / NDCG@k with label
+    // agreement as relevance — every metric aggregates the Q*k top-k set
+    "q_retrieval_metrics" -> ((s, dir) =>
+      RetrievalEval.labelMetrics(t(s, dir, "embeddings"), numQueries = 32, k = 10)),
 
     // ColBERT-style late-interaction MaxSim: vectors sliced to 8
     // sub-vectors of 8 dims; score = Σ_i max_j ⟨q_i, v_j⟩, descending
@@ -1664,6 +1679,57 @@ object Registry {
         |)
         |SELECT query_id, rank, vec_id, round(score, 4) AS score
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_retrieval_metrics" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+         |  FROM embeddings WHERE vec_id < 32
+         |), j AS (
+         |  SELECT q.query_id, v.vec_id,
+         |         CASE WHEN v.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+         |         ${l2sqSql("q.qvec", "v.embedding")} AS dist
+         |  FROM q CROSS JOIN embeddings v
+         |  WHERE v.vec_id <> q.query_id
+         |), r AS (
+         |  SELECT query_id, vec_id, rel,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |  FROM j
+         |), topk AS (
+         |  SELECT * FROM r WHERE rank <= 10
+         |), agg AS (
+         |  SELECT query_id,
+         |         CAST(sum(rel) AS BIGINT) AS n_rel,
+         |         CAST(sum(rel) AS DOUBLE) / 10 AS p_raw,
+         |         max(CASE WHEN rel = 1 THEN 1.0 / rank ELSE 0.0 END) AS mrr_raw,
+         |         sum(CAST(rel AS DOUBLE) / log2(CAST(rank AS DOUBLE) + 1.0)) AS dcg
+         |  FROM topk GROUP BY query_id
+         |)
+         |SELECT query_id, n_rel,
+         |       round(p_raw, 4) AS precision,
+         |       round(mrr_raw, 4) AS mrr,
+         |       round(CASE WHEN n_rel = 0 THEN 0.0 ELSE dcg /
+         |         list_sum(list_transform(range(1, CAST(n_rel AS INT) + 1), i ->
+         |           1.0 / log2(CAST(i AS DOUBLE) + 1.0))) END, 4) AS ndcg
+         |FROM agg ORDER BY query_id""".stripMargin,
+
+    "q_quantile_bucket" ->
+      s"""WITH tq AS (
+         |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+         |), q AS (
+         |  SELECT doc_id,
+         |    round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         |          (CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / len(text)) * 0.3 +
+         |          least((CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks)) * 5.0, 1.0) * 0.3, 4) AS quality
+         |  FROM tq
+         |), thr AS (
+         |  SELECT list_transform(
+         |    quantile_cont(quality, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+         |    x -> round(x, 4)) AS ts
+         |  FROM q
+         |)
+         |SELECT q.doc_id, q.quality,
+         |       CAST(len(list_filter(thr.ts, t -> q.quality > t)) AS BIGINT) AS bucket
+         |FROM q, thr ORDER BY q.doc_id""".stripMargin,
 
     "q_mips_knn" ->
       s"""WITH q AS (
