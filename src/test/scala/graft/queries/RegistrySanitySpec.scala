@@ -13,7 +13,10 @@ class RegistrySanitySpec extends AnyFunSuite {
   // SQL; q_bpe_merges is iterative with a driver-side argmax per round
   // (not SQL-expressible) — its exact merge table is pinned by BpeTrainSpec
   private val documentedNoOracle =
-    Set("q_hnsw_knn", "q_ivf_trained_knn", "q_pca_reduce", "q_bpe_merges")
+    Set("q_hnsw_knn", "q_ivf_trained_knn", "q_pca_reduce", "q_bpe_merges",
+      // ZCA whitening: learned (sample eigendecomposition) like PCA —
+      // spec-gated by WhiteningSpec's covariance-identity test
+      "q_whiten")
 
   test("every oracle key has a matching query") {
     val orphans = Registry.oracleSql.keySet -- Registry.queries.keySet
