@@ -96,17 +96,26 @@ object GraftFunctions {
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo("graft", name)
 
-  /** Register every function on a live session (idempotent). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register every function on a live session (idempotent), and hook
+    * the HOF-distance fusion rule into the session's optimizer (the
+    * live-session analog of injectOptimizerRule). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       org.apache.spark.sql.graft.FunctionBridge.register(spark, name, info(name), builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(FuseDistanceRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseDistanceRule
+  }
 
   /** Inject into a SparkSessionExtensions (for spark.sql.extensions). */
-  def inject(ext: SparkSessionExtensions): Unit =
+  def inject(ext: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     }
+    // optimizer rule: HOF distance patterns → fused codegen expressions
+    ext.injectOptimizerRule(_ => FuseDistanceRule)
+  }
 }
 
 /** `spark.sql.extensions=graft.GraftExtensions` entry point. */

@@ -97,4 +97,48 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("FuseDistanceRule: HOF distance patterns compile to the fused codegen expressions") {
+    registered
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(100)
+    emb.createOrReplaceTempView("emb_fuse")
+    // Column-API HOF forms (Distances.l2Sq / dot)
+    val api = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("ai"), $"b.vec_id".as("bi"),
+        Distances.l2Sq($"a.embedding", $"b.embedding").as("l2"),
+        Distances.dot($"a.embedding", $"b.embedding").as("dp"))
+    val apiPlan = api.queryExecution.executedPlan.toString
+    assert(apiPlan.contains("l2sqdistance") && apiPlan.contains("dotproduct"),
+      s"rule must fuse the Column-API HOF chains:\n$apiPlan")
+    // hand-written SQL HOF form with inline casts
+    val sql = spark.sql(
+      """SELECT a.vec_id AS ai, b.vec_id AS bi,
+        |  aggregate(zip_with(a.embedding, b.embedding,
+        |    (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+        |    0.0D, (acc, v) -> acc + v) AS l2,
+        |  aggregate(zip_with(a.embedding, b.embedding,
+        |    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |    0.0D, (acc, v) -> acc + v) AS dp
+        |FROM emb_fuse a JOIN emb_fuse b ON a.vec_id < b.vec_id""".stripMargin)
+    val sqlPlan = sql.queryExecution.executedPlan.toString
+    assert(sqlPlan.contains("l2sqdistance") && sqlPlan.contains("dotproduct"),
+      s"rule must fuse the SQL HOF chains:\n$sqlPlan")
+    // results equal the fused Column API exactly (numerics identical)
+    val fast = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("ai"), $"b.vec_id".as("bi"),
+        Distances.l2SqFast($"a.embedding", $"b.embedding").as("l2"),
+        Distances.dotFast($"a.embedding", $"b.embedding").as("dp"))
+    assert(sql.exceptAll(fast).isEmpty && fast.exceptAll(sql).isEmpty)
+    assert(api.exceptAll(fast).isEmpty && fast.exceptAll(api).isEmpty)
+  }
+
+  test("FuseDistanceRule leaves non-distance aggregates alone") {
+    registered
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(20)
+    // element sum — same aggregate skeleton, different lambda body
+    val df = emb.select(Distances.elementSum($"embedding").as("s"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("l2sqdistance") && !p.contains("dotproduct"))
+    assert(df.count() == 20)
+  }
 }
