@@ -221,4 +221,43 @@ object GraftProps extends Properties("graft") {
       .select(col("doc_id")).collect().map(_.getLong(0))
     out.sorted.sameElements(0L until n.toLong)
   }
+
+  // --- fused string expressions vs their HOF reference forms on
+  // adversarial generated text (whitespace runs, unicode, empties) ---
+
+  private val textGen: Gen[String] = {
+    val piece = Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(6)),
+      Gen.oneOf("the", "a", "of", "is", "und", "123", "A1!", "h\u00e9", "\ud83d\ude00"),
+      Gen.oneOf(" ", "  ", "\t", "\n", "\r", "\f", "\u000b"))
+    Gen.listOf(piece).map(_.mkString)
+  }
+
+  property("textStatsEqualsHofForms") = forAll(Gen.listOfN(8, textGen)) { texts =>
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextFunctions
+    val df = texts.toDF("text")
+    val st = TextFunctions.textStats(col("text"))
+    df.select(
+      (st.getField("n_tokens") === TextFunctions.tokenCountWs(col("text"))).as("a"),
+      (st.getField("n_bpe") === TextFunctions.tokenCountBpe(col("text"))).as("b"),
+      (st.getField("alpha") ===
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")).as("c"),
+      (st.getField("stop_hits") === TextFunctions.wordListHits(
+        TextFunctions.tokens(col("text")), TextFunctions.enStopwords)).as("d"),
+      (st.getField("char_len") === length(col("text")).cast("long")).as("e"))
+      .collect().forall(r => (0 until 5).forall(i => r.getBoolean(i)))
+  }
+
+  property("ngramWindowsEqualsHofForm") = forAll(Gen.listOfN(6, textGen),
+      Gen.chooseNum(1, 4)) { (texts, n) =>
+    val s = spark
+    import s.implicits._
+    import graft.operators.CorpusStats
+    texts.toDF("text").select(
+      CorpusStats.wordNgrams(col("text"), n).as("fast"),
+      CorpusStats.wordNgramsHof(col("text"), n).as("hof"))
+      .collect().forall(r => r.getSeq[String](0) == r.getSeq[String](1))
+  }
 }
