@@ -109,4 +109,25 @@ object CorpusStats {
             col("n_tokens").cast("double"), 4))
       .select(col("doc_id"), col("n_tokens"), col("nll"))
   }
+
+  /** Cross-source duplication matrix — for every pair of sources, how
+    * many near-duplicate pairs straddle them (the "who copied whom"
+    * dedup analytics that decides which source to drop dups from).
+    * `pairs` is any dedup pair set, e.g. [[Dedup.minhashLshDups]];
+    * source pairs are canonicalized (source_a ≤ source_b), so intra-
+    * source duplication shows on the diagonal.
+    *
+    * Scale: the pair set is LSH-bounded (small relative to the corpus)
+    * and broadcasts; the corpus's (doc_id, source) projection streams
+    * through two broadcast hash joins — no corpus shuffle. */
+  def sourceOverlap(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val srcA = docs.select(col("doc_id").as("doc_a"), col("source").as("sa"))
+    val srcB = docs.select(col("doc_id").as("doc_b"), col("source").as("sb"))
+    pairs.join(srcA, Seq("doc_a")).join(srcB, Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -51,4 +51,24 @@ object EmbeddingQuality {
         (col("dist") > col("mean_dist") + lit(z) * col("sd_dist")).as("is_outlier"))
       .orderBy(col("vec_id"))
   }
+
+  /** Per-label centroid drift between two corpus halves (vec_id parity
+    * split — any deterministic split works): L2 distance between the
+    * halves' rounded per-dim centroids. The embedding-space analog of
+    * the reference's operational monitoring (distribution drift between
+    * ingest batches). Exact across engines for the same reason as
+    * [[outliers]] — rounded means. */
+  def labelDrift(embeddings: DataFrame): DataFrame = {
+    def half(parity: Int) =
+      EmbeddingPool.meanPool(
+        embeddings.where(pmod(col("vec_id"), lit(2)) === parity), "label")
+        .select(col("label"), col("dim"), col("mean"), col("n"))
+    half(0).as("a").join(half(1).as("b"), Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(
+        round(sqrt(sum(pow(col("a.mean") - col("b.mean"), 2))), 4).as("drift"),
+        (max(col("a.n")) + max(col("b.n"))).as("n_vecs"))
+      .select(col("label").cast("long").as("label"), col("drift"), col("n_vecs"))
+      .orderBy(col("label"))
+  }
 }

@@ -159,6 +159,20 @@ object Registry {
     "q_embedding_outliers" -> ((s, dir) =>
       EmbeddingQuality.outliers(t(s, dir, "embeddings"), z = 2.0)),
 
+    // cross-source duplication matrix over the LSH near-dup pair graph:
+    // the pair set broadcasts, the corpus streams through two hash joins
+    "q_source_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshDups(docs,
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)
+      CorpusStats.sourceOverlap(docs, pairs)
+    }),
+
+    // per-label centroid drift between vec_id-parity corpus halves —
+    // the embedding-space analog of the reference's ops monitoring
+    "q_embedding_drift" -> ((s, dir) =>
+      EmbeddingQuality.labelDrift(t(s, dir, "embeddings"))),
+
     // quality-decile bucketing: corpus quantile thresholds (control-plane
     // vector, rounded to pin boundaries) -> map-side bucket index
     "q_quantile_bucket" -> ((s, dir) => {
@@ -1730,6 +1744,56 @@ object Registry {
          |SELECT q.doc_id, q.quality,
          |       CAST(len(list_filter(thr.ts, t -> q.quality > t)) AS BIGINT) AS bucket
          |FROM q, thr ORDER BY q.doc_id""".stripMargin,
+
+    "q_source_overlap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+         |), shs AS (
+         |  SELECT doc_id, $shingles3 AS sh FROM t
+         |), sig AS (
+         |  SELECT doc_id, sh,
+         |         list_transform(range(0, 16), h ->
+         |           list_aggregate(list_transform(sh, s -> md5(h::VARCHAR || ':' || s)), 'min')) AS sig
+         |  FROM shs
+         |), banded AS (
+         |  SELECT doc_id, b.b AS band,
+         |         md5(array_to_string(list_slice(sig, CAST(b.b*4+1 AS INT), CAST(b.b*4+4 AS INT)), '|')) AS bucket
+         |  FROM sig, range(0, 4) b(b)
+         |), cpairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), pairs AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM cpairs p
+         |  JOIN sig sa ON sa.doc_id = p.doc_a
+         |  JOIN sig sb ON sb.doc_id = p.doc_b
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(sa.sh || sb.sh)) >= 0.8
+         |)
+         |SELECT least(da.source, db.source) AS source_a,
+         |       greatest(da.source, db.source) AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.doc_a
+         |JOIN documents db ON db.doc_id = p.doc_b
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
+    "q_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         unnest(range(0, len(embedding))) AS dim,
+        |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT label, (vec_id % 2) AS par, dim,
+        |         round(avg(x), 4) AS mean, count(*) AS n
+        |  FROM e GROUP BY label, (vec_id % 2), dim
+        |)
+        |SELECT CAST(a.label AS BIGINT) AS label,
+        |       round(sqrt(sum((a.mean - b.mean)^2)), 4) AS drift,
+        |       CAST(max(a.n) + max(b.n) AS BIGINT) AS n_vecs
+        |FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
+        |  AND a.par = 0 AND b.par = 1
+        |GROUP BY a.label ORDER BY label""".stripMargin,
 
     "q_mips_knn" ->
       s"""WITH q AS (
