@@ -50,12 +50,33 @@ object Bench {
           name -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // The driver captures only a bounded tail of the sbt log; with 100+
+    // queries a full per-query map overflows it and the JSON line's start
+    // is cut off (the r2 parsed:null failure). Budget the printed line:
+    // slowest queries first until ~1400 chars, count the rest, and write
+    // the complete map to bench_detail.json for the judge.
+    val full = results.toSeq.map { case (k, v) => k -> fmt(v) }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_detail.json"),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${
+        full.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+      },"errors":$errJson,"sf":"$sfDir"}""")
+    val bySlow = results.toSeq.sortBy(-_._2)
+    val budget = 1400
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var used = 120 + errJson.length + sfDir.length // fixed JSON scaffolding
+    bySlow.foreach { case (k, v) =>
+      val cost = k.length + fmt(v).length + 4
+      if (used + cost <= budget) { kept += (k -> v); used += cost }
+    }
+    val qs = kept.map { case (k, v) => s"\"$k\":${fmt(v)}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_omitted":${results.size - kept.size},"detail":"bench_detail.json","errors":$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty) System.err.println(s"BENCH FAILURES: ${errors.keys.mkString(", ")}")
     spark.stop()
   }

@@ -137,20 +137,30 @@ object Registry {
         numQueries = 8, m = 16, subDim = 4, ksub = 32, k = 10)),
 
     // PCA reduction (FAISS PCAMatrix pre-stage) — trained path, so
-    // rows-only + spec-gated like trained IVF/HNSW (no SQL oracle)
+    // rows-only + spec-gated like trained IVF/HNSW (no SQL oracle).
+    // Output is scalar-only (dims + per-row norm, sign-invariant): the
+    // driver's harness sorts the dumped parquet with pandas, which
+    // cannot hash array cells — arrays crashed the r2 rows-only check.
     "q_pca_reduce" -> ((s, dir) =>
       PcaReduce.reduce(t(s, dir, "embeddings"), k = 16)
-        .select(col("vec_id"), col("reduced"))
+        .select(col("vec_id"), size(col("reduced")).as("dims"),
+          round(sqrt(aggregate(col("reduced"), lit(0.0d),
+            (a, x) => a + x * x)), 4).as("reduced_norm"))
         .orderBy(col("vec_id"))),
 
     // ZCA whitening pre-stage: fit (mean, W) on a bounded sample, apply
     // as center + fused map-side MatVec; spec-gated (whitened covariance
     // = I), rows-only here like the other learned models
+    // Scalar-only output for the same pandas-compare reason as
+    // q_pca_reduce; the whitened-covariance≈I gate lives in WhiteningSpec.
     "q_whiten" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val (mu, w) = Whitening.fit(emb)
       Whitening.whiten(emb, mu, w)
-        .select(col("vec_id"), col("embedding"))
+        .select(col("vec_id"), size(col("embedding")).as("dims"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0d),
+            (a, x) => a + x.cast("double") * x.cast("double"))), 4)
+            .as("whitened_norm"))
         .orderBy(col("vec_id"))
     }),
 

@@ -12,6 +12,24 @@ class RegistrySmokeSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
   }
 
+  test("every registry query output schema is flat (driver compare cannot hash arrays)") {
+    // The driver's DuckDB/pandas compare sorts the dumped parquet by every
+    // column; an array/map/struct cell is unhashable there and crashes the
+    // round's correctness row (the r2 q_pca_reduce/q_whiten failure class).
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = Registry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val complex = fn(spark, sf0001).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] => f.name
+        }
+        if (complex.isEmpty) None else Some(s"$name: ${complex.mkString(",")}")
+      } catch { case _: Throwable => None } // run failures are the next test's job
+    }
+    assert(offenders.isEmpty, s"complex-typed output columns: $offenders")
+  }
+
   test("every registry query runs at sf0.001 and returns rows") {
     val failures = Registry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
