@@ -9,6 +9,13 @@ import org.apache.spark.sql.SparkSession
   * prune unused projections, timing a parquet scan instead of the
   * operator). Failures are reported per-query in an "errors" map and
   * the query's time is recorded as -1, never a silent fast number.
+  *
+  * Each query runs SPARK_GRAFT_ITERS times (default 3) and the MEDIAN
+  * is recorded; total = sum of medians. A single-shot harness cannot
+  * distinguish machine contention from plan regressions (the r3 bench
+  * had 13 consecutive queries 2-5× slower on unchanged code); the
+  * median of 3 pins that. Per-iteration times land in
+  * bench_detail.json ("iters") so spread is auditable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,19 +43,30 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(
       names => SparkEntry.queries.filter { case (n, _) => names(n) })
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
+    val allIters = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = selected.map { case (name, fn) =>
       // stderr marker so engine warnings in the log tail attribute to a query
       System.err.println(s"[bench] $name")
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
-          name -> -1.0
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            if (!errors.contains(name))
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+            -1.0
+        }
       }
+      allIters(name) = times
+      // any failed iteration marks the query failed — never a silent fast number
+      val median =
+        if (times.exists(_ < 0)) -1.0
+        else times.sorted.apply(times.size / 2)
+      name -> median
     }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -61,22 +79,25 @@ object Bench {
     // slowest queries first until ~1400 chars, count the rest, and write
     // the complete map to bench_detail.json for the judge.
     val full = results.toSeq.map { case (k, v) => k -> fmt(v) }
+    val itersJson = allIters.map { case (k, ts) =>
+      s"\"$k\":${ts.map(fmt).mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_$iters","queries":${
         full.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-      },"errors":$errJson,"sf":"$sfDir"}""")
+      },"iters":$itersJson,"errors":$errJson,"sf":"$sfDir"}""")
     val bySlow = results.toSeq.sortBy(-_._2)
     val budget = 1400
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    var used = 120 + errJson.length + sfDir.length // fixed JSON scaffolding
+    var used = 150 + errJson.length + sfDir.length // fixed JSON scaffolding
     bySlow.foreach { case (k, v) =>
       val cost = k.length + fmt(v).length + 4
       if (used + cost <= budget) { kept += (k -> v); used += cost }
     }
     val qs = kept.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_omitted":${results.size - kept.size},"detail":"bench_detail.json","errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_$iters","queries":$qs,"queries_omitted":${results.size - kept.size},"detail":"bench_detail.json","errors":$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty) System.err.println(s"BENCH FAILURES: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
