@@ -14,6 +14,9 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
       // default; read as long nanos (Registry normalizes to timestamp).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata timestamps are written isAdjustedToUTC=false; read them as
+      // plain UTC TIMESTAMP (matches DuckDB's naive reading + UTC session TZ)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -20,15 +20,22 @@ object Registry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos —
-    * normalize to a microsecond timestamp (integer division, no double
-    * round-trip: epoch nanos exceed double's 53-bit mantissa). */
+  /** events.parquet's ts column has shipped in three physical forms across
+    * driver data generations: TIMESTAMP(NANOS) (arrives as long nanos under
+    * spark.sql.legacy.parquet.nanosAsLong), TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ under Spark 4's default
+    * inferTimestampNTZ), and plain UTC TIMESTAMP. Normalize all three to a
+    * session-TZ TIMESTAMP (sessions pin UTC, so NTZ wall-clock == epoch
+    * micros, matching DuckDB's naive reading). Nanos path uses integer
+    * division — no double round-trip; epoch nanos exceed double's 53-bit
+    * mantissa. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     val df = t(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -34,8 +34,7 @@ class MetricsAnalyticsSpec extends SparkSpec {
   }
 
   test("approx forms track the exact forms within tolerance on real events") {
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val events = readEvents(sf0001)
     val exact = MetricsAnalytics.percentiles(events).collect()
       .map(r => r.getString(0) -> r).toMap
     // the approx-quantile contract is RANK-space: the returned sample's

@@ -7,8 +7,7 @@ import graft.SparkSpec
 class SaltingSpec extends SparkSpec {
   import spark.implicits._
 
-  private lazy val ev = spark.read.parquet(s"$sf0001/events.parquet")
-    .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  private lazy val ev = readEvents(sf0001)
 
   test("saltedCountSum equals the plain aggregation") {
     val plain = ev.groupBy($"event_type")
