@@ -43,6 +43,33 @@ object IvfPqIndex {
         c.getField("cid").as("cid"),
         c.getField("vec").as("cvec")))
 
+  /** Trained IVFPQ self-search — k-means coarse centroids
+    * ([[IvfIndex.trainCentroids]]) and residual codebooks trained with
+    * per-subspace k-means ON THE RESIDUALS (the faiss `IndexIVFPQ.train`
+    * order, mirrored from vector_search_cluster.py:1033-1041): assign →
+    * subtract centroid → train PQ on (v − c). Quality path for the recall
+    * gates; the oracle-able deterministic path is [[selfSearchSeeded]]. */
+  def selfSearchTrained(
+      embeddings: DataFrame,
+      numQueries: Int,
+      nlist: Int,
+      nprobe: Int,
+      m: Int,
+      subDim: Int,
+      ksub: Int,
+      k: Int,
+      seed: Long = 42L): DataFrame = {
+    val cents = IvfIndex.trainCentroids(embeddings, nlist, seed)
+    val best = array_min(scoredWithVec(col("embedding"), cents))
+    val assigned = embeddings
+      .withColumn("cluster_id", best.getField("cid"))
+      .withColumn("res", residual(col("embedding"), best.getField("cvec")))
+    // trainCodebooks reads column "embedding" — feed it the residuals
+    val cb = PqIndex.trainCodebooks(
+      assigned.select(col("res").as("embedding")), m, subDim, ksub, seed)
+    searchEncoded(assigned, cb, cents, numQueries, nprobe, m, subDim, k)
+  }
+
   /** End-to-end IVFPQ self-search with deterministic seed centroids and
     * residual codebooks — the oracle-able path. Residual codebooks:
     * subspace s's code c is the s-th slice of the residual of vec_id = c. */
@@ -67,11 +94,26 @@ object IvfPqIndex {
     val cb: PqIndex.Codebooks =
       Array.tabulate(m)(s => cbRows.map(v => v.slice(s * subDim, (s + 1) * subDim)))
 
+    searchEncoded(assigned, cb, cents, numQueries, nprobe, m, subDim, k)
+  }
+
+  /** Shared IVFPQ search tail: encode residuals, build per-(query, probed
+    * centroid) residual LUTs, broadcast-join against the codes table.
+    * `assigned` must carry (vec_id, embedding, cluster_id, res). */
+  private def searchEncoded(
+      assigned: DataFrame,
+      cb: PqIndex.Codebooks,
+      cents: Array[IvfIndex.Centroid],
+      numQueries: Int,
+      nprobe: Int,
+      m: Int,
+      subDim: Int,
+      k: Int): DataFrame = {
     val codes = assigned
       .withColumn("codes", PqIndex.encodeExpr(col("res"), cb, m, subDim))
       .select(col("vec_id"), col("cluster_id"), col("codes"))
 
-    val q = embeddings.where(col("vec_id") < numQueries)
+    val q = assigned.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val probes = q
       .select(col("query_id"), col("qvec"),

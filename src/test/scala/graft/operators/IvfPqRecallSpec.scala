@@ -55,6 +55,64 @@ class IvfPqRecallSpec extends SparkSpec {
     assert(r >= 0.2)
   }
 
+  // ---- clustered fixture ------------------------------------------------
+  // The gates above run on the driver's clusterless gaussians — the hardest
+  // case for PQ (isotropic high-dim noise: all neighbor distances
+  // concentrate, so ADC quantization error swamps the ranking signal) —
+  // so their floors are necessarily lax (0.35 raw-ADC). A lax floor would
+  // also pass a broken encoder, so the QUALITY gates live here, on data in
+  // the regime the reference's 95.1% IVFPQ claim is measured in
+  // (README.md:160): 16 well-separated cluster centers in [-8,8]^64, with
+  // within-cluster offsets drawn from a shared rank-4 local subspace
+  // (offset = B·z, z ∈ R⁴ gaussian) — the low-dimensional local structure
+  // real embeddings have, where neighbor-distance gaps are large relative
+  // to codebook quantization error. Residuals then live in one rank-4
+  // subspace — the case residual encoding is DESIGNED for (coarse
+  // centroid absorbs the cluster offset; PQ codes only the local
+  // coordinates). A correct trained IVFPQ must reach ≥0.9 here and raw
+  // trained ADC ≥0.6; a broken encoder/LUT/assign stays near 0.
+  private lazy val clustered: DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val dim = 64; val nClusters = 16; val perCluster = 125; val localRank = 4
+    val centers = Array.fill(nClusters, dim)((rnd.nextDouble() * 16 - 8).toFloat)
+    val basis = Array.fill(localRank, dim)(rnd.nextGaussian() / math.sqrt(dim))
+    val rows = for {
+      i <- 0 until perCluster
+      c <- 0 until nClusters
+    } yield {
+      val z = Array.fill(localRank)(rnd.nextGaussian() * 2.0)
+      val off = Array.tabulate(dim)(d =>
+        (0 until localRank).foldLeft(0.0)((a, r) => a + z(r) * basis(r)(d)))
+      // vec_id = i*nClusters + c → ids 0..15 are one query per cluster
+      ((i * nClusters + c).toLong,
+        Array.tabulate(dim)(d => centers(c)(d) + off(d).toFloat).toSeq)
+    }
+    rows.toDF("vec_id", "embedding").repartition(4).cache()
+  }
+  private lazy val exactClustered = KnnSearch.selfTopK(clustered, numQueries = 16, k = 10)
+    .select($"query_id", $"vec_id").cache()
+
+  private def recallClustered(ann: DataFrame): Double =
+    ann.select($"query_id", $"vec_id")
+      .join(exactClustered, Seq("query_id", "vec_id")).count().toDouble /
+      exactClustered.count()
+
+  test("clustered fixture: trained residual IVFPQ recall@10 >= 0.9 at nprobe=nlist/4, reference m=d/4") {
+    // m = d/4 = 16 subquantizers is the reference's own PQ rule
+    // (vector_search_cluster.py:1035); at m=8 the same index measures 0.85
+    val r = recallClustered(IvfPqIndex.selfSearchTrained(clustered, numQueries = 16,
+      nlist = 16, nprobe = 4, m = 16, subDim = 4, ksub = 64, k = 10))
+    info(f"clustered trained IVFPQ recall@10 = $r%.3f")
+    assert(r >= 0.9)
+  }
+
+  test("clustered fixture: trained PQ raw-ADC recall@10 >= 0.6") {
+    val r = recallClustered(PqIndex.selfSearchTrained(clustered, numQueries = 16,
+      m = 8, subDim = 8, ksub = 64, k = 10))
+    info(f"clustered trained PQ raw-ADC recall@10 = $r%.3f")
+    assert(r >= 0.6)
+  }
+
   test("IVF at full probe count equals exact search") {
     val full = IvfIndex.selfSearchSeeded(emb, numQueries = 8, nlist = 16, nprobe = 16, k = 10)
     assert(recall(full) == 1.0)
