@@ -148,11 +148,17 @@ object Registry {
     // Output is scalar-only (dims + per-row norm, sign-invariant): the
     // driver's harness sorts the dumped parquet with pandas, which
     // cannot hash array cells — arrays crashed the r2 rows-only check.
+    // probe0_sq = reduced[0]² fixes the projection itself, not just its
+    // norm: sign-invariant (eigenvector sign ambiguity) but NOT
+    // rotation-invariant, so a permuted/rotated-components bug that
+    // preserves norms still changes the dumped rows.
     "q_pca_reduce" -> ((s, dir) =>
       PcaReduce.reduce(t(s, dir, "embeddings"), k = 16)
         .select(col("vec_id"), size(col("reduced")).as("dims"),
           round(sqrt(aggregate(col("reduced"), lit(0.0d),
-            (a, x) => a + x * x)), 4).as("reduced_norm"))
+            (a, x) => a + x * x)), 4).as("reduced_norm"),
+          round(element_at(col("reduced"), 1) * element_at(col("reduced"), 1), 4)
+            .as("probe0_sq"))
         .orderBy(col("vec_id"))),
 
     // ZCA whitening pre-stage: fit (mean, W) on a bounded sample, apply
@@ -167,7 +173,12 @@ object Registry {
         .select(col("vec_id"), size(col("embedding")).as("dims"),
           round(sqrt(aggregate(col("embedding"), lit(0.0d),
             (a, x) => a + x.cast("double") * x.cast("double"))), 4)
-            .as("whitened_norm"))
+            .as("whitened_norm"),
+          // same fixed-probe rationale as q_pca_reduce (ZCA's W = EΛ^-½Eᵀ
+          // is sign-cancelling, so component 0 is well-defined; square it
+          // anyway to stay robust to a wholesale eigenbasis flip)
+          round(element_at(col("embedding"), 1) * element_at(col("embedding"), 1), 4)
+            .as("probe0_sq"))
         .orderBy(col("vec_id"))
     }),
 
