@@ -21,6 +21,27 @@ class HnswIndexSpec extends SparkSpec {
     assert(recall >= 0.9)
   }
 
+  test("sharded recall: bench-scale partition counts, gate >= 0.85 at 32 partitions") {
+    // SCALE.md documents the sharded-HNSW tradeoff (more partitions =
+    // smaller graphs, slightly lower per-graph recall); measure it at the
+    // partition counts the bench actually runs with (selfSearch defaults
+    // to defaultParallelism = 32 at local[32]) on the largest local table.
+    val big = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").cache()
+    val exact = KnnSearch.selfTopK(big, numQueries = 16, k = 10)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val measured = Seq(4, 16, 32).map { parts =>
+      val ann = HnswIndex.selfSearch(big, numQueries = 16, k = 10, numPartitions = parts)
+        .select($"query_id", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (ann intersect exact).size.toDouble / exact.size
+      info(f"HNSW recall@10 at $parts%2d partitions = $recall%.3f")
+      parts -> recall
+    }
+    big.unpersist()
+    assert(measured.toMap.apply(32) >= 0.85)
+  }
+
   test("output shape: k rows per query, ranked, self excluded, deterministic") {
     val a = HnswIndex.selfSearch(emb, numQueries = 4, k = 5, numPartitions = 4).collect()
     val b = HnswIndex.selfSearch(emb, numQueries = 4, k = 5, numPartitions = 4).collect()
