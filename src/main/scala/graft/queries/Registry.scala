@@ -138,6 +138,26 @@ object Registry {
       IvfIndex.selfSearchSeeded(t(s, dir, "embeddings"),
         numQueries = 8, nlist = 16, nprobe = 4, k = 10)),
 
+    // S4→S3→D4 as one path: persist the index partitioned by cluster_id,
+    // reload, search with static partition pruning — only the probed
+    // inverted-list partitions are read (PartitionFilters; plan gated in
+    // PlanShapeSpec). Same oracle as q_ivf_knn: pruning must not change
+    // results.
+    "q_ivf_pruned_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = IvfIndex.seedCentroids(emb, 16)
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_pruned_idx"
+      IvfIndex.writeIndex(IvfIndex.assign(emb, cents), cents, idxDir)
+      val (loadedCents, assignments) = IvfIndex.loadIndex(s, idxDir)
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      IvfIndex.searchPruned(q, loadedCents, assignments, nprobe = 4, k = 10,
+          excludeSelf = true)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // J3/A3: PQ encode + ADC search with deterministic codebooks
     "q_pq_adc_knn" -> ((s, dir) =>
       PqIndex.selfSearchSeeded(t(s, dir, "embeddings"),
@@ -1345,6 +1365,10 @@ object Registry {
     // identical oracle: searching the merge of two disjoint half-indexes
     // (same centroids) must equal searching the single full index
     "q_ivf_merge" -> ivfKnnSql,
+
+    // identical oracle: the persisted partition-pruned read path must
+    // search identically to the in-memory index
+    "q_ivf_pruned_knn" -> ivfKnnSql,
 
     "q_index_stats" ->
       s"""WITH cent AS (

@@ -66,6 +66,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_ivf_pruned_knn: registry query reads only probed partitions") {
+    val p = planOf(Registry.queries("q_ivf_pruned_knn")(spark, sf0001))
+    assert(p.contains("PartitionFilters: [cluster_id"),
+      "the persisted-index registry query must partition-prune its scan")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q_event_counters: two-phase aggregation (map-side partial)") {
     val p = planOf(Registry.queries("q_event_counters")(spark, sf0001))
     assert(p.contains("partial_count") || p.contains("Partial"),

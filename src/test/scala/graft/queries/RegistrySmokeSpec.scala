@@ -30,6 +30,12 @@ class RegistrySmokeSpec extends SparkSpec {
     assert(offenders.isEmpty, s"complex-typed output columns: $offenders")
   }
 
+  test("q_ivf_pruned_knn equals q_ivf_knn row-for-row (pruning changes reads, not results)") {
+    val mem = Registry.queries("q_ivf_knn")(spark, sf0001).collect().map(_.toString)
+    val pruned = Registry.queries("q_ivf_pruned_knn")(spark, sf0001).collect().map(_.toString)
+    assert(pruned.toSeq == mem.toSeq)
+  }
+
   test("every registry query runs at sf0.001 and returns rows") {
     val failures = Registry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
