@@ -141,18 +141,22 @@ object Dedup {
     while (iter < maxIter && !converged) {
       val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("canonical_id")).as("nbr_min"))
-      // the change flag rides along in the same checkpointed job — the
-      // convergence check is then a near-free narrow count over the
-      // materialized blocks, not a second join against the old labels
-      val updated = labels.as("l")
+      // the change count rides INSIDE the checkpoint job as an observed
+      // metric (CollectMetrics): one job per round total — no second
+      // count() pass, not even a narrow one over the cached blocks
+      val metricName = s"dup_cluster_conv_$iter"
+      val flagged = labels.as("l")
         .join(nbrMin, col("l.doc_id") === nbrMin("dst"), "left")
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.canonical_id"),
             coalesce(col("nbr_min"), col("l.canonical_id"))).as("canonical_id"),
           (coalesce(col("nbr_min"), col("l.canonical_id")) < col("l.canonical_id"))
             .as("changed"))
-        .localCheckpoint(true)
-      val changes = updated.where(col("changed")).count()
+        .observe(metricName, sum(col("changed").cast("long")).as("changes"))
+      val updated = flagged.localCheckpoint(true)
+      val changes = flagged.queryExecution.observedMetrics.get(metricName)
+        .map(r => Option(r.getAs[java.lang.Long]("changes")).map(_.toLong).getOrElse(0L))
+        .getOrElse(sys.error(s"observed metric $metricName missing"))
       labels = updated.drop("changed")
       converged = changes == 0
       iter += 1
