@@ -34,6 +34,10 @@ object GraftFunctions {
       case Seq(a, b) => DotProduct(a, b)
       case args => throw new IllegalArgumentException(s"dot_product expects 2 args, got ${args.length}")
     },
+    "cosine_sim" -> {
+      case Seq(a, b) => CosineSim(a, b)
+      case args => throw new IllegalArgumentException(s"cosine_sim expects 2 args, got ${args.length}")
+    },
     "adc_distance" -> {
       case Seq(lut, codes) => AdcDistance(lut, codes)
       case args => throw new IllegalArgumentException(s"adc_distance expects 2 args, got ${args.length}")
@@ -76,6 +80,38 @@ object GraftFunctions {
           doubleArrayLit(vmin, "sq_distance vmin"),
           doubleArrayLit(scale, "sq_distance scale"))
       case args => throw new IllegalArgumentException(s"sq_distance expects 4 args, got ${args.length}")
+    },
+    "ngram_windows" -> {
+      case Seq(tokens, n) => NgramWindows(tokens, intLit(n, "ngram_windows n"))
+      case args => throw new IllegalArgumentException(s"ngram_windows expects 2 args, got ${args.length}")
+    },
+    "text_stats" -> {
+      case Seq(text, stops) => TextStats(text, stringArrayLit(stops, "text_stats stopwords"))
+      case args => throw new IllegalArgumentException(s"text_stats expects 2 args, got ${args.length}")
+    },
+    "bloom_might_contain" -> {
+      case Seq(s, filter) => BloomMightContain(s, binaryLit(filter, "bloom_might_contain filter"))
+      case args => throw new IllegalArgumentException(s"bloom_might_contain expects 2 args, got ${args.length}")
+    },
+    "mat_vec" -> {
+      case Seq(v, m) => MatVec(v, floatMatrixLit(m, "mat_vec matrix"))
+      case args => throw new IllegalArgumentException(s"mat_vec expects 2 args, got ${args.length}")
+    },
+    "centroid_argmin" -> {
+      case Seq(v, cids, cents) =>
+        CentroidArgmin(v, longArrayLit(cids, "centroid_argmin cids"),
+          floatMatrixLit(cents, "centroid_argmin centroids"))
+      case args => throw new IllegalArgumentException(s"centroid_argmin expects 3 args, got ${args.length}")
+    },
+    "pq_encode" -> {
+      case Seq(v, cb, subDim) =>
+        PqEncode(v, floatCubeLit(cb, "pq_encode codebooks"), intLit(subDim, "pq_encode subDim"))
+      case args => throw new IllegalArgumentException(s"pq_encode expects 3 args, got ${args.length}")
+    },
+    "mmr_select" -> {
+      case Seq(c, lam, m) =>
+        MmrSelect(c, numLit(lam, "mmr_select lambda"), intLit(m, "mmr_select m"))
+      case args => throw new IllegalArgumentException(s"mmr_select expects 3 args, got ${args.length}")
     })
 
   /** Fold a constant array<double> argument (an array(...) literal in
@@ -91,6 +127,88 @@ object GraftFunctions {
       throw new IllegalArgumentException(
         s"$what must be a constant array<double>, got $e")
     e.eval().asInstanceOf[ArrayData].toDoubleArray()
+  }
+
+  private def requireConst(e: Expression, what: String): Any = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$what must be a constant, got $e")
+    e.eval()
+  }
+
+  private def numLit(e: Expression, what: String): Double = requireConst(e, what) match {
+    case n: java.lang.Number => n.doubleValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => throw new IllegalArgumentException(s"$what must be numeric, got $other")
+  }
+
+  private def longArrayLit(e: Expression, what: String): Array[Long] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+    e.dataType match {
+      case ArrayType(LongType, _) =>
+        requireConst(e, what).asInstanceOf[ArrayData].toLongArray()
+      case ArrayType(IntegerType, _) =>
+        requireConst(e, what).asInstanceOf[ArrayData].toIntArray().map(_.toLong)
+      case t => throw new IllegalArgumentException(s"$what must be a constant array<bigint>, got $t")
+    }
+  }
+
+  private def stringArrayLit(e: Expression, what: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    e.dataType match {
+      case ArrayType(StringType, _) =>
+        val a = requireConst(e, what).asInstanceOf[ArrayData]
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      case t => throw new IllegalArgumentException(s"$what must be a constant array<string>, got $t")
+    }
+  }
+
+  private def binaryLit(e: Expression, what: String): Array[Byte] = {
+    import org.apache.spark.sql.types.BinaryType
+    e.dataType match {
+      case BinaryType => requireConst(e, what).asInstanceOf[Array[Byte]]
+      case t => throw new IllegalArgumentException(s"$what must be a constant binary, got $t")
+    }
+  }
+
+  /** Constant array<array<float|double>> → JVM float matrix (SQL float
+    * literals usually arrive as doubles; narrow them). */
+  private def floatMatrixLit(e: Expression, what: String): Array[Array[Float]] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    def row(a: ArrayData, innerFloat: Boolean): Array[Float] =
+      if (innerFloat) a.toFloatArray() else a.toDoubleArray().map(_.toFloat)
+    e.dataType match {
+      case ArrayType(ArrayType(FloatType, _), _) =>
+        val a = requireConst(e, what).asInstanceOf[ArrayData]
+        Array.tabulate(a.numElements())(i => row(a.getArray(i), innerFloat = true))
+      case ArrayType(ArrayType(DoubleType, _), _) =>
+        val a = requireConst(e, what).asInstanceOf[ArrayData]
+        Array.tabulate(a.numElements())(i => row(a.getArray(i), innerFloat = false))
+      case t => throw new IllegalArgumentException(
+        s"$what must be a constant array<array<float|double>>, got $t")
+    }
+  }
+
+  /** Constant 3-level float array (PQ codebooks: m × ksub × subDim). */
+  private def floatCubeLit(e: Expression, what: String): Array[Array[Array[Float]]] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val innerFloat = e.dataType match {
+      case ArrayType(ArrayType(ArrayType(FloatType, _), _), _) => true
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => false
+      case t => throw new IllegalArgumentException(
+        s"$what must be a constant array<array<array<float|double>>>, got $t")
+    }
+    val a = requireConst(e, what).asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements()) { i =>
+      val sub = a.getArray(i)
+      Array.tabulate(sub.numElements()) { j =>
+        val v = sub.getArray(j)
+        if (innerFloat) v.toFloatArray() else v.toDoubleArray().map(_.toFloat)
+      }
+    }
   }
 
   private def info(name: String): ExpressionInfo =

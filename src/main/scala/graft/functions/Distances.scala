@@ -66,9 +66,14 @@ object Distances {
   def cosineDist(a: Column, b: Column): Column =
     lit(1.0) - cosineSim(a, b)
 
-  /** Codegen cosine similarity — bit-identical to [[cosineSim]]. */
+  /** Codegen cosine similarity — bit-identical to [[cosineSim]], one
+    * array pass (dot + both norms in a single fused loop) instead of
+    * three. */
   def cosineSimFast(a: Column, b: Column): Column =
-    dotFast(a, b) / (sqrt(dotFast(a, a)) * sqrt(dotFast(b, b)))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.CosineSim(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   /** Codegen cosine distance — bit-identical to [[cosineDist]]. */
   def cosineDistFast(a: Column, b: Column): Column =

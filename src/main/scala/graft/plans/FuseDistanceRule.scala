@@ -96,6 +96,20 @@ object FuseDistanceRule extends Rule[LogicalPlan] {
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions { case Fusable(fused) => fused }
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val dotsFused = plan.transformAllExpressions { case Fusable(fused) => fused }
+    // second pass: the cosine ratio over now-fused dots —
+    //   dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))  →  CosineSim(a,b)
+    // (the canonical Distances.cosineSim tree and the natural SQL form;
+    // one fused loop instead of three). Numerics identical: each sum
+    // keeps its left-to-right accumulation and the combine expression
+    // is unchanged.
+    dotsFused.transformAllExpressions {
+      case Divide(DotProduct(a, b),
+          Multiply(Sqrt(DotProduct(a1, a2)), Sqrt(DotProduct(b1, b2)), _), _)
+          if a.semanticEquals(a1) && a.semanticEquals(a2) &&
+            b.semanticEquals(b1) && b.semanticEquals(b2) =>
+        CosineSim(a, b)
+    }
+  }
 }

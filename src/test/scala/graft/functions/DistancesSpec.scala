@@ -37,6 +37,23 @@ class DistancesSpec extends SparkSpec {
     assert(math.abs(row.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("cosineSimFast (one-pass fused) is bit-identical to cosineSim on real vectors") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(60)
+    val both = emb.as("a").join(emb.as("b"),
+        org.apache.spark.sql.functions.col("a.vec_id") <
+          org.apache.spark.sql.functions.col("b.vec_id"))
+      .select(
+        Distances.cosineSim(
+          org.apache.spark.sql.functions.col("a.embedding"),
+          org.apache.spark.sql.functions.col("b.embedding")).as("hof"),
+        Distances.cosineSimFast(
+          org.apache.spark.sql.functions.col("a.embedding"),
+          org.apache.spark.sql.functions.col("b.embedding")).as("fused"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("elementSum and hasDim") {
     val row = Seq(1).toDF("x").select(
       Distances.elementSum(vec(1.5f, 2.5f, -1f)).as("s"),
