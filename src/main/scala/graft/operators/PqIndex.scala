@@ -201,7 +201,7 @@ object PqIndex {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private def search(
+  private[operators] def search(
       embeddings: DataFrame,
       codes: DataFrame,
       cb: Codebooks,

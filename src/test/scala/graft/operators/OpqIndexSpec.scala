@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** OPQ recall gates on the data regime OPQ exists for: anisotropic
+  * gaussian (variance concentrated in a few latent directions) mixed by a
+  * non-axis-aligned rotation, so the fixed axis-aligned subspace slicing
+  * of plain PQ straddles the correlated directions. OPQ's learned
+  * rotation must (a) beat plain PQ and (b) clear an absolute floor. */
+class OpqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // x = Q · (σ ⊙ g): 8 strong latent directions (σ=2), 56 weak (σ=0.1),
+  // mixed by a fixed random orthogonal Q — full-dimensional, correlated,
+  // nothing axis-aligned.
+  private lazy val correlated: DataFrame = {
+    val rnd = new scala.util.Random(11)
+    val dim = 64; val nRows = 2000; val strong = 8
+    val q = Rotation.randomOrthogonal(dim, seed = 99L).map(_.map(_.toDouble))
+    val rows = (0 until nRows).map { i =>
+      val z = Array.tabulate(dim)(j =>
+        rnd.nextGaussian() * (if (j < strong) 2.0 else 0.1))
+      val x = Array.tabulate(dim) { a =>
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += q(a)(j) * z(j); j += 1 }
+        s.toFloat
+      }
+      (i.toLong, x.toSeq)
+    }
+    rows.toDF("vec_id", "embedding").repartition(4).cache()
+  }
+
+  private lazy val exact = KnnSearch.selfTopK(correlated, numQueries = 16, k = 10)
+    .select($"query_id", $"vec_id").cache()
+
+  private def recall(ann: DataFrame): Double =
+    ann.select($"query_id", $"vec_id").join(exact, Seq("query_id", "vec_id"))
+      .count().toDouble / exact.count()
+
+  test("OPQ beats plain PQ on correlated data and clears the absolute floor") {
+    val pq = recall(PqIndex.selfSearchTrained(correlated, numQueries = 16,
+      m = 8, subDim = 8, ksub = 64, k = 10))
+    val opq = recall(OpqIndex.selfSearchTrained(correlated, numQueries = 16,
+      m = 8, subDim = 8, ksub = 64, k = 10))
+    info(f"recall@10: plain PQ = $pq%.3f, OPQ = $opq%.3f")
+    // measured (seeded-deterministic): PQ 0.644, OPQ 0.813
+    assert(opq >= pq + 0.1, "learned rotation must materially beat fixed slicing here")
+    assert(opq >= 0.75)
+  }
+
+  test("rotation is orthogonal: rotated exact search equals plain exact search") {
+    val (rot, _) = OpqIndex.trainOpq(correlated, m = 8, subDim = 8, ksub = 16,
+      iters = 2, trainSample = 500)
+    // R·Rᵀ ≈ I (float32 storage tolerance)
+    val d = rot.length
+    var maxDev = 0.0
+    var a = 0
+    while (a < d) {
+      var b = 0
+      while (b < d) {
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += rot(a)(j).toDouble * rot(b)(j).toDouble; j += 1 }
+        val expect = if (a == b) 1.0 else 0.0
+        maxDev = math.max(maxDev, math.abs(s - expect))
+        b += 1
+      }
+      a += 1
+    }
+    info(f"max |R·Rᵀ − I| = $maxDev%.2e")
+    assert(maxDev < 1e-4)
+  }
+
+  test("deterministic: same seed, same results") {
+    val a = OpqIndex.selfSearchTrained(correlated, numQueries = 4,
+      m = 8, subDim = 8, ksub = 16, k = 5, iters = 2).collect().map(_.toString)
+    val b = OpqIndex.selfSearchTrained(correlated, numQueries = 4,
+      m = 8, subDim = 8, ksub = 16, k = 5, iters = 2).collect().map(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+}
