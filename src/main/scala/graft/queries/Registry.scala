@@ -163,6 +163,13 @@ object Registry {
       PqIndex.selfSearchSeeded(t(s, dir, "embeddings"),
         numQueries = 8, m = 16, subDim = 4, ksub = 32, k = 10)),
 
+    // OPQ (FAISS OPQMatrix + PQ): learned rotation — trained path, so
+    // rows-only + recall-gated by OpqIndexSpec like the other learned
+    // models (no SQL oracle)
+    "q_opq_knn" -> ((s, dir) =>
+      OpqIndex.selfSearchTrained(t(s, dir, "embeddings"),
+        numQueries = 8, m = 8, subDim = 8, ksub = 32, k = 10, iters = 3)),
+
     // PCA reduction (FAISS PCAMatrix pre-stage) — trained path, so
     // rows-only + spec-gated like trained IVF/HNSW (no SQL oracle).
     // Output is scalar-only (dims + per-row norm, sign-invariant): the

@@ -16,7 +16,9 @@ class RegistrySanitySpec extends AnyFunSuite {
     Set("q_hnsw_knn", "q_ivf_trained_knn", "q_pca_reduce", "q_bpe_merges",
       // ZCA whitening: learned (sample eigendecomposition) like PCA —
       // spec-gated by WhiteningSpec's covariance-identity test
-      "q_whiten")
+      "q_whiten",
+      // OPQ: learned rotation + codebooks — recall-gated by OpqIndexSpec
+      "q_opq_knn")
 
   test("every oracle key has a matching query") {
     val orphans = Registry.oracleSql.keySet -- Registry.queries.keySet
