@@ -86,8 +86,13 @@ object BpeTrain {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(rank.toLong, l, r, c)
+        // dict flows LINEARLY through applyMerge (one reference per round),
+        // so the plan grows linearly, not exponentially like dupClusters'
+        // twice-referenced labels — a checkpoint every round is pure job
+        // overhead. Materialize every 4th round: recompute depth stays
+        // ≤ 4 nested merges while half the per-round jobs disappear.
         dict = dict.withColumn("syms", applyMerge(col("syms"), l, r))
-          .localCheckpoint(true)
+        if (rank % 4 == 0) dict = dict.localCheckpoint(true)
         rank += 1
       }
     }
