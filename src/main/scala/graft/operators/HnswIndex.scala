@@ -35,8 +35,12 @@ object HnswIndex {
   /** Graph/search parameters — defaults mirror the reference's. */
   case class Params(m: Int = 32, efConstruction: Int = 64, efSearch: Int = 64)
 
-  /** One partition's graph: ids, vectors, per-layer adjacency. */
-  private final class LocalGraph(params: Params) {
+  /** One partition's graph: ids, vectors, per-layer adjacency.
+    * Serializable so a driver-built graph over a MODEL-SIZED table (the
+    * IVF centroid set) can broadcast for [[coarseProbes]]; `search` is
+    * read-only (per-call visited/heaps), so concurrent task threads may
+    * share one broadcast instance. */
+  private final class LocalGraph(params: Params) extends Serializable {
     val ids = mutable.ArrayBuffer.empty[Long]
     val vecs = mutable.ArrayBuffer.empty[Array[Float]]
     // adj(node)(layer) — layer 0 first; node participates in layers 0..level
@@ -225,4 +229,50 @@ object HnswIndex {
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** HNSW coarse quantizer — the FAISS `IVF*_HNSW*` recipe
+    * (`IndexHNSWFlat` as the coarse quantizer when nlist is too large for
+    * a brute-force centroid argmin): one graph over the nlist centroids
+    * built driver-side (model-plane — nlist ≈ √n is ~3×10⁵ rows at 10¹¹
+    * vectors) and broadcast; probe selection walks the graph per query
+    * row instead of scanning all nlist centroids. Output matches
+    * [[IvfIndex.probes]]: (query_id, qvec, cluster_id) — feed it to
+    * [[IvfIndex.searchWithProbes]] or use [[searchIvfHnsw]]. */
+  def coarseProbes(
+      queries: DataFrame,
+      centroids: Array[IvfIndex.Centroid],
+      nprobe: Int,
+      params: Params = Params()): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val g = new LocalGraph(params)
+    centroids.sortBy(_._1).foreach { case (cid, v) => g.insert(cid, v) }
+    val bc = spark.sparkContext.broadcast(g)
+    val ef = math.max(params.efSearch, nprobe)
+    queries.select(col("query_id"), col("qvec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val graph = bc.value
+        rows.flatMap { case (qid, qv) =>
+          graph.search(qv, ef).take(nprobe)
+            .map { case (_, node) => (qid, qv, graph.ids(node)) }
+        }
+      }
+      .toDF("query_id", "qvec", "cluster_id")
+  }
+
+  /** Composed IVF search with HNSW probe selection — candidate scan,
+    * pruning and top-k identical to [[IvfIndex.search]]; only phase (a)
+    * differs (graph walk vs exact argmin), so recall vs exact-probe IVF
+    * is gated by the coarse quantizer's own recall (spec-measured). */
+  def searchIvfHnsw(
+      queries: DataFrame,
+      centroids: Array[IvfIndex.Centroid],
+      assignments: DataFrame,
+      nprobe: Int,
+      k: Int,
+      excludeSelf: Boolean = false,
+      params: Params = Params()): DataFrame =
+    IvfIndex.searchWithProbes(
+      coarseProbes(queries, centroids, nprobe, params), assignments, k, excludeSelf)
 }

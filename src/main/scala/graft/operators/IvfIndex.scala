@@ -130,9 +130,20 @@ object IvfIndex {
       assignments: DataFrame,
       nprobe: Int,
       k: Int,
+      excludeSelf: Boolean = false): DataFrame =
+    searchWithProbes(probes(queries, centroids, nprobe), assignments, k, excludeSelf)
+
+  /** Phase (b) with an externally supplied probe set — (query_id, qvec,
+    * cluster_id), e.g. [[probes]] (exact argmin) or
+    * [[HnswIndex.coarseProbes]] (graph-walk coarse quantizer for huge
+    * nlist). The candidate scan, pruning shape and top-k are identical
+    * either way. */
+  def searchWithProbes(
+      probes: DataFrame,
+      assignments: DataFrame,
+      k: Int,
       excludeSelf: Boolean = false): DataFrame = {
-    val p = probes(queries, centroids, nprobe)
-    val cand = assignments.join(broadcast(p), Seq("cluster_id"))
+    val cand = assignments.join(broadcast(probes), Seq("cluster_id"))
     val filtered =
       if (excludeSelf) cand.where(col("vec_id") =!= col("query_id")) else cand
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))

@@ -42,6 +42,30 @@ class HnswIndexSpec extends SparkSpec {
     assert(measured.toMap.apply(32) >= 0.85)
   }
 
+  test("HNSW coarse quantizer: IVF search with graph-walk probes matches exact-probe IVF") {
+    // the FAISS IVF*_HNSW* recipe: same candidate scan + top-k, only
+    // probe selection differs — gate the composed result against the
+    // exact-argmin IVF at identical (nlist, nprobe)
+    val cents = IvfIndex.trainCentroids(emb, nlist = 16)
+    val assignments = IvfIndex.assign(emb, cents)
+    val q = emb.where($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactProbe = ids(IvfIndex.search(q, cents, assignments, nprobe = 4, k = 10,
+      excludeSelf = true))
+    val hnswProbe = ids(HnswIndex.searchIvfHnsw(q, cents, assignments, nprobe = 4,
+      k = 10, excludeSelf = true))
+    val agree = (hnswProbe intersect exactProbe).size.toDouble / exactProbe.size
+    info(f"IVF_HNSW vs exact-probe IVF result agreement = $agree%.3f")
+    assert(agree >= 0.9, "graph-walk probe selection must track the exact argmin")
+    // deterministic
+    val again = ids(HnswIndex.searchIvfHnsw(q, cents, assignments, nprobe = 4,
+      k = 10, excludeSelf = true))
+    assert(again == hnswProbe)
+  }
+
   test("output shape: k rows per query, ranked, self excluded, deterministic") {
     val a = HnswIndex.selfSearch(emb, numQueries = 4, k = 5, numPartitions = 4).collect()
     val b = HnswIndex.selfSearch(emb, numQueries = 4, k = 5, numPartitions = 4).collect()
