@@ -138,6 +138,22 @@ object Registry {
       IvfIndex.selfSearchSeeded(t(s, dir, "embeddings"),
         numQueries = 8, nlist = 16, nprobe = 4, k = 10)),
 
+    // FAISS IVF*_HNSW* composition: HNSW graph over the centroid table
+    // selects probes, phase (b) identical to q_ivf_knn. At ef(64) ≥
+    // nlist(16) the beam covers every centroid, so probe selection is
+    // provably exact → same oracle as q_ivf_knn.
+    "q_ivf_hnsw_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = IvfIndex.seedCentroids(emb, 16)
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      HnswIndex.searchIvfHnsw(q, cents, IvfIndex.assign(emb, cents),
+          nprobe = 4, k = 10, excludeSelf = true)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // S4→S3→D4 as one path: persist the index partitioned by cluster_id,
     // reload, search with static partition pruning — only the probed
     // inverted-list partitions are read (PartitionFilters; plan gated in
@@ -1376,6 +1392,10 @@ object Registry {
     // identical oracle: the persisted partition-pruned read path must
     // search identically to the in-memory index
     "q_ivf_pruned_knn" -> ivfKnnSql,
+
+    // identical oracle: HNSW probe selection at ef ≥ nlist covers every
+    // centroid, so the composed search equals exact-probe IVF
+    "q_ivf_hnsw_knn" -> ivfKnnSql,
 
     "q_index_stats" ->
       s"""WITH cent AS (

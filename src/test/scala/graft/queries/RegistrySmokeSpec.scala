@@ -36,6 +36,12 @@ class RegistrySmokeSpec extends SparkSpec {
     assert(pruned.toSeq == mem.toSeq)
   }
 
+  test("q_ivf_hnsw_knn equals q_ivf_knn row-for-row (ef >= nlist makes probes exact)") {
+    val mem = Registry.queries("q_ivf_knn")(spark, sf0001).collect().map(_.toString)
+    val hnsw = Registry.queries("q_ivf_hnsw_knn")(spark, sf0001).collect().map(_.toString)
+    assert(hnsw.toSeq == mem.toSeq)
+  }
+
   test("every registry query runs at sf0.001 and returns rows") {
     val failures = Registry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
