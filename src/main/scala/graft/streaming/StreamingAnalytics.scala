@@ -125,6 +125,27 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** The reference's background index-add loop (`index.add` on a live
+    * index, vector_search_cluster.py:1210-1212 via :1047-1049) as
+    * Structured Streaming: each micro-batch of arriving vectors is
+    * assigned to the FIXED existing centroids (the FAISS `add` contract —
+    * adding never retrains) and appended to the
+    * `partitionBy(cluster_id)` assignments table, so a concurrent
+    * [[graft.operators.IvfIndex.searchPruned]] sees the new rows
+    * immediately with partition pruning intact. Per batch: map-side
+    * assign + partitioned append — no shuffle, no rebuild. */
+  def indexIngestLoop(
+      vectorStream: DataFrame,
+      centroids: Array[graft.operators.IvfIndex.Centroid],
+      indexDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectorStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.IvfIndex.addToIndex(batch, centroids, indexDir)
+      }
+      .start()
+
   /** Stream-stream interval join: pair each event with every anchor of
     * the same key whose window `[anchor.ts, anchor.ts + lenSec)` contains
     * the event's time — the streaming form of

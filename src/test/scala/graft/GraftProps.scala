@@ -100,6 +100,21 @@ object GraftProps extends Properties("graft") {
       pair.forall(_.getDouble(0) >= 0.0)
   }
 
+  property("cosineSimFusedParity") = forAll(vecsGen) { vecs =>
+    // one-pass fused CosineSim must be bit-identical to the three-pass
+    // HOF ratio on arbitrary float vectors (incl. NaN via zero norms)
+    val df = toDF(vecs)
+    val a = df.where(col("vec_id") === 0).select(col("embedding").as("va"))
+    val rows = df.crossJoin(a).select(
+      Distances.cosineSim(col("va"), col("embedding")).as("hof"),
+      Distances.cosineSimFast(col("va"), col("embedding")).as("fused"))
+      .collect()
+    rows.forall { r =>
+      val (h, f) = (r.getDouble(0), r.getDouble(1))
+      (h.isNaN && f.isNaN) || h == f
+    }
+  }
+
   property("jaccardBoundsAndIdentity") = forAll(
     Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))) { words =>
     val s = spark

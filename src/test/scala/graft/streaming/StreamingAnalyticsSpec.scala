@@ -121,6 +121,39 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(results.toArray(Array.empty[(Long, Long, Long)]).toSet == expect)
   }
 
+  test("indexIngestLoop: streamed adds land in the persisted index; pruned search sees them") {
+    import graft.operators.IvfIndex
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfingest").toString
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val base = emb.where($"vec_id" < 400)
+    val cents = IvfIndex.seedCentroids(emb, 8)
+    IvfIndex.writeIndex(IvfIndex.assign(base, cents), cents, dir)
+
+    val arrivals = emb.where($"vec_id" >= 400)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val src = MemoryStream[(Long, Array[Float])]
+    val q = StreamingAnalytics.indexIngestLoop(
+      src.toDF().toDF("vec_id", "embedding"), cents, dir)
+    try {
+      src.addData(arrivals.take(50).toSeq)
+      q.processAllAvailable()
+      src.addData(arrivals.drop(50).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val (loaded, assignments) = IvfIndex.loadIndex(spark, dir)
+    assert(assignments.count() == emb.count(), "all adds must land")
+    // the streamed-in rows are searchable through the pruned path: a
+    // query ON an added vector must find itself at rank 1, dist 0
+    val probe = emb.where($"vec_id" === 450)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val top = IvfIndex.searchPruned(probe, loaded, assignments, nprobe = 2, k = 3)
+      .orderBy($"rank").collect()
+    assert(top.nonEmpty && top.head.getAs[Long]("vec_id") == 450L
+      && top.head.getAs[Double]("dist") == 0.0)
+  }
+
   test("streamingExactDedup keeps first arrival per content hash") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[(Long, Timestamp, String)]
