@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.{HnswIndex, IvfIndex, IvfPqIndex, KnnSearch, PqIndex}
+import graft.operators.{HnswIndex, IvfIndex, IvfPqIndex, KnnSearch, OpqIndex, PqIndex}
 
 /** Thin unified API over the index families (SURVEY §7.1) — the Spark
   * counterpart of the reference's `create-index --type flat|ivf|ivfpq|hnsw`
@@ -23,9 +23,15 @@ object VectorIndex {
   /** Flat product quantization with ADC (+ optional exact re-rank). */
   final case class Pq(m: Int, subDim: Int, ksub: Int, rerank: Int = 0) extends IndexSpec
   /** Combined IVF + residual PQ (`IndexIVFPQ`). */
-  final case class IvfPq(nlist: Int, nprobe: Int, m: Int, subDim: Int, ksub: Int) extends IndexSpec
+  final case class IvfPq(nlist: Int, nprobe: Int, m: Int, subDim: Int, ksub: Int,
+      trained: Boolean = false) extends IndexSpec
   /** Per-partition navigable-small-world graphs. */
   final case class Hnsw(m: Int = 32, efConstruction: Int = 64, efSearch: Int = 64) extends IndexSpec
+  /** Learned-rotation PQ (`OPQMatrix` + PQ). */
+  final case class Opq(m: Int, subDim: Int, ksub: Int, iters: Int = 6) extends IndexSpec
+  /** IVF with HNSW coarse quantizer (`IVF*_HNSW*`). */
+  final case class IvfHnsw(nlist: Int, nprobe: Int,
+      graph: Hnsw = Hnsw()) extends IndexSpec
 
   /** Self-search contract shared by every index family: the first
     * `numQueries` vectors of `embeddings(vec_id, embedding)` query the
@@ -44,10 +50,26 @@ object VectorIndex {
       if (rerank > 0)
         PqIndex.selfSearchReranked(embeddings, numQueries, m, subDim, ksub, k, rerank)
       else PqIndex.selfSearchTrained(embeddings, numQueries, m, subDim, ksub, k)
-    case IvfPq(nlist, nprobe, m, subDim, ksub) =>
-      IvfPqIndex.selfSearchSeeded(embeddings, numQueries, nlist, nprobe, m, subDim, ksub, k)
+    case IvfPq(nlist, nprobe, m, subDim, ksub, trained) =>
+      if (trained)
+        IvfPqIndex.selfSearchTrained(embeddings, numQueries, nlist, nprobe, m, subDim, ksub, k)
+      else
+        IvfPqIndex.selfSearchSeeded(embeddings, numQueries, nlist, nprobe, m, subDim, ksub, k)
     case Hnsw(m, efC, efS) =>
       HnswIndex.selfSearch(embeddings, numQueries, k,
         params = HnswIndex.Params(m, efC, efS))
+    case Opq(m, subDim, ksub, iters) =>
+      OpqIndex.selfSearchTrained(embeddings, numQueries, m, subDim, ksub, k, iters)
+    case IvfHnsw(nlist, nprobe, g) =>
+      import org.apache.spark.sql.functions.col
+      val cents = IvfIndex.seedCentroids(embeddings, nlist)
+      val q = embeddings.where(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      HnswIndex.searchIvfHnsw(q, cents, IvfIndex.assign(embeddings, cents),
+          nprobe, k, excludeSelf = true,
+          params = HnswIndex.Params(g.m, g.efConstruction, g.efSearch))
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          org.apache.spark.sql.functions.round(col("dist"), 4).as("dist"))
+        .orderBy(col("query_id"), col("rank"))
   }
 }

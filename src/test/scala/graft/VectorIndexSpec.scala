@@ -13,7 +13,11 @@ class VectorIndexSpec extends SparkSpec {
       "ivf" -> Ivf(nlist = 16, nprobe = 4, trained = false),
       "pq" -> Pq(m = 8, subDim = 8, ksub = 16),
       "ivfpq" -> IvfPq(nlist = 8, nprobe = 2, m = 8, subDim = 8, ksub = 16),
-      "hnsw" -> Hnsw())
+      "ivfpq_trained" -> IvfPq(nlist = 8, nprobe = 2, m = 8, subDim = 8, ksub = 16,
+        trained = true),
+      "hnsw" -> Hnsw(),
+      "opq" -> Opq(m = 8, subDim = 8, ksub = 16, iters = 2),
+      "ivf_hnsw" -> IvfHnsw(nlist = 16, nprobe = 4))
     specs.foreach { case (name, spec) =>
       val r = selfSearch(emb, numQueries = 2, k = 5, spec)
       val rows = r.collect()
