@@ -82,19 +82,10 @@ object IvfPqIndex {
       subDim: Int,
       ksub: Int,
       k: Int): DataFrame = {
-    val cents = IvfIndex.seedCentroids(embeddings, nlist)
-
-    val best = array_min(scoredWithVec(col("embedding"), cents))
-    val assigned = embeddings
-      .withColumn("cluster_id", best.getField("cid"))
-      .withColumn("res", residual(col("embedding"), best.getField("cvec")))
-
-    val cbRows = assigned.where(col("vec_id") < ksub).orderBy(col("vec_id"))
-      .select(col("res")).collect().map(_.getSeq[Float](0).toArray)
-    val cb: PqIndex.Codebooks =
-      Array.tabulate(m)(s => cbRows.map(v => v.slice(s * subDim, (s + 1) * subDim)))
-
-    searchEncoded(assigned, cb, cents, numQueries, nprobe, m, subDim, k)
+    val (cents, cb, codes) = buildSeeded(embeddings, nlist, m, subDim, ksub)
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    adcTopK(codes, probesWithLut(q, cb, cents, nprobe, m, subDim), m, k)
   }
 
   /** Shared IVFPQ search tail: encode residuals, build per-(query, probed
@@ -112,15 +103,29 @@ object IvfPqIndex {
     val codes = assigned
       .withColumn("codes", PqIndex.encodeExpr(col("res"), cb, m, subDim))
       .select(col("vec_id"), col("cluster_id"), col("codes"))
-
     val q = assigned.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val probes = q
-      .select(col("query_id"), col("qvec"),
+    adcTopK(codes, probesWithLut(q, cb, cents, nprobe, m, subDim), m, k)
+  }
+
+  /** Per-(query, probed centroid) rows carrying the residual ADC LUT —
+    * Q×nprobe rows, each m×ksub doubles; the broadcast side of every
+    * IVFPQ search. */
+  private def probesWithLut(
+      q: DataFrame,
+      cb: PqIndex.Codebooks,
+      cents: Array[IvfIndex.Centroid],
+      nprobe: Int,
+      m: Int,
+      subDim: Int): DataFrame =
+    q.select(col("query_id"), col("qvec"),
         explode(slice(array_sort(scoredWithVec(col("qvec"), cents)), 1, nprobe)).as("p"))
       .select(col("query_id"), col("p.cid").as("cluster_id"),
         PqIndex.lutExpr(residual(col("qvec"), col("p.cvec")), cb, m, subDim).as("lut"))
 
+  /** ADC scan + top-k over a codes table joined with broadcast LUT
+    * probes. */
+  private def adcTopK(codes: DataFrame, probes: DataFrame, m: Int, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
     codes
       .join(broadcast(probes), Seq("cluster_id"))
@@ -131,5 +136,57 @@ object IvfPqIndex {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Build the seeded IVFPQ model + codes table (the oracle-able
+    * deterministic path shared by [[selfSearchSeeded]] and the persisted
+    * form): returns (centroids, residual codebooks, codes(vec_id,
+    * cluster_id, codes)). */
+  def buildSeeded(
+      embeddings: DataFrame,
+      nlist: Int,
+      m: Int,
+      subDim: Int,
+      ksub: Int): (Array[IvfIndex.Centroid], PqIndex.Codebooks, DataFrame) = {
+    val cents = IvfIndex.seedCentroids(embeddings, nlist)
+    val best = array_min(scoredWithVec(col("embedding"), cents))
+    val assigned = embeddings
+      .withColumn("cluster_id", best.getField("cid"))
+      .withColumn("res", residual(col("embedding"), best.getField("cvec")))
+    val cbRows = assigned.where(col("vec_id") < ksub).orderBy(col("vec_id"))
+      .select(col("res")).collect().map(_.getSeq[Float](0).toArray)
+    val cb: PqIndex.Codebooks =
+      Array.tabulate(m)(s => cbRows.map(v => v.slice(s * subDim, (s + 1) * subDim)))
+    val codes = assigned
+      .withColumn("codes", PqIndex.encodeExpr(col("res"), cb, m, subDim))
+      .select(col("vec_id"), col("cluster_id"), col("codes"))
+    (cents, cb, codes)
+  }
+
+  /** S4 for the codes table: persist the inverted PQ lists partitioned by
+    * cluster_id — the 100 TB layout where a probe reads only its list's
+    * files. The codes table is ~16× smaller than the corpus (m bytes vs
+    * d×4), so even the full index is compact at rest. */
+  def writeIndex(codes: DataFrame, dir: String): Unit =
+    codes.write.mode("overwrite").partitionBy("cluster_id").parquet(dir)
+
+  /** Search a persisted codes table with static partition pruning: probe
+    * cluster ids resolve first (Q×nprobe ids — control-plane), then push
+    * into the codes scan as a literal `cluster_id IN (...)` partition
+    * filter — the IVFPQ analog of [[IvfIndex.searchPruned]], so the
+    * nprobe/nlist read fraction applies to the PQ lists on disk too. */
+  def searchPruned(
+      queries: DataFrame,
+      cents: Array[IvfIndex.Centroid],
+      cb: PqIndex.Codebooks,
+      codes: DataFrame,
+      nprobe: Int,
+      m: Int,
+      subDim: Int,
+      k: Int): DataFrame = {
+    val probes = probesWithLut(queries, cb, cents, nprobe, m, subDim)
+    val probedClusters = probes.select(col("cluster_id")).distinct()
+      .collect().map(_.getLong(0))
+    adcTopK(codes.where(col("cluster_id").isin(probedClusters: _*)), probes, m, k)
   }
 }

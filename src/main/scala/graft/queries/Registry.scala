@@ -272,6 +272,22 @@ object Registry {
       IvfPqIndex.selfSearchSeeded(t(s, dir, "embeddings"),
         numQueries = 8, nlist = 8, nprobe = 2, m = 8, subDim = 8, ksub = 16, k = 10)),
 
+    // IVFPQ over a PERSISTED codes table with partition pruning — the
+    // 100 TB read path (probe reads only its inverted PQ lists' files);
+    // same oracle as q_ivfpq_knn: persistence + pruning must not change
+    // results.
+    "q_ivfpq_pruned_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (cents, cb, codes) =
+        IvfPqIndex.buildSeeded(emb, nlist = 8, m = 8, subDim = 8, ksub = 16)
+      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_pruned_idx"
+      IvfPqIndex.writeIndex(codes, idxDir)
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      IvfPqIndex.searchPruned(q, cents, cb, s.read.parquet(idxDir),
+        nprobe = 2, m = 8, subDim = 8, k = 10)
+    }),
+
     // A2 + J2: k-means-trained IVF (approximate — recall-tested in specs,
     // rows-only check here)
     "q_ivf_trained_knn" -> ((s, dir) =>
@@ -1269,6 +1285,70 @@ object Registry {
        |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Shared by q_ivfpq_knn and q_ivfpq_pruned_knn: persisting the codes
+    * table partitioned by cluster_id and pruning to probed lists must not
+    * change the IVFPQ result. */
+  private val ivfPqKnnSql: String =
+s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+         |), a0 AS (
+         |  SELECT v.vec_id, v.embedding, c.cid, c.cvec, ${l2sqSql("v.embedding", "c.cvec")} AS d
+         |  FROM embeddings v CROSS JOIN cent c
+         |), assign AS (
+         |  SELECT vec_id, embedding, cid, cvec FROM (
+         |    SELECT vec_id, embedding, cid, cvec,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a0
+         |  ) WHERE rn = 1
+         |), resid AS (
+         |  SELECT vec_id, cid,
+         |         list_transform(range(1, len(embedding)+1), i -> embedding[i] - cvec[i]) AS res
+         |  FROM assign
+         |), cb AS (
+         |  SELECT t.s, r.vec_id AS c, list_slice(r.res, t.s*8+1, t.s*8+8) AS sub
+         |  FROM range(0, 8) t(s) CROSS JOIN resid r WHERE r.vec_id < 16
+         |), vs AS (
+         |  SELECT t.s, r.vec_id, r.cid, list_slice(r.res, t.s*8+1, t.s*8+8) AS sub
+         |  FROM range(0, 8) t(s) CROSS JOIN resid r
+         |), enc0 AS (
+         |  SELECT vs.vec_id, vs.cid, vs.s, cb.c, ${l2sqSql("vs.sub", "cb.sub")} AS d
+         |  FROM vs JOIN cb ON vs.s = cb.s
+         |), enc AS (
+         |  SELECT vec_id, cid, s, c AS code FROM (
+         |    SELECT vec_id, cid, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM enc0
+         |  ) WHERE rn = 1
+         |), qs AS (
+         |  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8
+         |), qp0 AS (
+         |  SELECT q.query_id, q.embedding, c.cid, c.cvec, ${l2sqSql("q.embedding", "c.cvec")} AS d
+         |  FROM qs q CROSS JOIN cent c
+         |), probes AS (
+         |  SELECT query_id, embedding, cid, cvec FROM (
+         |    SELECT query_id, embedding, cid, cvec,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn FROM qp0
+         |  ) WHERE rn <= 2
+         |), qres AS (
+         |  SELECT query_id, cid,
+         |         list_transform(range(1, len(embedding)+1), i -> embedding[i] - cvec[i]) AS res
+         |  FROM probes
+         |), qsub AS (
+         |  SELECT t.s, r.query_id, r.cid, list_slice(r.res, t.s*8+1, t.s*8+8) AS sub
+         |  FROM range(0, 8) t(s) CROSS JOIN qres r
+         |), lut AS (
+         |  SELECT qsub.query_id, qsub.cid, qsub.s, cb.c, ${l2sqSql("qsub.sub", "cb.sub")} AS pd
+         |  FROM qsub JOIN cb ON qsub.s = cb.s
+         |), adc AS (
+         |  SELECT l.query_id, e.vec_id, list_sum(list(l.pd ORDER BY l.s)) AS dist
+         |  FROM enc e JOIN lut l ON e.cid = l.cid AND e.s = l.s AND e.code = l.c
+         |  WHERE e.vec_id <> l.query_id
+         |  GROUP BY l.query_id, e.vec_id
+         |), r AS (
+         |  SELECT query_id, vec_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |  FROM adc
+         |)
+         |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_flat_knn" -> flatKnnSql,
 
@@ -1458,66 +1538,11 @@ object Registry {
         |       term, cf
         |FROM cf ORDER BY cf DESC, term LIMIT 25""".stripMargin,
 
-    "q_ivfpq_knn" ->
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
-         |), a0 AS (
-         |  SELECT v.vec_id, v.embedding, c.cid, c.cvec, ${l2sqSql("v.embedding", "c.cvec")} AS d
-         |  FROM embeddings v CROSS JOIN cent c
-         |), assign AS (
-         |  SELECT vec_id, embedding, cid, cvec FROM (
-         |    SELECT vec_id, embedding, cid, cvec,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM a0
-         |  ) WHERE rn = 1
-         |), resid AS (
-         |  SELECT vec_id, cid,
-         |         list_transform(range(1, len(embedding)+1), i -> embedding[i] - cvec[i]) AS res
-         |  FROM assign
-         |), cb AS (
-         |  SELECT t.s, r.vec_id AS c, list_slice(r.res, t.s*8+1, t.s*8+8) AS sub
-         |  FROM range(0, 8) t(s) CROSS JOIN resid r WHERE r.vec_id < 16
-         |), vs AS (
-         |  SELECT t.s, r.vec_id, r.cid, list_slice(r.res, t.s*8+1, t.s*8+8) AS sub
-         |  FROM range(0, 8) t(s) CROSS JOIN resid r
-         |), enc0 AS (
-         |  SELECT vs.vec_id, vs.cid, vs.s, cb.c, ${l2sqSql("vs.sub", "cb.sub")} AS d
-         |  FROM vs JOIN cb ON vs.s = cb.s
-         |), enc AS (
-         |  SELECT vec_id, cid, s, c AS code FROM (
-         |    SELECT vec_id, cid, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM enc0
-         |  ) WHERE rn = 1
-         |), qs AS (
-         |  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8
-         |), qp0 AS (
-         |  SELECT q.query_id, q.embedding, c.cid, c.cvec, ${l2sqSql("q.embedding", "c.cvec")} AS d
-         |  FROM qs q CROSS JOIN cent c
-         |), probes AS (
-         |  SELECT query_id, embedding, cid, cvec FROM (
-         |    SELECT query_id, embedding, cid, cvec,
-         |           row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn FROM qp0
-         |  ) WHERE rn <= 2
-         |), qres AS (
-         |  SELECT query_id, cid,
-         |         list_transform(range(1, len(embedding)+1), i -> embedding[i] - cvec[i]) AS res
-         |  FROM probes
-         |), qsub AS (
-         |  SELECT t.s, r.query_id, r.cid, list_slice(r.res, t.s*8+1, t.s*8+8) AS sub
-         |  FROM range(0, 8) t(s) CROSS JOIN qres r
-         |), lut AS (
-         |  SELECT qsub.query_id, qsub.cid, qsub.s, cb.c, ${l2sqSql("qsub.sub", "cb.sub")} AS pd
-         |  FROM qsub JOIN cb ON qsub.s = cb.s
-         |), adc AS (
-         |  SELECT l.query_id, e.vec_id, list_sum(list(l.pd ORDER BY l.s)) AS dist
-         |  FROM enc e JOIN lut l ON e.cid = l.cid AND e.s = l.s AND e.code = l.c
-         |  WHERE e.vec_id <> l.query_id
-         |  GROUP BY l.query_id, e.vec_id
-         |), r AS (
-         |  SELECT query_id, vec_id, dist,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
-         |  FROM adc
-         |)
-         |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
-         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_ivfpq_knn" -> ivfPqKnnSql,
+
+    // identical oracle: the persisted partition-pruned codes table must
+    // search identically to the in-memory IVFPQ path
+    "q_ivfpq_pruned_knn" -> ivfPqKnnSql,
 
     "q_pq_adc_knn" ->
       s"""WITH cb AS (

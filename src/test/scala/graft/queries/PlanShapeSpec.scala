@@ -73,6 +73,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_ivfpq_pruned_knn: persisted codes scan carries PartitionFilters") {
+    val p = planOf(Registry.queries("q_ivfpq_pruned_knn")(spark, sf0001))
+    assert(p.contains("PartitionFilters: [cluster_id"),
+      "probed cluster ids must prune the persisted PQ-codes read")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q_event_counters: two-phase aggregation (map-side partial)") {
     val p = planOf(Registry.queries("q_event_counters")(spark, sf0001))
     assert(p.contains("partial_count") || p.contains("Partial"),

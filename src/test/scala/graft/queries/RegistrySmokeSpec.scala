@@ -36,6 +36,12 @@ class RegistrySmokeSpec extends SparkSpec {
     assert(pruned.toSeq == mem.toSeq)
   }
 
+  test("q_ivfpq_pruned_knn equals q_ivfpq_knn row-for-row") {
+    val mem = Registry.queries("q_ivfpq_knn")(spark, sf0001).collect().map(_.toString)
+    val pruned = Registry.queries("q_ivfpq_pruned_knn")(spark, sf0001).collect().map(_.toString)
+    assert(pruned.toSeq == mem.toSeq)
+  }
+
   test("q_ivf_hnsw_knn equals q_ivf_knn row-for-row (ef >= nlist makes probes exact)") {
     val mem = Registry.queries("q_ivf_knn")(spark, sf0001).collect().map(_.toString)
     val hnsw = Registry.queries("q_ivf_hnsw_knn")(spark, sf0001).collect().map(_.toString)
