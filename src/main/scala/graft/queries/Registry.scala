@@ -736,6 +736,35 @@ object Registry {
     }
         .orderBy(col("doc_id"))),
 
+    // Gopher quality-rule filter (Rae et al. 2021, App. A1 — the standard
+    // pre-training document gate): word-count bounds, mean-word-length
+    // bounds, symbol-to-word ratio, alphabetic-word ratio, and the
+    // composite pass flag. Pure map-side projection; the pass flag is
+    // computed from the ROUNDED signals so the oracle comparison is exact.
+    "q_gopher_filter" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val nWords = size(toks).cast("long")
+      val meanLen = round(
+        aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double") /
+          nWords.cast("double"), 4)
+      val symbolRatio = round(
+        size(filter(toks, w => w.startsWith("#") || w.contains("...")))
+          .cast("double") / nWords.cast("double"), 4)
+      val alphaRatio = round(
+        size(filter(toks, w => w.rlike("[a-zA-Z]")))
+          .cast("double") / nWords.cast("double"), 4)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"),
+        alphaRatio.as("alpha_word_ratio"),
+        (nWords >= 50 && nWords <= 100000 &&
+          meanLen >= 3.0 && meanLen <= 10.0 &&
+          symbolRatio < 0.1 && alphaRatio > 0.8).as("pass"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals (Rae et al.): a doc dominated by a
     // single token or by repeated n-grams is boilerplate. Pure map-side
     // projection — one fused-expression pass per signal, no shuffle
@@ -2418,6 +2447,26 @@ s"""WITH cent AS (
          |        (CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / len(text)) * 0.3 +
          |        least((CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks)) * 5.0, 1.0) * 0.3, 4) AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) /
+        |          CAST(len(toks) AS DOUBLE), 4) AS mean_word_len,
+        |    round(CAST(len(list_filter(toks, x -> starts_with(x, '#') OR contains(x, '...'))) AS DOUBLE) /
+        |          CAST(len(toks) AS DOUBLE), 4) AS symbol_ratio,
+        |    round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) /
+        |          CAST(len(toks) AS DOUBLE), 4) AS alpha_word_ratio
+        |  FROM t
+        |)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+        |  (n_words >= 50 AND n_words <= 100000 AND
+        |   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+        |   symbol_ratio < 0.1 AND alpha_word_ratio > 0.8) AS pass
+        |FROM sig ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
       """WITH t AS (
