@@ -765,6 +765,27 @@ object Registry {
         .orderBy(col("doc_id"))
     }),
 
+    // C4 rule filter (Raffel et al. 2020 §2.2 — the other standard
+    // curation gate beside Gopher): terminal punctuation, no code/
+    // boilerplate markers ('{', 'lorem ipsum'), ≥3 sentences. Document-
+    // level adaptation of C4's line rules (the test corpus is one-line
+    // docs); pure map-side projection.
+    "q_c4_filter" -> ((s, dir) => {
+      val txt = col("text")
+      val endsTerminal = trim(txt).rlike("[.!?\"]$")
+      val hasCurly = txt.contains("{")
+      val hasLorem = lower(txt).contains("lorem ipsum")
+      val nSentences = regexp_count(txt, lit("[.!?]")).cast("long")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        endsTerminal.as("ends_terminal"),
+        hasCurly.as("has_curly"),
+        hasLorem.as("has_lorem"),
+        nSentences.as("n_sentences"),
+        (endsTerminal && !hasCurly && !hasLorem && nSentences >= 3).as("pass"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals (Rae et al.): a doc dominated by a
     // single token or by repeated n-grams is boilerplate. Pure map-side
     // projection — one fused-expression pass per signal, no shuffle
@@ -2447,6 +2468,19 @@ s"""WITH cent AS (
          |        (CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / len(text)) * 0.3 +
          |        least((CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks)) * 5.0, 1.0) * 0.3, 4) AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_c4_filter" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    regexp_matches(trim(text), '[.!?"]$') AS ends_terminal,
+        |    contains(text, '{') AS has_curly,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |    CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences
+        |  FROM documents
+        |)
+        |SELECT doc_id, ends_terminal, has_curly, has_lorem, n_sentences,
+        |  (ends_terminal AND NOT has_curly AND NOT has_lorem AND n_sentences >= 3) AS pass
+        |FROM sig ORDER BY doc_id""".stripMargin,
 
     "q_gopher_filter" ->
       """WITH t AS (
