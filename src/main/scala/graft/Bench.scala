@@ -50,8 +50,10 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     val allIters = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = selected.map { case (name, fn) =>
-      // stderr marker so engine warnings in the log tail attribute to a query
-      System.err.println(s"[bench] $name")
+      // stdout marker so engine warnings in the log tail attribute to a query
+      // (stderr renders as `[error]` under sbt, making healthy queries read
+      // as failures in the driver's captured tail; "errors" is the truth)
+      println(s"[bench] $name")
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try {

@@ -50,7 +50,8 @@ object IvfIndex {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val train = embeddings
-      .limit(trainSample)
+      // deterministic sample: first-N by id (TakeOrderedAndProject, no global sort)
+      .orderBy(col("vec_id")).limit(trainSample)
       .select(array_to_vector(col("embedding")).as("features"))
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(train)

@@ -119,7 +119,10 @@ object OpqIndex {
       kmeansIters: Int = 8,
       seed: Long = 42L,
       trainSample: Int = 10000): Model = {
-    val x: Array[Array[Double]] = embeddings.limit(trainSample)
+    // deterministic sample: first-N by id (plans as TakeOrderedAndProject —
+    // per-partition top-k + merge, no global sort; a bare limit() on a
+    // multi-partition table is partition-order-dependent)
+    val x: Array[Array[Double]] = embeddings.orderBy(col("vec_id")).limit(trainSample)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val n = x.length

@@ -27,7 +27,8 @@ object PcaReduce {
     val feats = embeddings.withColumn("features", array_to_vector(col("embedding")))
     val model = new PCA()
       .setInputCol("features").setOutputCol("reduced_vec").setK(k)
-      .fit(feats.limit(trainSample))
+      // deterministic sample: first-N by id (TakeOrderedAndProject)
+      .fit(feats.orderBy(col("vec_id")).limit(trainSample))
     model.transform(feats)
       .withColumn("reduced", vector_to_array(col("reduced_vec")))
       .drop("features", "reduced_vec")
@@ -41,7 +42,7 @@ object PcaReduce {
     import org.apache.spark.ml.functions.array_to_vector
     val feats = embeddings.withColumn("features", array_to_vector(col("embedding")))
     new PCA().setInputCol("features").setOutputCol("r").setK(k)
-      .fit(feats.limit(trainSample))
+      .fit(feats.orderBy(col("vec_id")).limit(trainSample))
       .explainedVariance.toArray.sum
   }
 }

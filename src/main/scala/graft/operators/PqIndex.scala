@@ -55,7 +55,9 @@ object PqIndex {
       maxIter: Int = 10): Codebooks = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val sample = embeddings.limit(trainSample).select(col("embedding")).cache()
+    // deterministic sample: first-N by id (TakeOrderedAndProject, no global sort)
+    val sample = embeddings.orderBy(col("vec_id")).limit(trainSample)
+      .select(col("embedding")).cache()
     try {
       Array.tabulate(m) { s =>
         val sub = sample.select(

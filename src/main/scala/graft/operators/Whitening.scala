@@ -76,7 +76,9 @@ object Whitening {
     * of exploding). */
   def fit(embeddings: DataFrame, sampleN: Int = 10000,
       eps: Double = 1e-6): (Array[Float], Array[Array[Float]]) = {
-    val rows = embeddings.select(col("embedding")).limit(sampleN).collect()
+    // deterministic sample: first-N by id (TakeOrderedAndProject, no global sort)
+    val rows = embeddings.orderBy(col("vec_id")).limit(sampleN)
+      .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
     val n = rows.length
     val d = rows.head.length

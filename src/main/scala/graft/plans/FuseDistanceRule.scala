@@ -21,12 +21,12 @@ import org.apache.spark.sql.types._
   * left-to-right accumulation — parity-tested in L2SqDistanceSpec), so
   * the rewrite cannot change an oracle-checked result.
   *
-  * Guarded to `array<float>` inputs of equal dimension by contract: on
-  * ragged pairs the HOF form yields NULL (zip_with pads with nulls)
-  * while the fused form scans min(len) — the library's vectors are
-  * fixed-dimension (SURVEY §1.3 validation), so the regime never
-  * arises in a well-formed pipeline, and the dimension-check operator
-  * exists for enforcement at ingest.
+  * Ragged pairs are value-preserved too: the HOF forms yield NULL on
+  * mismatched lengths (zip_with pads with nulls) and the fused
+  * expressions return NULL on a length mismatch as well, so the rewrite
+  * never changes value or nullability on arbitrary user SQL. Likewise
+  * the fused [[CosineSim]] returns NULL on a zero-norm input, matching
+  * the unfused tree's Divide-by-zero → NULL semantics.
   *
   * Injected by `spark.sql.extensions=graft.GraftExtensions`
   * (injectOptimizerRule) — a user writing plain HOF SQL gets the fused

@@ -14,12 +14,17 @@ import org.apache.spark.sql.types._
   *
   * Numerics are IDENTICAL to the HOF form (per-element double cast,
   * left-to-right accumulation), so swapping it in cannot change any
-  * oracle-checked result.
+  * oracle-checked result. Mismatched-length inputs yield NULL, exactly
+  * like the HOF tree (zip_with null-pads the shorter side and the sum
+  * absorbs the null) — FuseDistanceRule rewrites arbitrary user SQL, so
+  * the fused form must preserve ragged-input semantics too.
   */
 case class L2SqDistance(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
@@ -30,7 +35,8 @@ case class L2SqDistance(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -48,13 +54,17 @@ case class L2SqDistance(left: Expression, right: Expression)
       val d = ctx.freshName("d")
       val s = ctx.freshName("s")
       s"""
-         |double $s = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
-         |  $s += $d * $d;
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -227,11 +237,17 @@ case class PqEncode(
     copy(child = newChild)
 }
 
-/** Fused codegen inner product (same contract as L2SqDistance). */
+/** Fused codegen inner product. Mismatched-length inputs yield NULL —
+  * the exact semantics of the `aggregate(zip_with(a, b, _*_), 0d, _+_)`
+  * HOF tree it replaces (zip_with null-pads the shorter side, and the sum
+  * absorbs the null), so the FuseDistanceRule rewrite is value- AND
+  * nullability-preserving on arbitrary user SQL, ragged arrays included. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
@@ -242,7 +258,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -258,12 +275,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |double $s = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -278,11 +299,24 @@ case class DotProduct(left: Expression, right: Expression)
   * (Distances.cosineSim / cosineSimFast): each of the three sums uses the
   * same left-to-right double accumulation, and the final combine is the
   * same expression — parity spec-gated, so swapping it in cannot change
-  * the q_cosine_knn-family oracle results. */
-case class CosineSim(left: Expression, right: Expression)
+  * the q_cosine_knn-family oracle results.
+  *
+  * Edge parity with the unfused tree (FuseDistanceRule rewrites arbitrary
+  * user SQL, so these must match exactly):
+  *  - mismatched lengths → NULL (the HOF dot null-pads; [[DotProduct]]
+  *    mirrors it);
+  *  - zero-norm input → Spark Divide's zero-divisor semantics, captured
+  *    from the session like Divide itself does: DIVIDE_BY_ZERO under ANSI
+  *    (the Spark 4 default), NULL otherwise — never the Java NaN/Infinity
+  *    a naive fused ratio would produce. */
+case class CosineSim(left: Expression, right: Expression,
+    failOnError: Boolean = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // ragged inputs yield null even when zero-divisor errors are enabled
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
@@ -293,7 +327,8 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var dp = 0.0
     var na = 0.0
     var nb = 0.0
@@ -306,7 +341,12 @@ case class CosineSim(left: Expression, right: Expression)
       nb += yi * yi
       i += 1
     }
-    dp / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) {
+      if (failOnError)
+        throw org.apache.spark.sql.graft.ColumnBridge.divideByZeroError()
+      null
+    } else dp / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -318,19 +358,31 @@ case class CosineSim(left: Expression, right: Expression)
       val dp = ctx.freshName("dp")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val denom = ctx.freshName("denom")
       s"""
-         |double $dp = 0.0;
-         |double $na = 0.0;
-         |double $nb = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
-         |  $dp += $xi * $yi;
-         |  $na += $xi * $xi;
-         |  $nb += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dp = 0.0;
+         |  double $na = 0.0;
+         |  double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $a.getFloat($i);
+         |    double $yi = (double) $b.getFloat($i);
+         |    $dp += $xi * $yi;
+         |    $na += $xi * $xi;
+         |    $nb += $yi * $yi;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom == 0.0) {
+         |    ${if (failOnError)
+               "throw org.apache.spark.sql.graft.ColumnBridge.divideByZeroError();"
+             else s"${ev.isNull} = true;"}
+         |  } else {
+         |    ${ev.value} = $dp / $denom;
+         |  }
          |}
-         |${ev.value} = $dp / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

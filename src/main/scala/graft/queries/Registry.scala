@@ -20,6 +20,12 @@ object Registry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch dir for persisted-index queries, keyed by the DATA dir so
+    * concurrent runs over different scale factors (bench at sf0.1 while
+    * verify reads sf0.01) never race on a shared overwrite path. */
+  private def tmpIndexDir(prefix: String, dataDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_${Integer.toHexString(dataDir.hashCode)}"
+
   /** events.parquet's ts column has shipped in three physical forms across
     * driver data generations: TIMESTAMP(NANOS) (arrives as long nanos under
     * spark.sql.legacy.parquet.nanosAsLong), TIMESTAMP(MICROS,
@@ -162,7 +168,7 @@ object Registry {
     "q_ivf_pruned_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cents = IvfIndex.seedCentroids(emb, 16)
-      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_pruned_idx"
+      val idxDir = tmpIndexDir("graft_ivf_pruned_idx", dir)
       IvfIndex.writeIndex(IvfIndex.assign(emb, cents), cents, idxDir)
       val (loadedCents, assignments) = IvfIndex.loadIndex(s, idxDir)
       val q = emb.where(col("vec_id") < 8)
@@ -280,7 +286,7 @@ object Registry {
       val emb = t(s, dir, "embeddings")
       val (cents, cb, codes) =
         IvfPqIndex.buildSeeded(emb, nlist = 8, m = 8, subDim = 8, ksub = 16)
-      val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_pruned_idx"
+      val idxDir = tmpIndexDir("graft_ivfpq_pruned_idx", dir)
       IvfPqIndex.writeIndex(codes, idxDir)
       val q = emb.where(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

@@ -11,4 +11,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Spark's canonical DIVIDE_BY_ZERO error (QueryExecutionErrors is
+    * private[sql]) — thrown by graft.plans.CosineSim under ANSI mode so
+    * the fused expression fails exactly like the Divide it replaces. */
+  def divideByZeroError(): ArithmeticException =
+    org.apache.spark.sql.errors.QueryExecutionErrors.divideByZeroError(null)
 }

@@ -57,4 +57,61 @@ class L2SqDistanceSpec extends SparkSpec {
       Distances.dotFast(typedLit(Array(1f, 2f, 3f)), typedLit(Array(4f, 5f, 6f))).as("p")).head()
     assert(r.getDouble(0) == 13.0 && r.getDouble(1) == 32.0)
   }
+
+  test("ragged inputs: fused forms are NULL, matching the HOF trees") {
+    // HOF zip_with null-pads the shorter array and the sum absorbs the
+    // null; the fused expressions must agree so FuseDistanceRule stays
+    // value-preserving on arbitrary user SQL (not just fixed-dim tables).
+    val a = typedLit(Array(1f, 2f, 3f))
+    val b = typedLit(Array(4f, 5f))
+    val r = Seq(1).toDF("x").select(
+      Distances.l2Sq(a, b).as("l2_hof"),
+      Distances.l2SqFast(a, b).as("l2_gen"),
+      Distances.dot(a, b).as("dot_hof"),
+      Distances.dotFast(a, b).as("dot_gen"),
+      Distances.cosineSim(a, b).as("cos_hof"),
+      Distances.cosineSimFast(a, b).as("cos_gen")).head()
+    (0 until 6).foreach(i => assert(r.isNullAt(i), s"col $i should be NULL on ragged input"))
+  }
+
+  test("zero-norm input: fused CosineSim matches Divide zero-divisor semantics both ANSI modes") {
+    val z = typedLit(Array(0f, 0f, 0f))
+    val v = typedLit(Array(1f, 2f, 3f))
+    // ANSI on (the Spark 4 session default): unfused tree throws
+    // DIVIDE_BY_ZERO — the fused form must too, not produce NaN
+    intercept[ArithmeticException] {
+      Seq(1).toDF("x").select(Distances.cosineSim(z, v)).head()
+    }
+    intercept[ArithmeticException] {
+      Seq(1).toDF("x").select(Distances.cosineSimFast(z, v)).head()
+    }
+    // ANSI off: both NULL
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val r = Seq(1).toDF("x").select(
+        Distances.cosineSim(z, v).as("hof"),
+        Distances.cosineSimFast(z, v).as("gen")).head()
+      assert(r.isNullAt(0) && r.isNullAt(1))
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    // healthy input unchanged either way
+    val ok = Seq(1).toDF("x").select(
+      Distances.cosineSim(v, v).as("hof_ok"),
+      Distances.cosineSimFast(v, v).as("gen_ok")).head()
+    assert(math.abs(ok.getDouble(0) - 1.0) < 1e-12 && ok.getDouble(0) == ok.getDouble(1))
+  }
+
+  test("interpreted (non-codegen) eval agrees with codegen on ragged and zero-norm") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def litF(a: Array[Float]) = Literal.create(a,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))
+    val dot = graft.plans.DotProduct(litF(Array(1f, 2f, 3f)), litF(Array(4f, 5f)))
+    val l2 = graft.plans.L2SqDistance(litF(Array(1f, 2f, 3f)), litF(Array(4f, 5f)))
+    val cosZ = graft.plans.CosineSim(litF(Array(0f, 0f)), litF(Array(1f, 2f)),
+      failOnError = false)
+    assert(dot.eval(null) == null && l2.eval(null) == null && cosZ.eval(null) == null)
+    intercept[ArithmeticException] {
+      graft.plans.CosineSim(litF(Array(0f, 0f)), litF(Array(1f, 2f)),
+        failOnError = true).eval(null)
+    }
+  }
 }
