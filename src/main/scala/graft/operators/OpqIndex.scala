@@ -198,10 +198,24 @@ object OpqIndex {
     (r.map(_.map(_.toFloat)), cbFinal)
   }
 
+  /** Per-query projection probe: `round(rotated[0]², 4)` — sign-invariant
+    * (rotation rows carry an arbitrary sign) but NOT rotation-invariant,
+    * so a permuted/garbled R that preserves row counts still changes the
+    * dumped values (the same fixed-probe rationale as q_pca_reduce /
+    * q_whiten). Joined per query_id onto the k-NN output. */
+  private def queryProbe(rotated: DataFrame, numQueries: Int): DataFrame =
+    rotated.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"),
+        round(element_at(col("embedding"), 1).cast("double") *
+          element_at(col("embedding"), 1).cast("double"), 4)
+          .as("probe0_sq"))
+
   /** End-to-end OPQ self-search: learned rotation applied map-side
     * ([[graft.plans.MatVec]]), then the shared PQ encode + broadcast-LUT
     * ADC pass over the ROTATED space. Same output contract as the other
-    * k-NN operators; recall-gated against plain PQ (OpqIndexSpec). */
+    * k-NN operators plus a per-query `probe0_sq` projection probe (the
+    * driver-visible fingerprint of R itself); recall-gated against plain
+    * PQ (OpqIndexSpec). */
   def selfSearchTrained(
       embeddings: DataFrame,
       numQueries: Int,
@@ -215,6 +229,71 @@ object OpqIndex {
     val rotated = embeddings.select(col("vec_id"),
       Rotation.rotateExpr(col("embedding"), rot).as("embedding"))
     PqIndex.search(rotated, PqIndex.encode(rotated, cb, m, subDim), cb,
-      numQueries, m, subDim, k)
+        numQueries, m, subDim, k)
+      .join(broadcast(queryProbe(rotated, numQueries)), Seq("query_id"))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dist"), col("probe0_sq"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** FAISS's actual OPQ recipe — `OPQm,d → IVFPQ` (`OPQMatrix` inside an
+    * `IndexPreTransform` FRONTING the IVF index, not flat PQ): learn R on
+    * a bounded sample, rotate the corpus map-side, then build and search
+    * the standard residual IVFPQ in the rotated space. The corpus-side
+    * cost is identical to plain IVFPQ plus the one fused MatVec per row;
+    * search inherits [[IvfPqIndex.searchPruned]]'s partition-pruned read
+    * path when `indexDir` is given (the codes table persists
+    * `partitionBy(cluster_id)` and probes push a literal partition
+    * filter). Output carries the same `probe0_sq` rotation probe as
+    * [[selfSearchTrained]]. */
+  def selfSearchOpqIvfPq(
+      embeddings: DataFrame,
+      numQueries: Int,
+      nlist: Int,
+      nprobe: Int,
+      m: Int,
+      subDim: Int,
+      ksub: Int,
+      k: Int,
+      iters: Int = 6,
+      seed: Long = 42L,
+      indexDir: Option[String] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val (rot, _) = trainOpq(embeddings, m, subDim, ksub, iters = iters, seed = seed)
+    val rotated = embeddings.select(col("vec_id"),
+      Rotation.rotateExpr(col("embedding"), rot).as("embedding"))
+    val (cents, cb, codes) = IvfPqIndex.buildSeeded(rotated, nlist, m, subDim, ksub)
+    val persistedCodes = indexDir match {
+      case Some(dir) =>
+        IvfPqIndex.writeIndex(codes, dir)
+        spark.read.parquet(dir)
+      case None => codes
+    }
+    val q = rotated.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    IvfPqIndex.searchPruned(q, cents, cb, persistedCodes, nprobe, m, subDim, k)
+      .join(broadcast(queryProbe(rotated, numQueries)), Seq("query_id"))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dist"), col("probe0_sq"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Quality form of [[selfSearchOpqIvfPq]]: learned R fronting the fully
+    * TRAINED residual IVFPQ (k-means coarse centroids + residual
+    * codebooks, both trained in the rotated space) — the composition the
+    * clustered-fixture recall gate measures against plain trained IVFPQ. */
+  def selfSearchOpqIvfPqTrained(
+      embeddings: DataFrame,
+      numQueries: Int,
+      nlist: Int,
+      nprobe: Int,
+      m: Int,
+      subDim: Int,
+      ksub: Int,
+      k: Int,
+      iters: Int = 6,
+      seed: Long = 42L): DataFrame = {
+    val (rot, _) = trainOpq(embeddings, m, subDim, ksub, iters = iters, seed = seed)
+    val rotated = embeddings.select(col("vec_id"),
+      Rotation.rotateExpr(col("embedding"), rot).as("embedding"))
+    IvfPqIndex.selfSearchTrained(rotated, numQueries, nlist, nprobe, m, subDim, ksub, k, seed)
   }
 }

@@ -187,10 +187,23 @@ object Registry {
 
     // OPQ (FAISS OPQMatrix + PQ): learned rotation — trained path, so
     // rows-only + recall-gated by OpqIndexSpec like the other learned
-    // models (no SQL oracle)
+    // models (no SQL oracle). probe0_sq = rotated_query[0]² fixes R
+    // itself in the dump (sign-invariant, rotation-sensitive) — the same
+    // fixed-probe treatment as q_pca_reduce/q_whiten.
     "q_opq_knn" -> ((s, dir) =>
       OpqIndex.selfSearchTrained(t(s, dir, "embeddings"),
         numQueries = 8, m = 8, subDim = 8, ksub = 32, k = 10, iters = 3)),
+
+    // FAISS's actual OPQ recipe — OPQm,d fronting IVFPQ (IndexPreTransform
+    // → IndexIVFPQ): learned rotation, then residual IVFPQ in the rotated
+    // space over a PERSISTED partition-pruned codes table. Learned R ⇒
+    // no SQL oracle (rows + probe0_sq); quality gated on the clustered
+    // fixture vs plain IVFPQ in OpqIndexSpec.
+    "q_opq_ivfpq_knn" -> ((s, dir) =>
+      OpqIndex.selfSearchOpqIvfPq(t(s, dir, "embeddings"),
+        numQueries = 8, nlist = 8, nprobe = 2, m = 8, subDim = 8, ksub = 16,
+        k = 10, iters = 3,
+        indexDir = Some(tmpIndexDir("graft_opq_ivfpq_idx", dir)))),
 
     // PCA reduction (FAISS PCAMatrix pre-stage) — trained path, so
     // rows-only + spec-gated like trained IVF/HNSW (no SQL oracle).

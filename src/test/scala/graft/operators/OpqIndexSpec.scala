@@ -75,6 +75,32 @@ class OpqIndexSpec extends SparkSpec {
     assert(maxDev < 1e-4)
   }
 
+  test("OPQ→IVFPQ output contract: k rows per query, probe0_sq fixes R per query") {
+    val res = OpqIndex.selfSearchOpqIvfPq(correlated, numQueries = 4,
+      nlist = 8, nprobe = 8, m = 8, subDim = 8, ksub = 16, k = 5, iters = 2).cache()
+    assert(res.columns.toSeq ==
+      Seq("query_id", "rank", "vec_id", "dist", "probe0_sq"))
+    // full probe count ⇒ every query returns its full k
+    val perQuery = res.groupBy($"query_id").count().collect()
+    assert(perQuery.length == 4 && perQuery.forall(_.getLong(1) == 5))
+    // the probe is a property of the QUERY's rotated vector — constant
+    // across ranks, distinct across (generic) queries
+    val probes = res.groupBy($"query_id")
+      .agg(countDistinct($"probe0_sq").as("n")).collect()
+    assert(probes.forall(_.getLong(1) == 1))
+    // matches the independently recomputed rotation fingerprint
+    val (rot, _) = OpqIndex.trainOpq(correlated, m = 8, subDim = 8, ksub = 16, iters = 2)
+    val expected = correlated.where($"vec_id" < 4)
+      .select($"vec_id",
+        round(element_at(Rotation.rotateExpr($"embedding", rot), 1).cast("double") *
+          element_at(Rotation.rotateExpr($"embedding", rot), 1).cast("double"), 4).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = res.select($"query_id", $"probe0_sq").distinct()
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expected)
+    res.unpersist()
+  }
+
   test("deterministic: same seed, same results") {
     val a = OpqIndex.selfSearchTrained(correlated, numQueries = 4,
       m = 8, subDim = 8, ksub = 16, k = 5, iters = 2).collect().map(_.toString)

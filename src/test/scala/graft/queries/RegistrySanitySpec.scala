@@ -17,8 +17,10 @@ class RegistrySanitySpec extends AnyFunSuite {
       // ZCA whitening: learned (sample eigendecomposition) like PCA —
       // spec-gated by WhiteningSpec's covariance-identity test
       "q_whiten",
-      // OPQ: learned rotation + codebooks — recall-gated by OpqIndexSpec
-      "q_opq_knn")
+      // OPQ: learned rotation + codebooks — recall-gated by OpqIndexSpec;
+      // the IVFPQ composition shares the learned-R class (both dump the
+      // probe0_sq rotation fingerprint)
+      "q_opq_knn", "q_opq_ivfpq_knn")
 
   test("every oracle key has a matching query") {
     val orphans = Registry.oracleSql.keySet -- Registry.queries.keySet
