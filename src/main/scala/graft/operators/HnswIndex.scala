@@ -40,7 +40,7 @@ object HnswIndex {
     * IVF centroid set) can broadcast for [[coarseProbes]]; `search` is
     * read-only (per-call visited/heaps), so concurrent task threads may
     * share one broadcast instance. */
-  private final class LocalGraph(params: Params) extends Serializable {
+  private[operators] final class LocalGraph(params: Params) extends Serializable {
     val ids = mutable.ArrayBuffer.empty[Long]
     val vecs = mutable.ArrayBuffer.empty[Array[Float]]
     // adj(node)(layer) — layer 0 first; node participates in layers 0..level
@@ -48,6 +48,8 @@ object HnswIndex {
     val levels = mutable.ArrayBuffer.empty[Int]
     var entry: Int = -1
     var maxLevel: Int = -1
+    // build-work audit: the persisted-load path must stay at 0 (spec-gated)
+    var insertCalls: Int = 0
 
     private val mL = 1.0 / math.log(params.m.toDouble max 2.0)
 
@@ -144,6 +146,7 @@ object HnswIndex {
     /** HNSW insert: descend to the node's top layer, then per-layer beam
       * + connect, pruning neighbor lists to M (2M at layer 0). */
     def insert(id: Long, vec: Array[Float]): Unit = {
+      insertCalls += 1
       val idx = ids.length
       val level = levelOf(id)
       ids += id
@@ -275,4 +278,179 @@ object HnswIndex {
       params: Params = Params()): DataFrame =
     IvfIndex.searchWithProbes(
       coarseProbes(queries, centroids, nprobe, params), assignments, k, excludeSelf)
+
+  // ---- persistence (S4/S3 for the HNSW family) -------------------------
+  // The reference serializes every index type including HNSW shards
+  // (faiss.write_index, vector_search_cluster.py:1051-1054) and loads
+  // them at node start (:523-563) — graph build is the expensive
+  // O(n·log n·M) step and must not be recomputed per query batch. The
+  // Spark rendition: one row per graph NODE — (part_id, seq, vec_id,
+  // level, vec, adj) where `seq` is the node's insertion ordinal (the
+  // array index every adjacency entry refers to) and `adj` is the
+  // per-layer neighbor-list array (layer 0 first) — written
+  // partitionBy(part_id), plus a one-row meta table (build params +
+  // partition count, the shards_metadata analog). Loading fills the
+  // LocalGraph arrays DIRECTLY — zero insert work, spec-gated.
+
+  /** One serialized graph node. */
+  case class HnswNode(part_id: Int, seq: Int, vec_id: Long, level: Int,
+      vec: Array[Float], adj: Array[Array[Int]])
+
+  private def graphToRows(g: LocalGraph, partId: Int): Iterator[HnswNode] =
+    (0 until g.ids.length).iterator.map { i =>
+      HnswNode(partId, i, g.ids(i), g.levels(i), g.vecs(i), g.adj(i).map(_.toArray))
+    }
+
+  /** Rebuild a [[LocalGraph]] from its serialized nodes — direct array
+    * fill, no graph traversal, no `insert` calls. The entry point is
+    * derivable: insert's maxLevel ratchet means entry is the FIRST node
+    * (lowest seq) whose level equals the global max. */
+  private[operators] def graphFromRows(rows: Array[HnswNode], params: Params): LocalGraph = {
+    val g = new LocalGraph(params)
+    rows.sortInPlaceBy(_.seq)
+    rows.foreach { n =>
+      g.ids += n.vec_id
+      g.vecs += n.vec
+      g.levels += n.level
+      g.adj += n.adj.map(a => mutable.ArrayBuffer.from(a))
+    }
+    if (rows.nonEmpty) {
+      g.maxLevel = g.levels.max
+      g.entry = g.levels.indexOf(g.maxLevel)
+    }
+    g
+  }
+
+  /** S4 — build the per-partition graphs exactly as [[selfSearch]] does
+    * (same hash partitioning, same sorted insertion order ⇒ bit-identical
+    * graphs) and persist them: `dir/nodes` partitioned by part_id,
+    * `dir/meta` carrying (m, ef_construction, num_partitions). */
+  def writeIndex(
+      embeddings: DataFrame,
+      dir: String,
+      numPartitions: Int = 0,
+      params: Params = Params()): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val p = params
+    embeddings
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .repartition(parts, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .mapPartitions { rows =>
+        val graph = new LocalGraph(p)
+        rows.foreach { case (id, v) => graph.insert(id, v) }
+        graphToRows(graph, org.apache.spark.TaskContext.getPartitionId())
+      }
+      .write.mode("overwrite").partitionBy("part_id").parquet(s"$dir/nodes")
+    Seq((p.m, p.efConstruction, parts))
+      .toDF("m", "ef_construction", "num_partitions")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Stored build params. */
+  private def readMeta(spark: org.apache.spark.sql.SparkSession, dir: String,
+      efSearch: Int): Params = {
+    val r = spark.read.parquet(s"$dir/meta").head()
+    Params(m = r.getInt(0), efConstruction = r.getInt(1), efSearch = efSearch)
+  }
+
+  /** S3 — self-search a persisted index without rebuilding: graphs
+    * reload via direct array fill ([[graphFromRows]] — zero insert work,
+    * spec-gated), queries come off the index's own rows (vec_id pushdown
+    * filter), and the shard-local top-k merge is identical to
+    * [[selfSearch]] — on the same build the results hash-match exactly. */
+  def selfSearchPersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      numQueries: Int,
+      k: Int,
+      efSearch: Int = 64): DataFrame = {
+    import spark.implicits._
+    val p = readMeta(spark, dir, efSearch)
+    val nodes = spark.read.parquet(s"$dir/nodes").as[HnswNode]
+    val queries = nodes.filter(_.vec_id < numQueries)
+      .map(n => (n.vec_id, n.vec)).collect().sortBy(_._1)
+    val bcQueries = spark.sparkContext.broadcast(queries)
+    val partials = nodes
+      .groupByKey(_.part_id)
+      .flatMapGroups { (_, it) =>
+        val graph = graphFromRows(it.toArray, p)
+        bcQueries.value.iterator.flatMap { case (qid, qv) =>
+          graph.search(qv, p.efSearch)
+            .filter { case (_, node) => graph.ids(node) != qid }
+            .take(k)
+            .map { case (d, node) => (qid, graph.ids(node), d) }
+        }
+      }
+      .toDF("query_id", "vec_id", "dist")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    partials
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Test/audit hook: reload every persisted graph driver-side (bounded
+    * fixtures only). */
+  private[operators] def loadGraphsLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      efSearch: Int = 64): Map[Int, LocalGraph] = {
+    import spark.implicits._
+    val p = readMeta(spark, dir, efSearch)
+    spark.read.parquet(s"$dir/nodes").as[HnswNode].collect()
+      .groupBy(_.part_id)
+      .map { case (pid, rows) => pid -> graphFromRows(rows, p) }
+  }
+
+  /** S4 for the coarse quantizer: persist the driver-built centroid
+    * graph (model-plane — nlist ≈ √n rows) in the same node-row format,
+    * so repeated query batches skip the O(nlist·log nlist·M) rebuild the
+    * round-4 [[coarseProbes]] paid per call. */
+  def writeCoarseIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[IvfIndex.Centroid],
+      dir: String,
+      params: Params = Params()): Unit = {
+    import spark.implicits._
+    val g = new LocalGraph(params)
+    centroids.sortBy(_._1).foreach { case (cid, v) => g.insert(cid, v) }
+    spark.createDataset(graphToRows(g, 0).toSeq)
+      .write.mode("overwrite").parquet(s"$dir/coarse_nodes")
+    Seq((params.m, params.efConstruction, 1))
+      .toDF("m", "ef_construction", "num_partitions")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** [[coarseProbes]] against a persisted coarse-quantizer graph:
+    * reload driver-side (direct fill), broadcast, walk per query row. */
+  def coarseProbesPersisted(
+      queries: DataFrame,
+      dir: String,
+      nprobe: Int,
+      efSearch: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val p = readMeta(spark, dir, efSearch)
+    val g = graphFromRows(
+      spark.read.parquet(s"$dir/coarse_nodes").as[HnswNode].collect(), p)
+    val bc = spark.sparkContext.broadcast(g)
+    val ef = math.max(p.efSearch, nprobe)
+    queries.select(col("query_id"), col("qvec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val graph = bc.value
+        rows.flatMap { case (qid, qv) =>
+          graph.search(qv, ef).take(nprobe)
+            .map { case (_, node) => (qid, qv, graph.ids(node)) }
+        }
+      }
+      .toDF("query_id", "qvec", "cluster_id")
+  }
 }

@@ -318,6 +318,16 @@ object Registry {
     "q_hnsw_knn" -> ((s, dir) =>
       HnswIndex.selfSearch(t(s, dir, "embeddings"), numQueries = 8, k = 10)),
 
+    // S4→S3 for HNSW: persist the per-partition graphs, reload via direct
+    // array fill (zero insert work — spec-gated) and search. Same build
+    // params/partitioning as q_hnsw_knn ⇒ row-identical output
+    // (HnswIndexSpec pins the equality); no_oracle like all HNSW paths.
+    "q_hnsw_persisted" -> ((s, dir) => {
+      val idxDir = tmpIndexDir("graft_hnsw_idx", dir)
+      HnswIndex.writeIndex(t(s, dir, "embeddings"), idxDir)
+      HnswIndex.selfSearchPersisted(s, idxDir, numQueries = 8, k = 10)
+    }),
+
     // ---- sharding / partitioning (SURVEY §2.8) ----
 
     // D2: even contiguous split with remainder → per-shard stats

@@ -66,6 +66,55 @@ class HnswIndexSpec extends SparkSpec {
     assert(again == hnswProbe)
   }
 
+  test("persisted index: search-after-load hash-matches the fresh build, zero insert work") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_spec_idx"
+    HnswIndex.writeIndex(emb, dir, numPartitions = 4)
+    val fresh = HnswIndex.selfSearch(emb, numQueries = 8, k = 10, numPartitions = 4)
+      .collect().map(_.toString).toSeq
+    val persisted = HnswIndex.selfSearchPersisted(spark, dir, numQueries = 8, k = 10)
+      .collect().map(_.toString).toSeq
+    // same hash partitioning + same sorted insertion order ⇒ identical
+    // graphs ⇒ row-identical results, not merely recall-equivalent
+    assert(persisted == fresh)
+    // the load path fills arrays directly — no graph-build work at all
+    val graphs = HnswIndex.loadGraphsLocal(spark, dir)
+    assert(graphs.nonEmpty)
+    assert(graphs.values.forall(_.insertCalls == 0),
+      "loading a persisted graph must not re-insert")
+    assert(graphs.values.map(_.ids.length).sum.toLong == emb.count())
+    // entry derivation: each loaded graph's entry is the first node at
+    // its max level, matching the insert-time ratchet
+    graphs.values.foreach { g =>
+      assert(g.maxLevel == g.levels.max && g.entry == g.levels.indexOf(g.maxLevel))
+    }
+  }
+
+  test("persisted coarse quantizer: probes and composed search match the driver-built graph") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_spec_coarse"
+    val cents = IvfIndex.trainCentroids(emb, nlist = 16)
+    val assignments = IvfIndex.assign(emb, cents)
+    val q = emb.where($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    HnswIndex.writeCoarseIndex(spark, cents, dir)
+    val fresh = HnswIndex.coarseProbes(q, cents, nprobe = 4)
+      .select($"query_id", $"cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loaded = HnswIndex.coarseProbesPersisted(q, dir, nprobe = 4)
+      .select($"query_id", $"cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loaded == fresh)
+    val composed = IvfIndex.searchWithProbes(
+      HnswIndex.coarseProbesPersisted(q, dir, nprobe = 4), assignments,
+      k = 10, excludeSelf = true)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reference = HnswIndex.searchIvfHnsw(q, cents, assignments, nprobe = 4,
+      k = 10, excludeSelf = true)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(composed == reference)
+  }
+
   test("output shape: k rows per query, ranked, self excluded, deterministic") {
     val a = HnswIndex.selfSearch(emb, numQueries = 4, k = 5, numPartitions = 4).collect()
     val b = HnswIndex.selfSearch(emb, numQueries = 4, k = 5, numPartitions = 4).collect()

@@ -14,6 +14,9 @@ class RegistrySanitySpec extends AnyFunSuite {
   // (not SQL-expressible) — its exact merge table is pinned by BpeTrainSpec
   private val documentedNoOracle =
     Set("q_hnsw_knn", "q_ivf_trained_knn", "q_pca_reduce", "q_bpe_merges",
+      // persisted HNSW: row-identical to q_hnsw_knn by construction —
+      // HnswIndexSpec pins the equality; same no-SQL-oracle class
+      "q_hnsw_persisted",
       // ZCA whitening: learned (sample eigendecomposition) like PCA —
       // spec-gated by WhiteningSpec's covariance-identity test
       "q_whiten",
