@@ -133,16 +133,32 @@ object StreamingAnalytics {
     * `partitionBy(cluster_id)` assignments table, so a concurrent
     * [[graft.operators.IvfIndex.searchPruned]] sees the new rows
     * immediately with partition pruning intact. Per batch: map-side
-    * assign + partitioned append — no shuffle, no rebuild. */
+    * assign + partitioned append — no shuffle, no rebuild.
+    *
+    * Replay safety: foreachBatch re-delivers the last batch after
+    * failure recovery (at-least-once), and a plain append would then
+    * duplicate its vectors in the index. A per-batch marker file under
+    * `indexDir/_batches/<batchId>`, written AFTER the append commits,
+    * makes replays skip already-applied batches. A crash in the window
+    * between append and marker still replays that one batch — the same
+    * residual window as any sink without a transactional manifest;
+    * exactly-once needs the file-sink commit log, which cannot express
+    * the partitionBy-append contract here. Markers are empty files —
+    * control-plane, one per micro-batch. */
   def indexIngestLoop(
       vectorStream: DataFrame,
       centroids: Array[graft.operators.IvfIndex.Centroid],
       indexDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     vectorStream.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker) && !batch.isEmpty) {
           graft.operators.IvfIndex.addToIndex(batch, centroids, indexDir)
+          fs.create(marker, true).close()
+        }
       }
       .start()
 

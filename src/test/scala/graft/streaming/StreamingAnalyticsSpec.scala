@@ -145,13 +145,32 @@ class StreamingAnalyticsSpec extends SparkSpec {
     val (loaded, assignments) = IvfIndex.loadIndex(spark, dir)
     assert(assignments.count() == emb.count(), "all adds must land")
     // the streamed-in rows are searchable through the pruned path: a
-    // query ON an added vector must find itself at rank 1, dist 0
+    // query ON an added vector must find itself at rank 1, dist 0 — and
+    // ingestion must not have cost the read path its partition pruning
     val probe = emb.where($"vec_id" === 450)
       .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
-    val top = IvfIndex.searchPruned(probe, loaded, assignments, nprobe = 2, k = 3)
-      .orderBy($"rank").collect()
+    val pruned = IvfIndex.searchPruned(probe, loaded, assignments, nprobe = 2, k = 3)
+    assert(pruned.queryExecution.executedPlan.toString
+        .contains("PartitionFilters: [cluster_id"),
+      "pruned search over the ingested index must still carry PartitionFilters")
+    val top = pruned.orderBy($"rank").collect()
     assert(top.nonEmpty && top.head.getAs[Long]("vec_id") == 450L
       && top.head.getAs[Double]("dist") == 0.0)
+
+    // replay safety: a restarted query re-delivers the same batch ids
+    // with the same data; the _batches markers must make the appends
+    // no-ops instead of duplicating the index
+    val src2 = MemoryStream[(Long, Array[Float])]
+    val q2 = StreamingAnalytics.indexIngestLoop(
+      src2.toDF().toDF("vec_id", "embedding"), cents, dir)
+    try {
+      src2.addData(arrivals.take(50).toSeq) // replays as batchId 0
+      q2.processAllAvailable()
+      src2.addData(arrivals.drop(50).toSeq) // replays as batchId 1
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(IvfIndex.loadIndex(spark, dir)._2.count() == emb.count(),
+      "replayed batches must be skipped by the batch markers, not re-appended")
   }
 
   test("streamingExactDedup keeps first arrival per content hash") {
