@@ -40,6 +40,43 @@ object LateInteraction {
     aggregate(qsubs, lit(0.0),
       (acc, qi) => acc + array_max(transform(vsubs, vj => Distances.dotFast(qi, vj))))
 
+  /** The production-scale composition the Scaladoc above describes, made
+    * concrete: IVF cells generate the candidate set (seeded coarse
+    * quantizer — deterministic, oracle-able) and MaxSim scores ONLY the
+    * candidates, so the m² dot cost applies to the nprobe/nlist corpus
+    * fraction instead of every pair. This is ColBERT's own serving
+    * architecture (ANN candidate generation → exact late-interaction
+    * re-score). Plan shape: the probe set broadcasts against the
+    * assignment table (partition-prunable when persisted, exactly like
+    * [[IvfIndex.search]]), scoring is map-side, top-k per query desc. */
+  def selfSearchShortlisted(
+      embeddings: DataFrame,
+      numQueries: Int,
+      m: Int,
+      subDim: Int,
+      nlist: Int,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val cents = IvfIndex.seedCentroids(embeddings, nlist)
+    val assignments = IvfIndex.assign(embeddings, cents)
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cand = assignments
+      .join(broadcast(IvfIndex.probes(q, cents, nprobe)), Seq("cluster_id"))
+      .where(col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    cand
+      .select(col("query_id"), col("vec_id"),
+        maxSim(subVecs(col("qvec"), m, subDim),
+          subVecs(col("embedding"), m, subDim)).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Self-search: first `numQueries` rows (by id) score against the
     * whole table under MaxSim, descending, ties by vec_id. Output:
     * (query_id, rank, vec_id, score). */

@@ -477,6 +477,15 @@ object Registry {
         t(s, dir, "embeddings").where(col("vec_id") < 2000),
         numQueries = 4, m = 8, subDim = 8, k = 10)),
 
+    // ColBERT's serving architecture: IVF candidate generation (seeded
+    // coarse quantizer, 4/16 cells) → exact MaxSim re-score of the
+    // shortlist only — the m² dot cost applies to the probed corpus
+    // fraction, not every pair. Deterministic end to end → exact oracle.
+    "q_maxsim_ivf_knn" -> ((s, dir) =>
+      LateInteraction.selfSearchShortlisted(
+        t(s, dir, "embeddings").where(col("vec_id") < 2000),
+        numQueries = 4, m = 8, subDim = 8, nlist = 16, nprobe = 4, k = 10)),
+
     // MMR diversification: cosine top-12 candidates → greedy pick of 4
     // at λ=0.7 (score = λ·rel − (1−λ)·max cos-sim to already-picked)
     "q_mmr_rerank" -> ((s, dir) =>
@@ -1876,6 +1885,49 @@ s"""WITH cent AS (
         |)
         |SELECT query_id, rank, vec_id, round(score, 4) AS score
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_maxsim_ivf_knn" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000
+         |), cent AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM base WHERE vec_id < 16
+         |), d0 AS (
+         |  SELECT v.vec_id, v.embedding, c.cid, ${l2sqSql("v.embedding", "c.cvec")} AS d
+         |  FROM base v CROSS JOIN cent c
+         |), assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT vec_id, embedding, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0
+         |  ) WHERE rn = 1
+         |), q AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec FROM base WHERE vec_id < 4
+         |), p0 AS (
+         |  SELECT q.query_id, q.qvec, c.cid, ${l2sqSql("q.qvec", "c.cvec")} AS d
+         |  FROM q CROSS JOIN cent c
+         |), probes AS (
+         |  SELECT query_id, qvec, cid FROM (
+         |    SELECT query_id, qvec, cid, row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn FROM p0
+         |  ) WHERE rn <= 4
+         |), cand AS (
+         |  SELECT p.query_id,
+         |         list_transform(range(0, 8), i -> p.qvec[(i*8+1):(i*8+8)]) AS qsubs,
+         |         a.vec_id,
+         |         list_transform(range(0, 8), i -> a.embedding[(i*8+1):(i*8+8)]) AS subs
+         |  FROM probes p JOIN assign a ON a.cid = p.cid
+         |  WHERE a.vec_id <> p.query_id
+         |), j AS (
+         |  SELECT query_id, vec_id,
+         |         list_sum(list_transform(qsubs, qi ->
+         |           list_max(list_transform(subs, vj ->
+         |             list_sum(list_transform(range(1, 9), t ->
+         |               CAST(qi[t] AS DOUBLE) * CAST(vj[t] AS DOUBLE))))))) AS score
+         |  FROM cand
+         |), r AS (
+         |  SELECT query_id, vec_id, score,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         |  FROM j
+         |)
+         |SELECT query_id, rank, vec_id, round(score, 4) AS score
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_retrieval_metrics" ->
       s"""WITH q AS (

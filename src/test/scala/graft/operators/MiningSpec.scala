@@ -51,6 +51,30 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("IVF-shortlisted maxSim: results come from probed cells and track full maxSim") {
+    val corpus = emb.where($"vec_id" < 500)
+    val full = LateInteraction.selfSearch(corpus,
+      numQueries = 3, m = 8, subDim = 8, k = 6)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val short = LateInteraction.selfSearchShortlisted(corpus,
+      numQueries = 3, m = 8, subDim = 8, nlist = 8, nprobe = 8, k = 6)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe = nlist ⇒ the shortlist IS the corpus ⇒ identical results
+    assert(short == full)
+    // pruned probes: candidates restricted to probed cells, scores still
+    // exact MaxSim — overlap with full top-k gauges the candidate
+    // generator, deterministic by seeded construction
+    val pruned = LateInteraction.selfSearchShortlisted(corpus,
+      numQueries = 3, m = 8, subDim = 8, nlist = 8, nprobe = 2, k = 6)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (pruned intersect full).size.toDouble / full.size
+    info(f"shortlisted (2/8 cells) vs full maxSim overlap = $overlap%.3f")
+    assert(overlap >= 0.3, "IVF shortlist must surface a real fraction of the full top-k")
+  }
+
   test("maxSim degenerates to plain dot product at m = 1") {
     val ms = LateInteraction.selfSearch(emb.where($"vec_id" < 300),
       numQueries = 3, m = 1, subDim = 64, k = 5)
