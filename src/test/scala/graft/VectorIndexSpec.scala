@@ -22,7 +22,10 @@ class VectorIndexSpec extends SparkSpec {
       val r = selfSearch(emb, numQueries = 2, k = 5, spec)
       val rows = r.collect()
       assert(rows.nonEmpty, name)
-      assert(r.columns.toSeq == Seq("query_id", "rank", "vec_id", "dist"), name)
+      // the shared contract is the leading (query_id, rank, vec_id, dist);
+      // learned-transform families append their model fingerprint column
+      // (OPQ's probe0_sq) after it
+      assert(r.columns.take(4).toSeq == Seq("query_id", "rank", "vec_id", "dist"), name)
       assert(rows.forall(_.getAs[Long]("rank") <= 5), name)
     }
   }
