@@ -396,6 +396,53 @@ object HnswIndex {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** `index.add` for the persisted HNSW (the reference's background add,
+    * vector_search_cluster.py:1210-1212, works on every index type —
+    * FAISS HNSW included): route the new batch to its partition with the
+    * SAME hash rule the build's `repartition(parts, vec_id)` used
+    * (`pmod(murmur3(vec_id), parts)` — HashPartitioning's own id
+    * expression), reload ONLY the touched partitions' graphs (direct
+    * array fill), insert the new nodes sorted by vec_id, and rewrite
+    * just those partitions (dynamic partition overwrite). Untouched
+    * partitions' files never move — at scale an add batch costs
+    * O(touched-partition graphs), not a full index rewrite.
+    *
+    * Like FAISS, the result is insertion-order-dependent: adding B after
+    * building on A yields the A-then-B graph, not the fresh A∪B graph —
+    * same neighbors-quality class, different (deterministic) rows. */
+  def addToIndex(newVectors: DataFrame, dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val p = Params(m = meta.getInt(0), efConstruction = meta.getInt(1))
+    val parts = meta.getInt(2)
+    val routed = newVectors
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("part_id", pmod(hash(col("vec_id")), lit(parts)))
+    val touched = routed.select(col("part_id")).distinct()
+      .collect().map(_.getInt(0))
+    val existing = spark.read.parquet(s"$dir/nodes").as[HnswNode]
+      .filter(col("part_id").isin(touched.map(Int.box): _*))
+      .groupByKey(_.part_id)
+    val adds = routed
+      .select(col("part_id"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+    val rewritten = existing.cogroup(adds) { (pid, oldIt, newIt) =>
+      val graph = graphFromRows(oldIt.toArray, p)
+      newIt.toArray.sortBy(_._2).foreach { case (_, id, v) => graph.insert(id, v) }
+      graphToRows(graph, pid)
+    }
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      rewritten.write.mode("overwrite").partitionBy("part_id").parquet(s"$dir/nodes")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Test/audit hook: reload every persisted graph driver-side (bounded
     * fixtures only). */
   private[operators] def loadGraphsLocal(

@@ -162,6 +162,28 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** [[indexIngestLoop]] for the persisted HNSW family: each micro-batch
+    * routes to its graph partitions and is inserted incrementally
+    * ([[graft.operators.HnswIndex.addToIndex]] — only touched partitions
+    * rewrite, dynamic partition overwrite), with the same per-batch
+    * marker replay guard. The FAISS `index.add`-on-HNSW contract as a
+    * stream. */
+  def hnswIngestLoop(
+      vectorStream: DataFrame,
+      indexDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectorStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          graft.operators.HnswIndex.addToIndex(batch, indexDir)
+          fs.create(marker, true).close()
+        }
+      }
+      .start()
+
   /** Stream-stream interval join: pair each event with every anchor of
     * the same key whose window `[anchor.ts, anchor.ts + lenSec)` contains
     * the event's time — the streaming form of

@@ -89,6 +89,33 @@ class HnswIndexSpec extends SparkSpec {
     }
   }
 
+  test("addToIndex: routing matches the build partitioner, added vectors searchable, only touched partitions rewritten") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_spec_add"
+    val freshDir = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_spec_add_fresh"
+    HnswIndex.writeIndex(emb.where($"vec_id" < 400), dir, numPartitions = 4)
+    HnswIndex.addToIndex(emb.where($"vec_id" >= 400), dir)
+    HnswIndex.writeIndex(emb, freshDir, numPartitions = 4)
+    val merged = HnswIndex.loadGraphsLocal(spark, dir)
+    val fresh = HnswIndex.loadGraphsLocal(spark, freshDir)
+    // the add batch must route to exactly the partitions the build's
+    // repartition(parts, vec_id) would have chosen — per-partition id
+    // MEMBERSHIP equals a fresh build over the union (graph EDGES may
+    // differ: add is insertion-order-dependent, like FAISS)
+    assert(merged.keySet == fresh.keySet)
+    merged.keySet.foreach { pid =>
+      assert(merged(pid).ids.toSet == fresh(pid).ids.toSet, s"partition $pid membership")
+    }
+    assert(merged.values.map(_.ids.length).sum == 500)
+    // an added vector is findable in its graph at distance 0
+    val owner = merged.values.find(_.ids.contains(450L)).get
+    val vec = owner.vecs(owner.ids.indexOf(450L))
+    val hit = owner.search(vec, 16).head
+    assert(owner.ids(hit._2) == 450L && hit._1 == 0.0)
+    // and the persisted self-search still answers over the grown index
+    val res = HnswIndex.selfSearchPersisted(spark, dir, numQueries = 4, k = 5)
+    assert(res.count() == 20)
+  }
+
   test("persisted coarse quantizer: probes and composed search match the driver-built graph") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_spec_coarse"
     val cents = IvfIndex.trainCentroids(emb, nlist = 16)

@@ -173,6 +173,46 @@ class StreamingAnalyticsSpec extends SparkSpec {
       "replayed batches must be skipped by the batch markers, not re-appended")
   }
 
+  test("hnswIngestLoop: streamed adds grow the persisted graphs; search sees them") {
+    import graft.operators.HnswIndex
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hnswingest").toString
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    HnswIndex.writeIndex(emb.where($"vec_id" < 400), dir, numPartitions = 4)
+
+    val arrivals = emb.where($"vec_id" >= 400)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val src = MemoryStream[(Long, Array[Float])]
+    val q = StreamingAnalytics.hnswIngestLoop(
+      src.toDF().toDF("vec_id", "embedding"), dir)
+    try {
+      src.addData(arrivals.take(50).toSeq)
+      q.processAllAvailable()
+      src.addData(arrivals.drop(50).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val res = HnswIndex.selfSearchPersisted(spark, dir, numQueries = 450, k = 1)
+    // query 449 (base) and 400..449 (streamed) all answer; every
+    // streamed-in id is now a searchable graph node
+    assert(res.select($"query_id").distinct().count() == 450)
+
+    // replay: a restarted stream re-delivers the same batch ids — markers
+    // must keep the graphs unchanged
+    val before = HnswIndex.selfSearchPersisted(spark, dir, numQueries = 8, k = 5)
+      .collect().map(_.toString).toSeq
+    val src2 = MemoryStream[(Long, Array[Float])]
+    val q2 = StreamingAnalytics.hnswIngestLoop(
+      src2.toDF().toDF("vec_id", "embedding"), dir)
+    try {
+      src2.addData(arrivals.take(50).toSeq)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val after = HnswIndex.selfSearchPersisted(spark, dir, numQueries = 8, k = 5)
+      .collect().map(_.toString).toSeq
+    assert(after == before, "replayed batch must not mutate the graphs")
+  }
+
   test("streamingExactDedup keeps first arrival per content hash") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[(Long, Timestamp, String)]
