@@ -80,6 +80,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_opq_ivfpq_knn: rotated persisted codes scan carries PartitionFilters") {
+    val p = planOf(Registry.queries("q_opq_ivfpq_knn")(spark, sf0001))
+    assert(p.contains("PartitionFilters: [cluster_id"),
+      "the OPQ→IVFPQ composition must keep the pruned read path")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_hnsw_persisted: search-after-load plans no Sort over the node scan (direct fill)") {
+    val p = planOf(Registry.queries("q_hnsw_persisted")(spark, sf0001))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q_event_counters: two-phase aggregation (map-side partial)") {
     val p = planOf(Registry.queries("q_event_counters")(spark, sf0001))
     assert(p.contains("partial_count") || p.contains("Partial"),
