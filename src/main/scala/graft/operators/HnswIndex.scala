@@ -359,6 +359,37 @@ object HnswIndex {
     Params(m = r.getInt(0), efConstruction = r.getInt(1), efSearch = efSearch)
   }
 
+  /** Shared persisted-search tail: walk every stored graph for the
+    * (collected, broadcast) query batch, merge shard-local top-k. */
+  private def searchGraphs(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      p: Params,
+      excludeSelf: Boolean): DataFrame = {
+    import spark.implicits._
+    val bcQueries = spark.sparkContext.broadcast(queries)
+    val partials = spark.read.parquet(s"$dir/nodes").as[HnswNode]
+      .groupByKey(_.part_id)
+      .flatMapGroups { (_, it) =>
+        val graph = graphFromRows(it.toArray, p)
+        bcQueries.value.iterator.flatMap { case (qid, qv) =>
+          graph.search(qv, p.efSearch)
+            .filter { case (_, node) => !excludeSelf || graph.ids(node) != qid }
+            .take(k)
+            .map { case (d, node) => (qid, graph.ids(node), d) }
+        }
+      }
+      .toDF("query_id", "vec_id", "dist")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    partials
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** S3 — self-search a persisted index without rebuilding: graphs
     * reload via direct array fill ([[graphFromRows]] — zero insert work,
     * spec-gated), queries come off the index's own rows (vec_id pushdown
@@ -372,28 +403,31 @@ object HnswIndex {
       efSearch: Int = 64): DataFrame = {
     import spark.implicits._
     val p = readMeta(spark, dir, efSearch)
-    val nodes = spark.read.parquet(s"$dir/nodes").as[HnswNode]
-    val queries = nodes.filter(_.vec_id < numQueries)
+    val queries = spark.read.parquet(s"$dir/nodes").as[HnswNode]
+      .filter(_.vec_id < numQueries)
       .map(n => (n.vec_id, n.vec)).collect().sortBy(_._1)
-    val bcQueries = spark.sparkContext.broadcast(queries)
-    val partials = nodes
-      .groupByKey(_.part_id)
-      .flatMapGroups { (_, it) =>
-        val graph = graphFromRows(it.toArray, p)
-        bcQueries.value.iterator.flatMap { case (qid, qv) =>
-          graph.search(qv, p.efSearch)
-            .filter { case (_, node) => graph.ids(node) != qid }
-            .take(k)
-            .map { case (d, node) => (qid, graph.ids(node), d) }
-        }
-      }
-      .toDF("query_id", "vec_id", "dist")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
-    partials
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
-      .orderBy(col("query_id"), col("rank"))
+    searchGraphs(spark, dir, queries, k, p, excludeSelf = true)
+  }
+
+  /** The serving-path search: ARBITRARY query vectors against a
+    * persisted index (the reference answers external queries over its
+    * loaded HNSW shards — this is that contract in batch form; feed a
+    * micro-batch of requests from `knnServeLoop`-style streaming for the
+    * online shape). The query batch is the small side by construction
+    * (a request batch) — collected and broadcast like every other k-NN
+    * query path here; the index side streams per partition. No
+    * self-exclusion: external queries have no identity in the corpus. */
+  def searchPersisted(
+      queries: DataFrame,
+      dir: String,
+      k: Int,
+      efSearch: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val p = readMeta(spark, dir, efSearch)
+    val qs = queries.select(col("query_id"), col("qvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    searchGraphs(spark, dir, qs, k, p, excludeSelf = false)
   }
 
   /** `index.add` for the persisted HNSW (the reference's background add,

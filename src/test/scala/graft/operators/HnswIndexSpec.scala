@@ -116,6 +116,34 @@ class HnswIndexSpec extends SparkSpec {
     assert(res.count() == 20)
   }
 
+  test("searchPersisted: external queries answered over the stored graphs") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_spec_ext"
+    HnswIndex.writeIndex(emb, dir, numPartitions = 4)
+    // external queries that happen to BE corpus vectors: every query's
+    // rank-1 hit must be its own row at distance 0 (no self-exclusion on
+    // the serving path)
+    val q = emb.where($"vec_id" < 6)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val res = HnswIndex.searchPersisted(q, dir, k = 5).cache()
+    assert(res.groupBy($"query_id").count().collect().forall(_.getLong(1) == 5))
+    val rank1 = res.where($"rank" === 1).collect()
+    assert(rank1.length == 6)
+    rank1.foreach { r =>
+      assert(r.getAs[Long]("vec_id") == r.getAs[Long]("query_id") &&
+        r.getAs[Double]("dist") == 0.0)
+    }
+    // consistency with the self-search path: dropping the self hit and
+    // re-ranking reproduces selfSearchPersisted's neighbor sets
+    val ext = res.where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val self = HnswIndex.selfSearchPersisted(spark, dir, numQueries = 6, k = 4)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(self == ext)
+    res.unpersist()
+  }
+
   test("persisted coarse quantizer: probes and composed search match the driver-built graph") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_spec_coarse"
     val cents = IvfIndex.trainCentroids(emb, nlist = 16)
