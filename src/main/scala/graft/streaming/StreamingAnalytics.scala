@@ -162,6 +162,26 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** The reference's full node lifecycle for the HNSW family — load the
+    * serialized index at start, serve queries from it
+    * (vector_search_cluster.py:523-563 load, :641-668 serve) — as one
+    * streaming loop: every micro-batch of (query_id, qvec) requests runs
+    * [[graft.operators.HnswIndex.searchPersisted]] against the stored
+    * graphs (zero rebuild — the graphs deserialize per batch via direct
+    * array fill; cache the nodes table for a long-lived server). */
+  def hnswServeLoop(
+      queryStream: DataFrame,
+      indexDir: String,
+      k: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.HnswIndex.searchPersisted(batch, indexDir, k), batchId)
+      }
+      .start()
+
   /** [[indexIngestLoop]] for the persisted HNSW family: each micro-batch
     * routes to its graph partitions and is inserted incrementally
     * ([[graft.operators.HnswIndex.addToIndex]] — only touched partitions

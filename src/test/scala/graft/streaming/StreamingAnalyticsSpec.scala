@@ -173,6 +173,33 @@ class StreamingAnalyticsSpec extends SparkSpec {
       "replayed batches must be skipped by the batch markers, not re-appended")
   }
 
+  test("hnswServeLoop: streamed queries against a persisted index match the batch path") {
+    import graft.operators.HnswIndex
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hnswserve").toString
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    HnswIndex.writeIndex(emb, dir, numPartitions = 4)
+    val queries = emb.where($"vec_id" < 4)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val src = MemoryStream[(Long, Array[Float])]
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = StreamingAnalytics.hnswServeLoop(
+      src.toDF().toDF("query_id", "qvec"), dir, k = 5) { (df, _) =>
+      df.collect().foreach(r => results.add(r.toString))
+    }
+    try {
+      src.addData(queries.take(2).toSeq)
+      q.processAllAvailable()
+      src.addData(queries.drop(2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val expect = HnswIndex.searchPersisted(
+      emb.where($"vec_id" < 4)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec")),
+      dir, k = 5).collect().map(_.toString).toSet
+    assert(results.toArray(Array.empty[String]).toSet == expect)
+  }
+
   test("hnswIngestLoop: streamed adds grow the persisted graphs; search sees them") {
     import graft.operators.HnswIndex
     implicit val sc = spark.sqlContext
