@@ -164,6 +164,65 @@ object Dedup {
     labels.withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
   }
 
+  /** Exact duplicated-substring spans across documents — the ExactSubstr
+    * operator of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (ACL 2022): every MAXIMAL token span of length ≥
+    * `minTokens` shared verbatim by two documents, with its position in
+    * both. [[graft.operators.CorpusStats.dupNgramStats]] reports the
+    * duplicated-gram FRACTION per doc; this reports the spans themselves,
+    * so a curation pipeline can cut the redundant copy.
+    *
+    * Construction: seeds are k-token grams (k = minTokens). A shared
+    * span of length L ≥ k produces exactly L−k+1 consecutive seed
+    * matches on one (doc_a, doc_b, pos_a−pos_b) diagonal, so maximal
+    * spans = maximal runs of consecutive seeds per diagonal — island
+    * detection over a window, after ONE equi-join on the gram.
+    *
+    * Scale: the join is gram-keyed (inverted-index fan-out — singleton
+    * grams never join; no all-pairs stage); the diagonal window
+    * partitions by (doc_a, doc_b, diag), so partition size is one span's
+    * seed count, never the corpus. The paper's suffix array finds the
+    * same spans on one machine; this form trades CPU for shuffle-bounded
+    * parallelism. At corpus scale, join on `xxhash64(gram)` to shrink
+    * shuffle bytes (kept as the raw string here for DuckDB-oracle
+    * parity), and pre-filter grams whose document frequency exceeds a
+    * spam cap before the self-join if boilerplate is pathological.
+    *
+    * Output: (doc_a, doc_b, start_a, start_b, len_tokens), doc_a < doc_b,
+    * 0-based token offsets. */
+  def duplicateSpans(
+      docs: DataFrame,
+      minTokens: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    val k = minTokens
+    val toks = docs.select(col("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= k)
+    val grams = toks.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), size(col("toks")) - k),
+        i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+      .toDF("doc_id", "pos", "gram")
+    val seeds = grams.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("gram"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("gram")),
+        Seq("gram"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"),
+        (col("pos_a") - col("pos_b")).as("diag"))
+    val wD = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    seeds
+      .withColumn("brk",
+        when(col("pos_a") - lag(col("pos_a"), 1).over(wD) === 1, 0L).otherwise(1L))
+      .withColumn("island",
+        sum(col("brk")).over(wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(min(col("pos_a")).as("start_a"),
+        (max(col("pos_a")) - min(col("pos_a")) + k).cast("long").as("len_tokens"))
+      .select(col("doc_a"), col("doc_b"),
+        col("start_a").cast("long").as("start_a"),
+        (col("start_a") - col("diag")).cast("long").as("start_b"),
+        col("len_tokens"))
+  }
+
   /** N-gram Jaccard near-dup with attribute blocking and PPJoin-style
     * prefix filtering — the non-LSH verification path, exact.
     *

@@ -1030,6 +1030,14 @@ object Registry {
       CorpusStats.dupNgramStats(t(s, dir, "documents"), n = 3)
         .orderBy(col("doc_id"))),
 
+    // ExactSubstr span dedup (Lee et al. 2022): maximal verbatim token
+    // spans ≥ 5 tokens shared across doc pairs, with positions — the
+    // span-cutting form of the dup_ngrams signal; gram-seeded diagonal
+    // runs, one gram equi-join, no all-pairs
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"), minTokens = 5)
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))),
+
     // Unigram-LM mean negative log-likelihood per doc (CCNet-style
     // perplexity bucketing signal) — vocab-sized broadcast, sorted fold
     "q_unigram_nll" -> ((s, dir) =>
@@ -2818,6 +2826,36 @@ s"""WITH cent AS (
         |             CAST(tot.n_grams AS DOUBLE), 4) AS dup_frac
         |FROM tot LEFT JOIN dup USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_dup_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)-5+2),
+        |    i -> {'pos': i-1, 'gram': array_to_string(toks[i:i+4], ' ')})) AS u
+        |  FROM tk WHERE len(toks) >= 5
+        |), g AS (
+        |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0
+        |), seeds AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+        |         a.pos - b.pos AS diag
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |), runs AS (
+        |  SELECT doc_a, doc_b, diag, pos_a,
+        |         CASE WHEN pos_a - lag(pos_a) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) = 1
+        |              THEN 0 ELSE 1 END AS brk
+        |  FROM seeds
+        |), isl AS (
+        |  SELECT doc_a, doc_b, diag, pos_a,
+        |         SUM(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM runs
+        |)
+        |SELECT doc_a, doc_b,
+        |       CAST(min(pos_a) AS BIGINT) AS start_a,
+        |       CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+        |       CAST(max(pos_a) - min(pos_a) + 5 AS BIGINT) AS len_tokens
+        |FROM isl GROUP BY doc_a, doc_b, diag, island
+        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
 
     "q_unigram_nll" ->
       """WITH toks AS (

@@ -36,6 +36,32 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(4L))
   }
 
+  test("duplicateSpans: maximal shared token spans with positions, no false positives") {
+    val spanDocs = Seq(
+      // docs 10/11 share the 6-token span "a b c d e f" at offsets 0 and 2
+      (10L, "a b c d e f g h"),
+      (11L, "x y a b c d e f q"),
+      // doc 12 shares nothing ≥ 3 tokens with anyone
+      (12L, "p q r s t u v w"),
+      // docs 13/14 share TWO disjoint spans: "m n o" (3) and "u1 u2 u3 u4" (4)
+      (13L, "m n o zz u1 u2 u3 u4"),
+      (14L, "m n o kk ll u1 u2 u3 u4"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(spanDocs, minTokens = 3)
+      .orderBy($"doc_a", $"doc_b", $"start_a", $"start_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (10L, 11L, 0L, 2L, 6L),   // maximal: one 6-token span, not four 3-token seeds
+      (13L, 14L, 0L, 0L, 3L),   // "m n o"
+      (13L, 14L, 4L, 5L, 4L)))  // "u1 u2 u3 u4"
+    // raising the threshold drops the short span but keeps the long ones
+    val k4 = Dedup.duplicateSpans(spanDocs, minTokens = 4)
+      .select($"doc_a", $"doc_b", $"len_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(k4 == Set((10L, 11L, 6L), (13L, 14L, 4L)))
+  }
+
   test("ngram jaccard within source block") {
     val got = Dedup.ngramJaccardDups(docs, "source", shingleN = 3, threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
