@@ -223,6 +223,53 @@ object Dedup {
         col("len_tokens"))
   }
 
+  /** The removal half of ExactSubstr dedup (Lee et al. 2022 cut ONE copy
+    * of each duplicated span and showed the model improves): given
+    * [[duplicateSpans]] output, delete the span tokens from the LATER
+    * document of each pair (keep-first policy — the earlier doc_id keeps
+    * its text intact) and return the cleaned corpus.
+    *
+    * Shape: per-doc span intervals merge under a window (intervals per
+    * doc are few — span count, not token count), ride as one small array
+    * column into a LEFT join, and the cut itself is a map-side
+    * index-filter lambda over the token array — no shuffle of the corpus
+    * beyond the one join, whose right side is span-bounded. Output text
+    * is whitespace-normalized (rebuilt from tokens) so cut and uncut
+    * docs share one canonical form. */
+  def cutSpans(
+      docs: DataFrame,
+      spans: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    // cut side: doc_b intervals [start_b, start_b + len)
+    val ivs = spans.select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+      (col("start_b") + col("len_tokens")).as("e"))
+    // merge overlapping/adjacent intervals per doc: new group when this
+    // start passes every previous end
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = ivs
+      .withColumn("prev_max", max(col("e")).over(wPrev))
+      .withColumn("ng", when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+        .otherwise(0L))
+      .withColumn("grp", sum(col("ng")).over(wRun))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    docs.select(col("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .join(merged, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("ivs").isNull, col("toks")).otherwise(
+          filter(col("toks"), (_, i) =>
+            !exists(col("ivs"), iv =>
+              i.cast("long") >= iv.getField("s") && i.cast("long") < iv.getField("e")))))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("removed_tokens"))
+  }
+
   /** N-gram Jaccard near-dup with attribute blocking and PPJoin-style
     * prefix filtering — the non-LSH verification path, exact.
     *

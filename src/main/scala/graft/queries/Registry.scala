@@ -1038,6 +1038,17 @@ object Registry {
       Dedup.duplicateSpans(t(s, dir, "documents"), minTokens = 5)
         .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))),
 
+    // ...and the removal half: cut each duplicated span from the LATER
+    // doc (keep-first), emit the cleaned corpus — md5 of the cleaned
+    // text pins content without dumping full bodies
+    "q_cut_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.cutSpans(docs, Dedup.duplicateSpans(docs, minTokens = 5))
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("removed_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unigram-LM mean negative log-likelihood per doc (CCNet-style
     // perplexity bucketing signal) — vocab-sized broadcast, sorted fold
     "q_unigram_nll" -> ((s, dir) =>
@@ -2856,6 +2867,62 @@ s"""WITH cent AS (
         |       CAST(max(pos_a) - min(pos_a) + 5 AS BIGINT) AS len_tokens
         |FROM isl GROUP BY doc_a, doc_b, diag, island
         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+
+    // span detection CTEs identical to q_dup_spans, then keep-first
+    // interval merge + index-filter cut. coalesce: DuckDB's
+    // array_to_string of an EMPTY list is NULL where Spark's array_join
+    // is '' — a fully-cut doc must hash the empty string on both sides.
+    "q_cut_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)-5+2),
+        |    i -> {'pos': i-1, 'gram': array_to_string(toks[i:i+4], ' ')})) AS u
+        |  FROM tk WHERE len(toks) >= 5
+        |), g AS (
+        |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0
+        |), seeds AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+        |         a.pos - b.pos AS diag
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |), runs AS (
+        |  SELECT doc_a, doc_b, diag, pos_a,
+        |         CASE WHEN pos_a - lag(pos_a) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) = 1
+        |              THEN 0 ELSE 1 END AS brk
+        |  FROM seeds
+        |), isl AS (
+        |  SELECT doc_a, doc_b, diag, pos_a,
+        |         SUM(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM runs
+        |), spans AS (
+        |  SELECT doc_b AS doc_id,
+        |         CAST(min(pos_a) - diag AS BIGINT) AS s,
+        |         CAST(min(pos_a) - diag + max(pos_a) - min(pos_a) + 5 AS BIGINT) AS e
+        |  FROM isl GROUP BY doc_a, doc_b, diag, island
+        |), m0 AS (
+        |  SELECT doc_id, s, e,
+        |         max(e) OVER (PARTITION BY doc_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM spans
+        |), m1 AS (
+        |  SELECT doc_id, s, e, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS ng FROM m0
+        |), m2 AS (
+        |  SELECT doc_id, s, e, SUM(ng) OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp FROM m1
+        |), mg AS (
+        |  SELECT doc_id, min(s) AS s, max(e) AS e FROM m2 GROUP BY doc_id, grp
+        |), mgl AS (
+        |  SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s, e) AS ivs FROM mg GROUP BY doc_id
+        |), fin AS (
+        |  SELECT tk.doc_id, toks,
+        |         CASE WHEN mgl.ivs IS NULL THEN toks
+        |              ELSE list_transform(list_filter(range(1, len(toks)+1),
+        |                     i -> len(list_filter(mgl.ivs, iv -> i-1 >= iv.s AND i-1 < iv.e)) = 0),
+        |                   i -> toks[i])
+        |         END AS kept
+        |  FROM tk LEFT JOIN mgl USING (doc_id)
+        |)
+        |SELECT doc_id, md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5,
+        |       CAST(len(toks) - len(kept) AS BIGINT) AS removed_tokens
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     "q_unigram_nll" ->
       """WITH toks AS (

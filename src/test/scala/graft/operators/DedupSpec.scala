@@ -62,6 +62,39 @@ class DedupSpec extends SparkSpec {
     assert(k4 == Set((10L, 11L, 6L), (13L, 14L, 4L)))
   }
 
+  test("cutSpans: keep-first removal — later doc loses the span, earlier keeps it") {
+    val spanDocs = Seq(
+      (10L, "a b c d e f g h"),
+      (11L, "x y a b c d e f q"),       // loses "a b c d e f"
+      (12L, "p q r s t u v w"),          // untouched
+      (13L, "m n o zz u1 u2 u3 u4"),
+      (14L, "m n o kk ll u1 u2 u3 u4")) // loses both spans (disjoint merge)
+      .toDF("doc_id", "text")
+    val cleaned = Dedup.cutSpans(spanDocs, Dedup.duplicateSpans(spanDocs, minTokens = 3))
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(cleaned.toSeq == Seq(
+      (10L, "a b c d e f g h", 0L),     // earlier doc of the pair: intact
+      (11L, "x y q", 6L),
+      (12L, "p q r s t u v w", 0L),
+      (13L, "m n o zz u1 u2 u3 u4", 0L),
+      (14L, "kk ll", 7L)))
+  }
+
+  test("cutSpans: overlapping spans merge before cutting") {
+    // doc 23 (the LATEST id — the cut side of both pairs) shares
+    // "a b c d" with 20 and "c d e f" with 22: its cut intervals [2,6)
+    // and [4,8) overlap and must merge to [2,8)
+    val docs3 = Seq(
+      (20L, "a b c d zz1 zz2 zz3"),
+      (22L, "c d e f yy1 yy2 yy3"),
+      (23L, "q r a b c d e f s t"))
+      .toDF("doc_id", "text")
+    val cleaned = Dedup.cutSpans(docs3, Dedup.duplicateSpans(docs3, minTokens = 4))
+      .where($"doc_id" === 23L).head()
+    assert(cleaned.getString(1) == "q r s t" && cleaned.getLong(2) == 6L)
+  }
+
   test("ngram jaccard within source block") {
     val got = Dedup.ngramJaccardDups(docs, "source", shingleN = 3, threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
