@@ -29,6 +29,10 @@ object VectorIndex {
   final case class Hnsw(m: Int = 32, efConstruction: Int = 64, efSearch: Int = 64) extends IndexSpec
   /** Learned-rotation PQ (`OPQMatrix` + PQ). */
   final case class Opq(m: Int, subDim: Int, ksub: Int, iters: Int = 6) extends IndexSpec
+  /** Learned rotation fronting residual IVFPQ (`OPQ → IVFPQ`, the FAISS
+    * IndexPreTransform recipe). */
+  final case class OpqIvfPq(nlist: Int, nprobe: Int, m: Int, subDim: Int, ksub: Int,
+      iters: Int = 6) extends IndexSpec
   /** IVF with HNSW coarse quantizer (`IVF*_HNSW*`). */
   final case class IvfHnsw(nlist: Int, nprobe: Int,
       graph: Hnsw = Hnsw()) extends IndexSpec
@@ -60,6 +64,9 @@ object VectorIndex {
         params = HnswIndex.Params(m, efC, efS))
     case Opq(m, subDim, ksub, iters) =>
       OpqIndex.selfSearchTrained(embeddings, numQueries, m, subDim, ksub, k, iters)
+    case OpqIvfPq(nlist, nprobe, m, subDim, ksub, iters) =>
+      OpqIndex.selfSearchOpqIvfPq(embeddings, numQueries, nlist, nprobe,
+        m, subDim, ksub, k, iters)
     case IvfHnsw(nlist, nprobe, g) =>
       import org.apache.spark.sql.functions.col
       val cents = IvfIndex.seedCentroids(embeddings, nlist)

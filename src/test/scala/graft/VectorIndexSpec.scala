@@ -17,6 +17,7 @@ class VectorIndexSpec extends SparkSpec {
         trained = true),
       "hnsw" -> Hnsw(),
       "opq" -> Opq(m = 8, subDim = 8, ksub = 16, iters = 2),
+      "opq_ivfpq" -> OpqIvfPq(nlist = 8, nprobe = 2, m = 8, subDim = 8, ksub = 16, iters = 2),
       "ivf_hnsw" -> IvfHnsw(nlist = 16, nprobe = 4))
     specs.foreach { case (name, spec) =>
       val r = selfSearch(emb, numQueries = 2, k = 5, spec)
