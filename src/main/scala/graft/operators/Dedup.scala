@@ -185,22 +185,38 @@ object Dedup {
     * same spans on one machine; this form trades CPU for shuffle-bounded
     * parallelism. At corpus scale, join on `xxhash64(gram)` to shrink
     * shuffle bytes (kept as the raw string here for DuckDB-oracle
-    * parity), and pre-filter grams whose document frequency exceeds a
-    * spam cap before the self-join if boilerplate is pathological.
+    * parity). `maxGramDocFreq` > 0 enables the boilerplate spam cap:
+    * grams appearing in more than that many documents (headers, license
+    * blocks, template chrome — the join-fan-out pathology, since a gram
+    * in F docs seeds F² pairs) are dropped before the self-join via an
+    * anti-join against the (small) hot-gram set. Spans supported ONLY by
+    * capped grams disappear; spans with any sub-span of rarer grams
+    * survive, possibly split. Off by default — capping changes
+    * semantics, so the oracle-matched path runs uncapped.
     *
     * Output: (doc_a, doc_b, start_a, start_b, len_tokens), doc_a < doc_b,
     * 0-based token offsets. */
   def duplicateSpans(
       docs: DataFrame,
       minTokens: Int = 8,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxGramDocFreq: Int = 0): DataFrame = {
     val k = minTokens
     val toks = docs.select(col("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= k)
-    val grams = toks.select(col("doc_id"),
+    val gramsAll = toks.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), size(col("toks")) - k),
         i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
       .toDF("doc_id", "pos", "gram")
+    val grams =
+      if (maxGramDocFreq <= 0) gramsAll
+      else {
+        val hot = gramsAll.groupBy(col("gram"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .where(col("df") > maxGramDocFreq)
+          .select(col("gram"))
+        gramsAll.join(hot, Seq("gram"), "left_anti")
+      }
     val seeds = grams.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("gram"))
       .join(grams.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("gram")),
         Seq("gram"))

@@ -62,6 +62,26 @@ class DedupSpec extends SparkSpec {
     assert(k4 == Set((10L, 11L, 6L), (13L, 14L, 4L)))
   }
 
+  test("duplicateSpans: boilerplate spam cap drops hot-gram spans, keeps rare ones") {
+    // "tpl1..tpl3" is template chrome shared by ALL four docs (df=4);
+    // "rare1..rare3" is a genuine duplicate between two docs only
+    val docs4 = Seq(
+      (30L, "tpl1 tpl2 tpl3 aa bb cc"),
+      (31L, "tpl1 tpl2 tpl3 dd ee ff"),
+      (32L, "tpl1 tpl2 tpl3 rare1 rare2 rare3 gg"),
+      (33L, "hh tpl1 tpl2 tpl3 rare1 rare2 rare3"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.duplicateSpans(docs4, minTokens = 3)
+    assert(uncapped.count() > 1) // template spans pair everything with everything
+    val capped = Dedup.duplicateSpans(docs4, minTokens = 3, maxGramDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // only the genuine rare duplicate survives; the all-template pairs
+    // vanish entirely, and the surviving span loses exactly the one
+    // pure-template seed gram (df=4) while its template→rare boundary
+    // grams (df=2) keep the run alive — "tpl2 tpl3 rare1 rare2 rare3"
+    assert(capped.toSeq == Seq((32L, 33L, 1L, 2L, 5L)))
+  }
+
   test("cutSpans: keep-first removal — later doc loses the span, earlier keeps it") {
     val spanDocs = Seq(
       (10L, "a b c d e f g h"),
