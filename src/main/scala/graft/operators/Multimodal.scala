@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns with typed metadata, decode/feature-extract
   * as per-partition batch operations.
   *
-  * The actual codecs (image decode, audio resample, video frame-grab) are
-  * STUBBED with deterministic byte-derived fakes — this container has no
-  * media libraries — but the Spark-side contract is real: schema, binary
+  * Decode reality has two tiers. Uncompressed Netpbm images (binary P5
+  * grayscale / P6 RGB) are decoded FOR REAL — header parse, comments,
+  * 1/2-byte samples by maxval, true width/height, pixel-derived features
+  * — because Netpbm needs no codec library. Compressed formats (JPEG/
+  * PNG/audio/video) would need libjpeg/ffmpeg-class natives this
+  * container lacks, so they fall back to a deterministic byte-derived
+  * fake. Either way the Spark-side contract is identical: schema, binary
   * payload column, partition-batched decode via mapPartitions, fixed-dim
-  * feature output. Swapping the stub body for a real codec changes no
+  * feature output — swapping the fallback for a real codec changes no
   * plan shape.
   */
 object Multimodal {
@@ -89,10 +93,58 @@ object Multimodal {
         col("payload").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
           .as("frame_payload"))
 
-  /** STUB decode + feature extraction, batched per partition — the seam
-    * where a real codec (libjpeg / ffmpeg / soundfile) would run. The
-    * deterministic fake derives dims and a `dim`-element float feature
-    * from payload bytes, mirroring mediaMeta for cross-checking. */
+  /** REAL pure-JVM decode for the Netpbm family — binary P5 (grayscale)
+    * and P6 (RGB): magic check, whitespace/`#`-comment header parse,
+    * width/height/maxval, 1-byte samples (or 2-byte MSB-first when
+    * maxval > 255, per the Netpbm spec). Returns (width, height,
+    * channels, maxval, sample accessor) or None for anything that is
+    * not a well-formed binary Netpbm payload. */
+  private[operators] def decodeNetpbm(
+      b: Array[Byte]): Option[(Int, Int, Int, Int, Int => Double)] = {
+    if (b.length < 2 || b(0) != 'P'.toByte || (b(1) != '5'.toByte && b(1) != '6'.toByte))
+      return None
+    val channels = if (b(1) == '6'.toByte) 3 else 1
+    var i = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < b.length) {
+        val c = (b(i) & 0xff).toChar
+        if (c == '#') { while (i < b.length && b(i) != '\n'.toByte) i += 1 }
+        else if (c.isWhitespace) i += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      var any = false
+      while (i < b.length && b(i) >= '0'.toByte && b(i) <= '9'.toByte) {
+        v = v * 10 + (b(i) - '0'.toByte)
+        i += 1
+        any = true
+      }
+      if (any) v else -1
+    }
+    val w = readInt()
+    val h = readInt()
+    val maxv = readInt()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 65535) return None
+    i += 1 // exactly one whitespace byte between maxval and raster
+    val bytesPerSample = if (maxv > 255) 2 else 1
+    if (i.toLong + w.toLong * h * channels * bytesPerSample > b.length) return None
+    val base = i
+    val sample: Int => Double =
+      if (bytesPerSample == 1) s => (b(base + s) & 0xff).toDouble
+      else s => (((b(base + 2 * s) & 0xff) << 8) | (b(base + 2 * s + 1) & 0xff)).toDouble
+    Some((w, h, channels, maxv, sample))
+  }
+
+  /** Decode + feature extraction, batched per partition. Netpbm payloads
+    * decode for real: true dimensions, feature = maxval-normalized mean
+    * luminance at `dim` evenly spaced pixels (row-major). Everything
+    * else hits the deterministic byte-derived fallback — the seam where
+    * a libjpeg/ffmpeg-class codec would run, initialized once per
+    * partition batch. */
   def decodeFeatures(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -100,15 +152,28 @@ object Multimodal {
       // once here and decode the partition as one batch
       rows.map { r =>
         val b = r.payload
-        def at(i: Int): Int = if (b.length > i) b(i) & 0xff else 0
-        MediaFeatures(
-          media_id = r.media_id,
-          kind = r.kind,
-          n_bytes = b.length.toLong,
-          width = 16 + (at(0) % 64),
-          height = 16 + (at(1) % 64),
-          n_frames = if (r.kind == "video") (b.length % 30) + 1 else 1,
-          feature = Array.tabulate(dim)(i => at(i % math.max(b.length, 1)) / 255.0f))
+        decodeNetpbm(b) match {
+          case Some((w, h, ch, maxv, sample)) =>
+            val nPix = w * h
+            val feature = Array.tabulate(dim) { i =>
+              val p = ((i.toLong * nPix) / dim).toInt
+              var s = 0.0
+              var c = 0
+              while (c < ch) { s += sample(p * ch + c); c += 1 }
+              (s / (ch.toDouble * maxv)).toFloat
+            }
+            MediaFeatures(r.media_id, r.kind, b.length.toLong, w, h, 1, feature)
+          case None =>
+            def at(i: Int): Int = if (b.length > i) b(i) & 0xff else 0
+            MediaFeatures(
+              media_id = r.media_id,
+              kind = r.kind,
+              n_bytes = b.length.toLong,
+              width = 16 + (at(0) % 64),
+              height = 16 + (at(1) % 64),
+              n_frames = if (r.kind == "video") (b.length % 30) + 1 else 1,
+              feature = Array.tabulate(dim)(i => at(i % math.max(b.length, 1)) / 255.0f))
+        }
       }
     }
   }

@@ -55,6 +55,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeFeatures: real Netpbm decode — P6 RGB with comment, P5 16-bit, malformed falls back") {
+    // P6, 2×2 RGB, maxval 255, '#' comment in the header: pixels are
+    // pure R, G, B, and white — luminances 85, 85, 85, 255 (/255)
+    val p6 = ("P6\n# test comment\n2 2\n255\n").getBytes("US-ASCII") ++
+      Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0, 0, 0, 255.toByte,
+        255.toByte, 255.toByte, 255.toByte)
+    // P5, 2×1 grayscale, maxval 65535 (2-byte MSB-first samples):
+    // values 0 and 65535 — features 0.0 and 1.0
+    val p5 = "P5 2 1 65535 ".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0xff.toByte, 0xff.toByte)
+    val junk = "P6 9999 9999 255 tiny".getBytes("US-ASCII") // raster too short
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, "image", p6), MediaRow(2L, "image", p5), MediaRow(3L, "image", junk)))
+    val out = Multimodal.decodeFeatures(ds, dim = 4).collect()
+      .map(f => f.media_id -> f).toMap
+    // real dims from the headers, not byte fakes
+    assert(out(1L).width == 2 && out(1L).height == 2 && out(1L).n_frames == 1)
+    val f1 = out(1L).feature
+    assert(math.abs(f1(0) - 85f / 255f) < 1e-6 && math.abs(f1(3) - 1.0f) < 1e-6)
+    assert(out(2L).width == 2 && out(2L).height == 1)
+    val f2 = out(2L).feature // dim=4 over 2 pixels: samples at pixels 0,0,1,1
+    assert(f2(0) == 0.0f && f2(1) == 0.0f && f2(2) == 1.0f && f2(3) == 1.0f)
+    // malformed header → byte-derived fallback dims ('P' = 80 → 16 + 80%64 = 32)
+    assert(out(3L).width == 16 + ('P'.toInt % 64))
+  }
+
   test("decodeFeatures (mapPartitions stub) agrees with mediaMeta expressions") {
     val media = Multimodal.mediaFromDocs(docs)
     val viaExpr = Multimodal.mediaMeta(media)
