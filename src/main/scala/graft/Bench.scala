@@ -16,6 +16,19 @@ import org.apache.spark.sql.SparkSession
   * had 13 consecutive queries 2-5× slower on unchanged code); the
   * median of 3 pins that. Per-iteration times land in
   * bench_detail.json ("iters") so spread is auditable.
+  *
+  * Between queries the harness forces an UNTIMED System.gc(): Spark's
+  * ContextCleaner releases broadcasts/cached blocks only when their JVM
+  * referents are collected, and spark.cleaner.periodicGC.interval
+  * (default 30 min) never fires inside a ~1 min suite — so 111 queries
+  * × 3 iters of accumulated broadcast/cache debris was being paid as
+  * full-GC pauses INSIDE whichever queries ran late in the Map order
+  * (the r5 q_binary_knn "regression": 0.8 s isolated at any position,
+  * 2.8 s after 100 queries of debris, slower on back-to-back iterations
+  * — the opposite of a plan defect's signature). Forcing collection
+  * between queries starts every query from a comparable clean-heap
+  * state; per-iteration GC milliseconds land in bench_detail.json
+  * ("gc_ms") so the claim stays auditable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,24 +62,36 @@ object Bench {
       names => SparkEntry.queries.filter { case (n, _) => names(n) })
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     val allIters = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val allGcMs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
     val results = selected.map { case (name, fn) =>
       // stdout marker so engine warnings in the log tail attribute to a query
       // (stderr renders as `[error]` under sbt, making healthy queries read
       // as failures in the driver's captured tail; "errors" is the truth)
       println(s"[bench] $name")
+      // untimed: drain cross-query debris (see scaladoc) before measuring
+      System.gc()
+      val gcs = scala.collection.mutable.ArrayBuffer.empty[Long]
       val times = (1 to iters).map { _ =>
+        val g0 = gcMillis()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          gcs += gcMillis() - g0
+          dt
         } catch {
           case e: Throwable =>
             if (!errors.contains(name))
               errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
                 .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+            gcs += gcMillis() - g0
             -1.0
         }
       }
+      allGcMs(name) = gcs.toSeq
       allIters(name) = times
       // any failed iteration marks the query failed — never a silent fast number
       val median =
@@ -88,11 +113,14 @@ object Bench {
     val itersJson = allIters.map { case (k, ts) =>
       s"\"$k\":${ts.map(fmt).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
+    val gcJson = allGcMs.map { case (k, gs) =>
+      s"\"$k\":${gs.mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_$iters","queries":${
         full.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-      },"iters":$itersJson,"errors":$errJson,"sf":"$sfDir"}""")
+      },"iters":$itersJson,"gc_ms":$gcJson,"errors":$errJson,"sf":"$sfDir"}""")
     val bySlow = results.toSeq.sortBy(-_._2)
     val budget = 1400
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]

@@ -403,8 +403,11 @@ object HnswIndex {
       efSearch: Int = 64): DataFrame = {
     import spark.implicits._
     val p = readMeta(spark, dir, efSearch)
-    val queries = spark.read.parquet(s"$dir/nodes").as[HnswNode]
-      .filter(_.vec_id < numQueries)
+    // Column predicate BEFORE the typed view: a closure filter is opaque
+    // to Catalyst and would scan+deserialize the whole nodes table just
+    // to collect numQueries vectors; this one pushes into the parquet scan.
+    val queries = spark.read.parquet(s"$dir/nodes")
+      .where(col("vec_id") < numQueries).as[HnswNode]
       .map(n => (n.vec_id, n.vec)).collect().sortBy(_._1)
     searchGraphs(spark, dir, queries, k, p, excludeSelf = true)
   }
@@ -462,18 +465,27 @@ object HnswIndex {
       .select(col("part_id"), col("vec_id"), col("embedding"))
       .as[(Int, Long, Array[Float])]
       .groupByKey(_._1)
+    // Materialize the rewritten partitions BEFORE the overwrite commit:
+    // the cogroup plan lazily reads dir/nodes, and writing over the path
+    // a live plan still reads is a read-own-delete race the moment the
+    // plan shape changes or a task retries mid-commit. localCheckpoint
+    // (eager) pins the computed rows in block storage, severing the
+    // lineage back to the files the commit is about to delete.
     val rewritten = existing.cogroup(adds) { (pid, oldIt, newIt) =>
       val graph = graphFromRows(oldIt.toArray, p)
       newIt.toArray.sortBy(_._2).foreach { case (_, id, v) => graph.insert(id, v) }
       graphToRows(graph, pid)
-    }
+    }.localCheckpoint(true)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
       rewritten.write.mode("overwrite").partitionBy("part_id").parquet(s"$dir/nodes")
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      rewritten.unpersist(blocking = false)
     }
   }
 

@@ -274,6 +274,86 @@ object IvfIndex {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Deterministic, oracle-reproducible Lloyd refinement with
+    * MEDOID-SNAPPED centroids: start from [[seedCentroids]] and per round
+    * (a) assign every vector to its nearest centroid, (b) compute each
+    * cluster's per-dimension double mean, (c) snap the centroid to the
+    * cluster MEMBER nearest that mean (ties by vec_id; an emptied cluster
+    * keeps its previous centroid). Because every centroid is an exact
+    * STORED vector — never a computed mean — all downstream assign/probe/
+    * search distances are bit-identical across engines; the ±1-ulp
+    * summation-order noise in the mean can only flip the snap if two
+    * members are equidistant to machine precision. That makes the full
+    * ITERATIVE train→assign→probe→search pipeline DuckDB-oracle-checkable
+    * (q_ivf_medoid_knn) — the hash-verified drift canary for the
+    * MLlib-trained twin [[selfSearchTrained]], whose k-means internals
+    * remain recall-gated.
+    *
+    * Scale: each round is one map-side assignment pass + one
+    * posexplode/avg aggregate (shuffle carries nlist×d partial sums,
+    * map-side combined) + one window over cluster-sized partitions; the
+    * nlist×d mean table and the nlist snap rows are the only driver
+    * collects — control-plane sized, the same class as [[seedCentroids]]. */
+  def medoidCentroids(
+      embeddings: DataFrame,
+      nlist: Int,
+      iters: Int): Array[Centroid] = {
+    var cents = seedCentroids(embeddings, nlist)
+    val d = cents.head._2.length
+    var itr = 0
+    while (itr < iters) {
+      val assigned = assign(embeddings, cents)
+      val means = assigned
+        .select(col("cluster_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val v = new Array[Double](d)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+          cid -> v
+        }
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      val meanDf = means.toSeq.map { case (cid, v) => (cid, v) }
+        .toDF("cluster_id", "mean")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("dist"), col("vec_id"))
+      val snapped = assigned.join(broadcast(meanDf), Seq("cluster_id"))
+        .withColumn("dist",
+          aggregate(zip_with(col("embedding"), col("mean"),
+            (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+            lit(0.0d), (a, x) => a + x))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("cluster_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .toMap
+      cents = cents.map { case (cid, v) => (cid, snapped.getOrElse(cid, v)) }
+      itr += 1
+    }
+    cents
+  }
+
+  /** End-to-end self-search over [[medoidCentroids]] — the oracle-checked
+    * iterative-training path (see scaladoc there). */
+  def selfSearchMedoid(
+      embeddings: DataFrame,
+      numQueries: Int,
+      nlist: Int,
+      nprobe: Int,
+      k: Int,
+      iters: Int): DataFrame = {
+    val cents = medoidCentroids(embeddings, nlist, iters)
+    val assignments = assign(embeddings, cents)
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    search(q, cents, assignments, nprobe, k, excludeSelf = true)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** End-to-end self-search with k-means-trained centroids — the quality
     * path, recall-tested against FLAT (SURVEY §5.2). */
   def selfSearchTrained(

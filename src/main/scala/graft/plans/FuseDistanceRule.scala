@@ -23,10 +23,13 @@ import org.apache.spark.sql.types._
   *
   * Ragged pairs are value-preserved too: the HOF forms yield NULL on
   * mismatched lengths (zip_with pads with nulls) and the fused
-  * expressions return NULL on a length mismatch as well, so the rewrite
-  * never changes value or nullability on arbitrary user SQL. Likewise
-  * the fused [[CosineSim]] returns NULL on a zero-norm input, matching
-  * the unfused tree's Divide-by-zero → NULL semantics.
+  * expressions return NULL on a length mismatch as well; NULL *elements*
+  * likewise map to a NULL result in both forms (the fused loops carry a
+  * per-element null branch, emitted only for `containsNull` schemas), so
+  * the rewrite never changes value or nullability on arbitrary user SQL.
+  * The fused [[CosineSim]] inherits the matched Divide's own evalMode for
+  * its zero-divisor behavior (throw under ANSI, NULL under LEGACY/TRY) —
+  * a `try_divide`-shaped tree keeps its return-NULL contract.
   *
   * Injected by `spark.sql.extensions=graft.GraftExtensions`
   * (injectOptimizerRule) — a user writing plain HOF SQL gets the fused
@@ -106,10 +109,12 @@ object FuseDistanceRule extends Rule[LogicalPlan] {
     // is unchanged.
     dotsFused.transformAllExpressions {
       case Divide(DotProduct(a, b),
-          Multiply(Sqrt(DotProduct(a1, a2)), Sqrt(DotProduct(b1, b2)), _), _)
+          Multiply(Sqrt(DotProduct(a1, a2)), Sqrt(DotProduct(b1, b2)), _), evalMode)
           if a.semanticEquals(a1) && a.semanticEquals(a2) &&
             b.semanticEquals(b1) && b.semanticEquals(b2) =>
-        CosineSim(a, b)
+        // zero-divisor semantics follow the MATCHED Divide, not the session:
+        // ANSI throws; LEGACY and TRY (try_divide) both return NULL
+        CosineSim(a, b, failOnError = evalMode == EvalMode.ANSI)
     }
   }
 }

@@ -17,7 +17,12 @@ import org.apache.spark.sql.types._
   * oracle-checked result. Mismatched-length inputs yield NULL, exactly
   * like the HOF tree (zip_with null-pads the shorter side and the sum
   * absorbs the null) — FuseDistanceRule rewrites arbitrary user SQL, so
-  * the fused form must preserve ragged-input semantics too.
+  * the fused form must preserve ragged-input semantics too. Likewise a
+  * NULL *element* in either array yields NULL (the HOF lambda maps it to
+  * a null product and the sum absorbs it); the codegen emits the
+  * per-element null branch only when the input schema says elements may
+  * be null (`containsNull`), so non-nullable hot paths keep the tight
+  * three-op loop.
   */
 case class L2SqDistance(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -32,6 +37,12 @@ case class L2SqDistance(left: Expression, right: Expression)
       s"l2_sq expects (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
   }
 
+  private def mayHaveNullElements: Boolean =
+    Seq(left.dataType, right.dataType).exists {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -40,6 +51,7 @@ case class L2SqDistance(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
       s += d * d
       i += 1
@@ -53,6 +65,9 @@ case class L2SqDistance(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val d = ctx.freshName("d")
       val s = ctx.freshName("s")
+      val nullCheck = if (mayHaveNullElements)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -60,10 +75,13 @@ case class L2SqDistance(left: Expression, right: Expression)
          |} else {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
          |    $s += $d * $d;
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $s;
+         |  }
          |}
        """.stripMargin
     })
@@ -241,7 +259,10 @@ case class PqEncode(
   * the exact semantics of the `aggregate(zip_with(a, b, _*_), 0d, _+_)`
   * HOF tree it replaces (zip_with null-pads the shorter side, and the sum
   * absorbs the null), so the FuseDistanceRule rewrite is value- AND
-  * nullability-preserving on arbitrary user SQL, ragged arrays included. */
+  * nullability-preserving on arbitrary user SQL, ragged arrays included.
+  * A NULL element likewise yields NULL (null product, absorbed by the
+  * sum); the per-element branch is emitted only for `containsNull`
+  * schemas. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -255,6 +276,12 @@ case class DotProduct(left: Expression, right: Expression)
       s"dot expects (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
   }
 
+  private def mayHaveNullElements: Boolean =
+    Seq(left.dataType, right.dataType).exists {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -263,6 +290,7 @@ case class DotProduct(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -274,6 +302,9 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullCheck = if (mayHaveNullElements)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -281,9 +312,12 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $s;
+         |  }
          |}
        """.stripMargin
     })
@@ -305,10 +339,15 @@ case class DotProduct(left: Expression, right: Expression)
   * user SQL, so these must match exactly):
   *  - mismatched lengths → NULL (the HOF dot null-pads; [[DotProduct]]
   *    mirrors it);
+  *  - NULL element in either array → NULL (the HOF dot goes NULL, and
+  *    NULL / anything is NULL — even under ANSI, where the zero-divisor
+  *    check is skipped for a null numerator); branch emitted only for
+  *    `containsNull` schemas;
   *  - zero-norm input → Spark Divide's zero-divisor semantics, captured
-  *    from the session like Divide itself does: DIVIDE_BY_ZERO under ANSI
-  *    (the Spark 4 default), NULL otherwise — never the Java NaN/Infinity
-  *    a naive fused ratio would produce. */
+  *    from the matched Divide's own evalMode by FuseDistanceRule (or
+  *    from the session when built directly): DIVIDE_BY_ZERO under ANSI
+  *    (the Spark 4 default), NULL under LEGACY/TRY — never the Java
+  *    NaN/Infinity a naive fused ratio would produce. */
 case class CosineSim(left: Expression, right: Expression,
     failOnError: Boolean = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
     extends BinaryExpression {
@@ -324,11 +363,22 @@ case class CosineSim(left: Expression, right: Expression,
       s"cosine_sim expects (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
   }
 
+  private def mayHaveNullElements: Boolean =
+    Seq(left.dataType, right.dataType).exists {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (y.numElements() != n) return null
+    var i0 = 0
+    while (i0 < n) {
+      if (x.isNullAt(i0) || y.isNullAt(i0)) return null
+      i0 += 1
+    }
     var dp = 0.0
     var na = 0.0
     var nb = 0.0
@@ -359,6 +409,9 @@ case class CosineSim(left: Expression, right: Expression,
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val denom = ctx.freshName("denom")
+      val nullCheck = if (mayHaveNullElements)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -368,19 +421,22 @@ case class CosineSim(left: Expression, right: Expression,
          |  double $na = 0.0;
          |  double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    double $xi = (double) $a.getFloat($i);
          |    double $yi = (double) $b.getFloat($i);
          |    $dp += $xi * $yi;
          |    $na += $xi * $xi;
          |    $nb += $yi * $yi;
          |  }
-         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |  if ($denom == 0.0) {
-         |    ${if (failOnError)
-               "throw org.apache.spark.sql.graft.ColumnBridge.divideByZeroError();"
-             else s"${ev.isNull} = true;"}
-         |  } else {
-         |    ${ev.value} = $dp / $denom;
+         |  if (!${ev.isNull}) {
+         |    double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($denom == 0.0) {
+         |      ${if (failOnError)
+                 "throw org.apache.spark.sql.graft.ColumnBridge.divideByZeroError();"
+               else s"${ev.isNull} = true;"}
+         |    } else {
+         |      ${ev.value} = $dp / $denom;
+         |    }
          |  }
          |}
        """.stripMargin

@@ -22,9 +22,15 @@ object Registry {
 
   /** Scratch dir for persisted-index queries, keyed by the DATA dir so
     * concurrent runs over different scale factors (bench at sf0.1 while
-    * verify reads sf0.01) never race on a shared overwrite path. */
+    * verify reads sf0.01) never race on a shared overwrite path — AND by
+    * process id, so two concurrent JVMs over the SAME data dir (bench ∥
+    * verify on one SF) each write their own copy instead of racing one
+    * `mode("overwrite")` path mid-read. Within one JVM the path is
+    * stable, so a query's build-then-read stays coherent and repeated
+    * bench iterations reuse the built index. */
+  private val procId: Long = java.lang.ProcessHandle.current().pid()
   private def tmpIndexDir(prefix: String, dataDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/${prefix}_${Integer.toHexString(dataDir.hashCode)}"
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_${Integer.toHexString(dataDir.hashCode)}_p$procId"
 
   /** events.parquet's ts column has shipped in three physical forms across
     * driver data generations: TIMESTAMP(NANOS) (arrives as long nanos under
@@ -347,6 +353,25 @@ object Registry {
       Sharding.withHashShard(t(s, dir, "embeddings"), "embedding", 16)
         .select(col("vec_id"), col("shard_id"))
         .orderBy(col("vec_id"))),
+
+    // Reference all_shards=False: persist the corpus partitioned by its
+    // content-hash shard, route each query by the SAME rule, and search
+    // ONLY the routed shard — a partition-pruned single-directory read
+    // (PartitionFilters plan-gated in PlanShapeSpec). Routed search
+    // trades recall for 1/n scan cost by design; the oracle reproduces
+    // exactly that single-shard result.
+    "q_routed_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxDir = tmpIndexDir("graft_routed_idx", dir)
+      Sharding.writeShardedIndex(emb, "embedding", 16, idxDir)
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Sharding.routedSearch(s, idxDir, q, numShards = 16, k = 10,
+          excludeSelf = true)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // ---- scalar function surface (SURVEY §2.7 P1/F2/F3/F8) ----
 
@@ -1776,6 +1801,26 @@ s"""WITH cent AS (
       """SELECT vec_id,
         |  ((CAST(trunc(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS BIGINT) % 16) + 16) % 16 AS shard_id
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_routed_knn" ->
+      s"""WITH sh AS (
+         |  SELECT vec_id, embedding,
+         |    ((CAST(trunc(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS BIGINT) % 16) + 16) % 16 AS shard_id
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT shard_id, vec_id AS query_id, embedding AS qvec
+         |  FROM sh WHERE vec_id < 8
+         |), j AS (
+         |  SELECT q.query_id, v.vec_id, ${l2sqSql("q.qvec", "v.embedding")} AS dist
+         |  FROM q JOIN sh v USING (shard_id)
+         |  WHERE v.vec_id <> q.query_id
+         |), r AS (
+         |  SELECT query_id, vec_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |  FROM j
+         |)
+         |SELECT query_id, rank, vec_id, round(dist, 4) AS dist FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_fingerprint" ->
       s"""SELECT vec_id, $fpKey AS cache_key

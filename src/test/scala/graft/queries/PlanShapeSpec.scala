@@ -87,6 +87,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_routed_knn: routed shard ids prune the sharded-index scan") {
+    val p = planOf(Registry.queries("q_routed_knn")(spark, sf0001))
+    assert(p.contains("PartitionFilters: [shard_id"),
+      "the routed query's shard_id set must prune the partitioned read — " +
+        "the reference's all_shards=False single-shard scan")
+    assert(p.contains("BroadcastHashJoin"),
+      "the routed request batch must broadcast against the pruned shard scan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q_hnsw_persisted: search-after-load plans no Sort over the node scan (direct fill)") {
     val p = planOf(Registry.queries("q_hnsw_persisted")(spark, sf0001))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
