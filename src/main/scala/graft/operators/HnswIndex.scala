@@ -35,6 +35,23 @@ object HnswIndex {
   /** Graph/search parameters — defaults mirror the reference's. */
   case class Params(m: Int = 32, efConstruction: Int = 64, efSearch: Int = 64)
 
+  /** Deterministic node level: splitmix64(vec_id) → U(0,1] → geometric
+    * `min(floor(-ln(U)/ln(m)), 24)`. Object-level so the build
+    * ([[LocalGraph.insert]]) and the q_hnsw_levels structural-fingerprint
+    * query share ONE definition — the level layout that shapes every
+    * graph is pinned by a DuckDB oracle (splitmix64 reproduced in
+    * HUGEINT-mod-2⁶⁴ SQL), so a silent change here fails a hash compare,
+    * not just a recall gate. */
+  private[graft] def levelOf(id: Long, m: Int): Int = {
+    val mL = 1.0 / math.log(m.toDouble max 2.0)
+    var z = id + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    val u = ((z >>> 11).toDouble + 1.0) / (1L << 53).toDouble // (0, 1]
+    math.min(math.floor(-math.log(u) * mL).toInt, 24)
+  }
+
   /** One partition's graph: ids, vectors, per-layer adjacency.
     * Serializable so a driver-built graph over a MODEL-SIZED table (the
     * IVF centroid set) can broadcast for [[coarseProbes]]; `search` is
@@ -51,17 +68,9 @@ object HnswIndex {
     // build-work audit: the persisted-load path must stay at 0 (spec-gated)
     var insertCalls: Int = 0
 
-    private val mL = 1.0 / math.log(params.m.toDouble max 2.0)
-
-    /** Deterministic level: geometric via splitmix64(id) → U(0,1). */
-    private def levelOf(id: Long): Int = {
-      var z = id + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      val u = ((z >>> 11).toDouble + 1.0) / (1L << 53).toDouble // (0, 1]
-      math.min(math.floor(-math.log(u) * mL).toInt, 24)
-    }
+    /** Deterministic level — delegates to [[HnswIndex.levelOf]] (shared
+      * with the oracle-pinned q_hnsw_levels fingerprint). */
+    private def levelOf(id: Long): Int = HnswIndex.levelOf(id, params.m)
 
     private def dist(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0
@@ -487,6 +496,20 @@ object HnswIndex {
       }
       rewritten.unpersist(blocking = false)
     }
+  }
+
+  /** Structural fingerprint for the q_hnsw_levels oracle query: the
+    * corpus's node-level histogram under [[levelOf]] — the deterministic
+    * layout every graph build follows. One map-side expression + one
+    * tiny grouped aggregate (≤ 25 level values). */
+  def levelHistogram(embeddings: DataFrame, m: Int = Params().m): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    embeddings
+      .select(ColumnBridge.column(graft.plans.HnswLevel(
+        ColumnBridge.expression(col("vec_id")), m)).as("level"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("num_nodes"))
+      .orderBy(col("level"))
   }
 
   /** Test/audit hook: reload every persisted graph driver-side (bounded

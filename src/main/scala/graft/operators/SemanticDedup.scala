@@ -49,6 +49,17 @@ object SemanticDedup {
       .where(col("cos_sim") >= tau)
   }
 
+  /** The paper's actual recipe: cluster with k-means (A2's bounded-sample
+    * MLlib training) rather than seeded centroids, then the same
+    * within-cluster pair/verdict stages. The registry's oracle query
+    * stays on [[IvfIndex.seedCentroids]] (deterministic, hash-matched);
+    * THIS path is what a production SemDeDup run uses, and
+    * SemanticDedupSpec gates its dup-set agreement with the seeded path
+    * on a clustered fixture. */
+  def verdictsTrained(embeddings: DataFrame, nlist: Int, tau: Double,
+      seed: Long = 42L): DataFrame =
+    verdicts(embeddings, IvfIndex.trainCentroids(embeddings, nlist, seed), tau)
+
   /** Per-vector keep/remove verdict: is_dup ⟺ some lower-id vector in
     * the same cluster has cosine ≥ tau. Output (vec_id, cluster_id,
     * is_dup) — one row per input vector. */

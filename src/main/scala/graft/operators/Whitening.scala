@@ -71,11 +71,10 @@ object Whitening {
     (Array.tabulate(d)(i => m(i)(i)), v)
   }
 
-  /** Fit (mean, W) on a bounded sample. `eps` regularizes near-zero
-    * eigenvalues (rank-deficient directions are left ~unscaled instead
-    * of exploding). */
-  def fit(embeddings: DataFrame, sampleN: Int = 10000,
-      eps: Double = 1e-6): (Array[Float], Array[Array[Float]]) = {
+  /** Sample moments + eigendecomposition shared by [[fit]] and
+    * [[fitStats]]: (n, d, mu, cov, eigenvalues, eigenvectors). */
+  private def fitEigen(embeddings: DataFrame, sampleN: Int):
+      (Int, Int, Array[Double], Array[Array[Double]], Array[Double], Array[Array[Double]]) = {
     // deterministic sample: first-N by id (TakeOrderedAndProject, no global sort)
     val rows = embeddings.orderBy(col("vec_id")).limit(sampleN)
       .select(col("embedding")).collect()
@@ -110,9 +109,18 @@ object Whitening {
       a += 1
     }
     val (lam, u) = jacobiEigen(cov)
+    (n, d, mu, cov, lam, u)
+  }
+
+  /** Fit (mean, W) on a bounded sample. `eps` regularizes near-zero
+    * eigenvalues (rank-deficient directions are left ~unscaled instead
+    * of exploding). */
+  def fit(embeddings: DataFrame, sampleN: Int = 10000,
+      eps: Double = 1e-6): (Array[Float], Array[Array[Float]]) = {
+    val (_, d, mu, _, lam, u) = fitEigen(embeddings, sampleN)
     // W = U diag(1/sqrt(lam+eps)) U^T  (ZCA: symmetric, stays in-basis)
     val w = Array.ofDim[Double](d, d)
-    a = 0
+    var a = 0
     while (a < d) {
       var b = 0
       while (b < d) {
@@ -128,6 +136,28 @@ object Whitening {
       a += 1
     }
     (mu.map(_.toFloat), w.map(_.map(_.toFloat)))
+  }
+
+  /** Drift fingerprint for the q_whiten_stats oracle query: one row of
+    * (n, d, cov_trace, eigen_sum) from the SAME fit the model uses. The
+    * DuckDB oracle recomputes the trace as the sum of per-dimension
+    * sample variances over the identical first-N-by-id sample and emits
+    * it for BOTH columns — so the hash compare verifies (a) the sample
+    * selection and covariance accumulation, and (b) that the Jacobi
+    * eigendecomposition conserves total variance (Σλ = tr(C), the
+    * similarity invariant): a silent drift in either fails an exact
+    * compare instead of only the covariance≈I spec. 4dp rounding rides
+    * ~1e-12 relative agreement — far from any boundary. */
+  def fitStats(embeddings: DataFrame, sampleN: Int = 10000): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (n, d, _, cov, lam, _) = fitEigen(embeddings, sampleN)
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    val eigenSum = lam.sum
+    Seq((n.toLong, d.toLong,
+      BigDecimal(trace).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(eigenSum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n", "d", "cov_trace", "eigen_sum")
   }
 
   /** Whitening projection: W · (x − μ), centering in float (storage

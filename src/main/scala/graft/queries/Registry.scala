@@ -229,6 +229,20 @@ object Registry {
             .as("probe0_sq"))
         .orderBy(col("vec_id"))),
 
+    // Rotation-invariance fingerprint for the PCA path: with k = d the
+    // learned basis is a full orthonormal rotation, so per-row
+    // ‖Vᵀx‖² = ‖x‖² — and ‖x‖² the oracle computes straight off the raw
+    // table. Hash-match proves the eigenbasis is orthonormal and the
+    // transform is the claimed projection; a scaled/oblique/truncated
+    // drift fails an exact compare (q_pca_reduce's probe0_sq then pins
+    // component identity at k<d).
+    "q_pca_norms" -> ((s, dir) =>
+      PcaReduce.reduce(t(s, dir, "embeddings"), k = 64)
+        .select(col("vec_id"),
+          round(aggregate(col("reduced"), lit(0.0d), (a, x) => a + x * x), 4)
+            .as("norm_sq"))
+        .orderBy(col("vec_id"))),
+
     // ZCA whitening pre-stage: fit (mean, W) on a bounded sample, apply
     // as center + fused map-side MatVec; spec-gated (whitened covariance
     // = I), rows-only here like the other learned models
@@ -249,6 +263,16 @@ object Registry {
             .as("probe0_sq"))
         .orderBy(col("vec_id"))
     }),
+
+    // Fit-invariant fingerprint for the whitening path: (n, d, trace of
+    // the sample covariance, Σ eigenvalues) from the SAME fit q_whiten
+    // uses. The oracle recomputes the trace as Σ per-dim var_samp over
+    // the identical first-N-by-id sample and emits it for both columns —
+    // Σλ = tr(C) is the similarity invariant of the Jacobi
+    // eigendecomposition, so sample selection, covariance accumulation
+    // AND decomposition soundness all sit behind one exact compare.
+    "q_whiten_stats" -> ((s, dir) =>
+      Whitening.fitStats(t(s, dir, "embeddings"))),
 
     // Embedding outlier pruning: distance to own label centroid vs a
     // per-label z-score gate (mislabeled/corrupted-sample curation)
@@ -319,6 +343,16 @@ object Registry {
       IvfIndex.selfSearchTrained(t(s, dir, "embeddings"),
         numQueries = 8, nlist = 32, nprobe = 8, k = 10)),
 
+    // Oracle-checked ITERATIVE-training twin of q_ivf_trained_knn: Lloyd
+    // rounds with MEDOID-SNAPPED centroids — every centroid is an exact
+    // stored vector, so the full train→assign→probe→search pipeline
+    // hash-matches a DuckDB oracle replaying the same rounds as chained
+    // CTEs. The MLlib k-means path stays recall-gated; THIS query is its
+    // exact-compare drift canary.
+    "q_ivf_medoid_knn" -> ((s, dir) =>
+      IvfIndex.selfSearchMedoid(t(s, dir, "embeddings"),
+        numQueries = 8, nlist = 8, nprobe = 2, k = 10, iters = 2)),
+
     // J4: HNSW — per-partition NSW graphs + distributed merge
     // (approximate, recall-gated in HnswIndexSpec; rows-only check here)
     "q_hnsw_knn" -> ((s, dir) =>
@@ -333,6 +367,15 @@ object Registry {
       HnswIndex.writeIndex(t(s, dir, "embeddings"), idxDir)
       HnswIndex.selfSearchPersisted(s, idxDir, numQueries = 8, k = 10)
     }),
+
+    // Structural drift fingerprint for the HNSW paths: the corpus's
+    // node-level histogram under the build's deterministic
+    // splitmix64-geometric rule, hash-matched against a DuckDB oracle
+    // that reproduces splitmix64 in HUGEINT-mod-2⁶⁴ SQL — the layout
+    // function shaping q_hnsw_knn/q_hnsw_persisted graphs gets an EXACT
+    // compare, not only a recall gate.
+    "q_hnsw_levels" -> ((s, dir) =>
+      HnswIndex.levelHistogram(t(s, dir, "embeddings"))),
 
     // ---- sharding / partitioning (SURVEY §2.8) ----
 
@@ -1417,6 +1460,143 @@ object Registry {
        |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** q_ivf_medoid_knn oracle: replay [[IvfIndex.medoidCentroids]]'s Lloyd
+    * rounds as chained CTEs — assign (argmin, cid ties), per-dimension
+    * double mean, medoid snap (member argmin to mean, vec_id ties; empty
+    * cluster keeps its centroid via LEFT JOIN + COALESCE) — then the
+    * standard probe+search tail. Centroids are exact stored vectors at
+    * every round, so the compare is bit-robust: engine summation-order
+    * noise lives only inside the snap argmin, never in output values. */
+  private def medoidIvfSql(nlist: Int, iters: Int, nprobe: Int, k: Int,
+      numQueries: Int, d: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT v.vec_id, v.embedding, c.cid,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY ${l2sqSql("v.embedding", "c.cvec")}, c.cid) AS rn
+         |    FROM embeddings v CROSS JOIN cent${i - 1} c
+         |  ) WHERE rn = 1
+         |), m$i AS (
+         |  SELECT cid, dd.i AS i, avg(CAST(embedding[dd.i] AS DOUBLE)) AS mv
+         |  FROM a$i CROSS JOIN (SELECT unnest(range(1, ${d + 1})) AS i) dd
+         |  GROUP BY cid, dd.i
+         |), mv$i AS (
+         |  SELECT cid, list(mv ORDER BY i) AS mean FROM m$i GROUP BY cid
+         |), sn$i AS (
+         |  SELECT cid, embedding FROM (
+         |    SELECT a.cid, a.embedding,
+         |           row_number() OVER (PARTITION BY a.cid ORDER BY ${l2sqSql("a.embedding", "t.mean")}, a.vec_id) AS rn
+         |    FROM a$i a JOIN mv$i t USING (cid)
+         |  ) WHERE rn = 1
+         |), cent$i AS (
+         |  SELECT c.cid, COALESCE(s.embedding, c.cvec) AS cvec
+         |  FROM cent${i - 1} c LEFT JOIN sn$i s USING (cid)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH cent0 AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < $nlist
+       |), $rounds, af AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT v.vec_id, v.embedding, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY ${l2sqSql("v.embedding", "c.cvec")}, c.cid) AS rn
+       |    FROM embeddings v CROSS JOIN cent$iters c
+       |  ) WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < $numQueries
+       |), p0 AS (
+       |  SELECT q.query_id, q.qvec, c.cid, ${l2sqSql("q.qvec", "c.cvec")} AS pd
+       |  FROM q CROSS JOIN cent$iters c
+       |), probes AS (
+       |  SELECT query_id, qvec, cid FROM (
+       |    SELECT query_id, qvec, cid, row_number() OVER (PARTITION BY query_id ORDER BY pd, cid) AS rn FROM p0
+       |  ) WHERE rn <= $nprobe
+       |), cand AS (
+       |  SELECT p.query_id, a.vec_id, ${l2sqSql("p.qvec", "a.embedding")} AS dist
+       |  FROM probes p JOIN af a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.query_id
+       |), r AS (
+       |  SELECT query_id, vec_id, dist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+       |  FROM cand
+       |)
+       |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q_hnsw_levels oracle: splitmix64 reproduced in SQL, then the same
+    * geometric formula as [[HnswIndex.levelOf]] — note `* (1.0/ln(m))`,
+    * the exact multiply-by-reciprocal the Scala uses, not `/ ln(m)`.
+    * The wrapping 64×64→64 multiplies are schoolbook 32-bit limbs
+    * (al·bl + ((al·bh + ah·bl) mod 2³²)·2³², all intermediates < 2⁶⁵ so
+    * they fit HUGEINT — a direct 64×64 product overflows INT128). */
+  private def hnswLevelsSql(m: Int): String = {
+    // wrapping multiply by constant b, split into 32-bit limb literals
+    def mulmod(z: String, b: BigInt): String = {
+      val bh = b >> 32
+      val bl = b & 0xffffffffL
+      s"""CAST(((CAST($z % 4294967296 AS HUGEINT) * $bl)
+         |    + (((CAST($z % 4294967296 AS HUGEINT) * $bh)
+         |       + (CAST($z >> 32 AS HUGEINT) * $bl)) % 4294967296) * 4294967296
+         |    ) % 18446744073709551616 AS UBIGINT)""".stripMargin
+    }
+    s"""WITH z0 AS (
+       |  SELECT CAST((CAST(vec_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+       |  FROM embeddings
+       |), x1 AS (SELECT xor(z, z >> 30) AS z FROM z0
+       |), z1 AS (SELECT ${mulmod("z", BigInt("13787848793156543929"))} AS z FROM x1
+       |), x2 AS (SELECT xor(z, z >> 27) AS z FROM z1
+       |), z2 AS (SELECT ${mulmod("z", BigInt("10723151780598845931"))} AS z FROM x2
+       |), z3 AS (SELECT xor(z, z >> 31) AS z FROM z2
+       |), lv AS (
+       |  SELECT least(CAST(floor(-ln((CAST(z >> 11 AS DOUBLE) + 1.0) / 9007199254740992.0) * (1.0/ln(${m}.0)) ) AS INTEGER), 24) AS level
+       |  FROM z3
+       |)
+       |SELECT level, CAST(count(*) AS BIGINT) AS num_nodes
+       |FROM lv GROUP BY level ORDER BY level""".stripMargin
+  }
+
+  /** q_bpe_merges oracle: replay the merge rounds as chained CTEs. Words
+    * live as unit-separator-wrapped symbol strings ('␟s1␟␟s2␟…', ␟ =
+    * chr(31)); one merge = one `replace(ws, '␟a␟␟b␟', '␟ab␟')` — SQL
+    * replace scans left-to-right and resumes AFTER each replacement,
+    * exactly [[BpeTrain.applyMerge]]'s fold ("aaa" + (a,a) → ["aa","a"]),
+    * and the individual wrapping keeps adjacent pair occurrences
+    * independently matchable ("abab" merges twice). */
+  private def bpeMergesSql(numMerges: Int): String = {
+    val S = "chr(31)"
+    val rounds = (1 to numMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT s.l AS l, s.r AS r, CAST(sum(freq) AS BIGINT) AS pair_count
+         |  FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      i -> {'l': syms[i], 'r': syms[i+1]})) AS s
+         |    FROM (SELECT freq, string_split(trim(ws, $S), $S || $S) AS syms FROM d${i - 1})
+         |  ) GROUP BY s.l, s.r
+         |), t$i AS (
+         |  SELECT l, r, pair_count FROM p$i ORDER BY pair_count DESC, l, r LIMIT 1
+         |), d$i AS (
+         |  SELECT freq, replace(ws, $S || l || $S || $S || r || $S, $S || l || r || $S) AS ws
+         |  FROM d${i - 1} CROSS JOIN t$i
+         |)""".stripMargin
+    }.mkString(", ")
+    val out = (1 to numMerges).map { i =>
+      if (i == 1)
+        s"""SELECT CAST(1 AS BIGINT) AS rank, l AS "left", r AS "right", pair_count FROM t1"""
+      else s"SELECT $i, l, r, pair_count FROM t$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d0 AS (
+       |  SELECT freq, $S || array_to_string(list_transform(range(1, len(word)+1), i -> word[i]), $S || $S) || $S AS ws
+       |  FROM (
+       |    SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents)
+       |    WHERE word <> '' GROUP BY word
+       |  )
+       |), $rounds
+       |SELECT * FROM (
+       |  $out
+       |) ORDER BY rank""".stripMargin
+  }
+
   /** Shared by q_ivfpq_knn and q_ivfpq_pruned_knn: persisting the codes
     * table partitioned by cluster_id and pruning to probed lists must not
     * change the IVFPQ result. */
@@ -1604,6 +1784,31 @@ s"""WITH cent AS (
     // identical oracle: the persisted partition-pruned read path must
     // search identically to the in-memory index
     "q_ivf_pruned_knn" -> ivfKnnSql,
+
+    "q_ivf_medoid_knn" -> medoidIvfSql(nlist = 8, iters = 2, nprobe = 2,
+      k = 10, numQueries = 8, d = 64),
+
+    "q_hnsw_levels" -> hnswLevelsSql(m = 32),
+
+    "q_bpe_merges" -> bpeMergesSql(numMerges = 8),
+
+    "q_pca_norms" ->
+      """SELECT vec_id,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm_sq
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_whiten_stats" ->
+      """WITH s AS (
+        |  SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 10000
+        |), v AS (
+        |  SELECT dd.i AS i, var_samp(CAST(embedding[dd.i] AS DOUBLE)) AS vj
+        |  FROM s CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dd
+        |  GROUP BY dd.i
+        |), tr AS (SELECT sum(vj) AS trace FROM v)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n,
+        |       CAST(64 AS BIGINT) AS d,
+        |       round(trace, 4) AS cov_trace, round(trace, 4) AS eigen_sum
+        |FROM tr""".stripMargin,
 
     // identical oracle: HNSW probe selection at ef ≥ nlist covers every
     // centroid, so the composed search equals exact-probe IVF

@@ -41,4 +41,40 @@ class SemanticDedupSpec extends SparkSpec {
       .select($"first_id").as[Long].collect().toSet
     assert(firstPerCluster.intersect(got).isEmpty)
   }
+
+  // The paper's recipe clusters with k-means, not seeds. On a fixture of
+  // well-separated clusters with one planted near-identical member each,
+  // the trained path must (a) flag every planted duplicate and (b) agree
+  // with the seeded path's dup set — k-means rediscovering the clusters
+  // makes the two partitions equivalent where it matters.
+  test("verdictsTrained: k-means SemDeDup flags planted dups and matches the seeded dup set") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16; val nClusters = 8
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian().toFloat * 5f)
+    def jitter(c: Array[Float], s: Double): Array[Float] =
+      c.map(x => (x + rnd.nextGaussian() * s).toFloat)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float])]
+    for (c <- 0 until nClusters) rows += ((c.toLong, centers(c).toSeq))
+    var id = nClusters.toLong
+    val planted = scala.collection.mutable.Set.empty[Long]
+    for (c <- 0 until nClusters) {
+      planted += id
+      rows += ((id, jitter(centers(c), 0.02).toSeq)); id += 1 // near-identical
+      rows += ((id, jitter(centers(c), 3.0).toSeq)); id += 1  // spread member
+      rows += ((id, jitter(centers(c), 3.0).toSeq)); id += 1  // spread member
+    }
+    val df = rows.toSeq.toDF("vec_id", "embedding").repartition(4)
+    val tau = 0.95
+    val seeded = SemanticDedup.verdicts(df,
+        IvfIndex.seedCentroids(df, nClusters), tau)
+      .where($"is_dup").select($"vec_id").as[Long].collect().toSet
+    val trained = SemanticDedup.verdictsTrained(df, nClusters, tau)
+      .where($"is_dup").select($"vec_id").as[Long].collect().toSet
+    assert(planted.subsetOf(seeded), s"seeded path missed ${planted -- seeded}")
+    assert(planted.subsetOf(trained), s"trained path missed ${planted -- trained}")
+    val jac = (seeded intersect trained).size.toDouble /
+      math.max((seeded union trained).size, 1)
+    info(f"dup-set Jaccard seeded vs trained = $jac%.3f")
+    assert(jac >= 0.8, s"seeded=$seeded trained=$trained")
+  }
 }

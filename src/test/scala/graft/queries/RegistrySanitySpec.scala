@@ -10,19 +10,18 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySanitySpec extends AnyFunSuite {
 
   // trained/approximate paths: verified by recall/variance specs, not
-  // SQL; q_bpe_merges is iterative with a driver-side argmax per round
-  // (not SQL-expressible) — its exact merge table is pinned by BpeTrainSpec
+  // SQL. Each one ALSO has an oracle-hashed drift companion since r6:
+  // q_hnsw_knn/q_hnsw_persisted → q_hnsw_levels (level layout) + the
+  // HnswIndexSpec row-identity pin; q_ivf_trained_knn → q_ivf_medoid_knn
+  // (the full iterative train→search pipeline, medoid-snapped);
+  // q_pca_reduce → q_pca_norms (orthonormality); q_whiten →
+  // q_whiten_stats (Σλ = tr(C)); OPQ dumps the probe0_sq rotation
+  // fingerprint. (q_bpe_merges left this set in r6 — its merge rounds
+  // are replayed exactly by a chained-CTE DuckDB oracle.)
   private val documentedNoOracle =
-    Set("q_hnsw_knn", "q_ivf_trained_knn", "q_pca_reduce", "q_bpe_merges",
-      // persisted HNSW: row-identical to q_hnsw_knn by construction —
-      // HnswIndexSpec pins the equality; same no-SQL-oracle class
+    Set("q_hnsw_knn", "q_ivf_trained_knn", "q_pca_reduce",
       "q_hnsw_persisted",
-      // ZCA whitening: learned (sample eigendecomposition) like PCA —
-      // spec-gated by WhiteningSpec's covariance-identity test
       "q_whiten",
-      // OPQ: learned rotation + codebooks — recall-gated by OpqIndexSpec;
-      // the IVFPQ composition shares the learned-R class (both dump the
-      // probe0_sq rotation fingerprint)
       "q_opq_knn", "q_opq_ivfpq_knn")
 
   test("every oracle key has a matching query") {
