@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+  * 2023): pick pretraining documents from a raw pool so the selected
+  * set's hashed-n-gram distribution matches a small target corpus.
+  *
+  * The published recipe, re-expressed Spark-first:
+  *  1. Features: each document is a bag of word unigrams + bigrams,
+  *     hashed into B buckets (here: first 8 hex chars of md5 → mod B —
+  *     a portable rule DuckDB replays verbatim, so the whole pipeline is
+  *     oracle-checkable end to end).
+  *  2. Fit bucket unigram models p̂ (target) and q̂ (raw pool) with add-1
+  *     smoothing over the B buckets.
+  *  3. Importance weight log w(x) = Σ_grams (log p̂[b(g)] − log q̂[b(g)]).
+  *  4. Gumbel top-k: select the k docs maximizing log w(x) + gᵢ where
+  *     gᵢ = −ln(−ln(uᵢ)) and uᵢ is a deterministic md5-derived uniform —
+  *     sampling WITHOUT replacement from the softmax of the weights
+  *     (the Gumbel-max trick), reproducible across runs and partitions.
+  *
+  * Scale shape (100 TB): the per-doc score is a pure map-side expression
+  * chain — grams → buckets → log-ratio lookup in a BROADCAST dense map
+  * (model-plane: B entries, B bounded) → sorted left-to-right fold. The
+  * corpus is never shuffled; the only non-map stages are the two B-sized
+  * bucket-count aggregates (map-side partial combine into ≤ B rows) and
+  * the final global top-k, which is TakeOrdered (per-partition heap + k-row
+  * driver merge), not a sort. */
+object Dsir {
+
+  /** Word unigrams + bigrams — the paper's feature set. */
+  private[operators] def grams(text: Column): Column =
+    concat(TextFunctions.tokens(text), TextFunctions.wordBigrams(text))
+
+  /** Portable gram → bucket hash: first 8 md5 hex chars as an int, mod
+    * B. DuckDB replays it as ('0x'||substr(md5(g),1,8))::BIGINT % B. */
+  private[operators] def bucketOf(g: Column, b: Int): Column =
+    pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"), lit(b.toLong))
+
+  /** Hashed-gram bucket counts for a corpus: ≤ B rows (map-side partial
+    * aggregation; the explode never leaves its stage unaggregated). */
+  def bucketCounts(docs: DataFrame, b: Int, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(grams(col(textCol))).as("gram"))
+      .select(bucketOf(col("gram"), b).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Dense per-bucket log importance ratio log p̂_b − log q̂_b with add-1
+    * smoothing, as a driver-side map (model-plane: B entries). Buckets
+    * with no counts on either side still carry the smoothed ratio. */
+  def logRatios(
+      target: DataFrame,
+      pool: DataFrame,
+      b: Int,
+      textCol: String = "text"): Map[Long, Double] = {
+    def counts(df: DataFrame): Map[Long, Long] =
+      bucketCounts(df, b, textCol).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tc = counts(target)
+    val pc = counts(pool)
+    val tTot = tc.values.sum.toDouble + b
+    val pTot = pc.values.sum.toDouble + b
+    (0L until b.toLong).map { bucket =>
+      val pT = (tc.getOrElse(bucket, 0L) + 1.0) / tTot
+      val pQ = (pc.getOrElse(bucket, 0L) + 1.0) / pTot
+      bucket -> (math.log(pT) - math.log(pQ))
+    }.toMap
+  }
+
+  /** Per-document log importance weight — pure map-side: gram array →
+    * bucket array → ratio array via the broadcast dense map → SORTED
+    * left-to-right fold (sorting pins the summation order, so the DuckDB
+    * oracle's list_sort+list_sum reproduces the double fold exactly).
+    * Output: (doc_id, n_grams, logw). */
+  def importanceWeights(
+      docs: DataFrame,
+      ratios: Map[Long, Double],
+      b: Int,
+      textCol: String = "text"): DataFrame = {
+    val ratioMap = typedlit(ratios)
+    val gs = grams(col(textCol))
+    val ratioArr = transform(gs, g => element_at(ratioMap, bucketOf(g, b)))
+    docs.select(
+      col("doc_id"),
+      size(gs).cast("long").as("n_grams"),
+      aggregate(sort_array(ratioArr), lit(0.0d), (acc, x) => acc + x).as("logw"))
+  }
+
+  /** Gumbel top-k resample: key = logw + Gumbel(md5(seed:doc_id)).
+    * TakeOrdered top-k (no global sort, no global window); rank is
+    * assigned AFTER the limit over the k-row result. */
+  def resample(weighted: DataFrame, k: Int, seed: String = "dsir"): DataFrame = {
+    val u = (conv(substring(md5(concat_ws(":", lit(seed), col("doc_id"))), 1, 8), 16, 10)
+      .cast("double") + lit(0.5d)) / lit(4294967296.0d)
+    val key = col("logw") - log(-log(u))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(desc("sel_key"), col("doc_id"))
+    weighted
+      .withColumn("sel_key", key)
+      .orderBy(desc("sel_key"), col("doc_id"))
+      .limit(k)
+      // k-row bounded window (post-limit) — not a corpus-wide sort
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_grams"),
+        round(col("logw"), 3).as("logw"),
+        round(col("sel_key"), 3).as("sel_key"))
+      .orderBy(col("rank"))
+  }
+
+  /** The composed pipeline: fit ratios on (target, pool), score the
+    * pool, Gumbel-select k docs. */
+  def select(
+      target: DataFrame,
+      pool: DataFrame,
+      k: Int,
+      b: Int = 256,
+      textCol: String = "text",
+      seed: String = "dsir"): DataFrame = {
+    val ratios = logRatios(target, pool, b, textCol)
+    resample(importanceWeights(pool, ratios, b, textCol), k, seed)
+  }
+}

@@ -1,0 +1,401 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vamana / DiskANN ANN — per-shard single-layer pruned graphs
+  * (Subramanya et al., "DiskANN: Fast Accurate Billion-point Nearest
+  * Neighbor Search on a Single Node", NeurIPS 2019).
+  *
+  * The second graph-index family next to [[HnswIndex]] — the reference
+  * ships only FAISS's HNSW (vector_search_cluster.py:1043-1045), but a
+  * user choosing between modern graph ANN structures chooses between
+  * exactly these two, and the Vamana build is the one designed for
+  * SSD/out-of-core serving (flat single layer, bounded degree R, α-pruned
+  * long-range edges replacing HNSW's hierarchy). Architecture matches the
+  * HNSW rendition: one local graph per shard built inside a grouped
+  * `mapGroups` (the sanctioned per-partition imperative escape hatch),
+  * searched for a broadcast query batch, shard-local top-k merged by the
+  * standard A1 window. Shards here are `vec_id % numPartitions` — a
+  * content-independent, SQL-expressible routing rule (the builder-path
+  * `sum % n` family, SURVEY F7), which makes the build's entry-point
+  * selection ORACLE-CHECKABLE: the per-shard medoid rule is replayed
+  * exactly by a DuckDB query (q_vamana_medoids), so a silent drift in the
+  * medoid/centroid math fails a hash compare, not just a recall gate.
+  *
+  * Determinism: no RNG anywhere — the random-init graph of the paper is
+  * replaced by a splitmix64-derived R-regular init (same role: connected
+  * start with arbitrary long edges), insertion order is sorted vec_id,
+  * all ties break on node id. Two passes (α=1, then α=target), per the
+  * paper's build loop. */
+object VamanaIndex {
+
+  /** Build/search parameters — paper notation: R = max out-degree,
+    * L = search/build beam width, α = pruning slack. */
+  case class Params(r: Int = 32, l: Int = 64, alpha: Double = 1.2)
+
+  /** One shard's graph: ids/vecs/adjacency + medoid entry point.
+    * Serializable so bounded (model-plane) graphs may broadcast;
+    * `search` is read-only per call. */
+  private[operators] final class LocalGraph(params: Params) extends Serializable {
+    var ids: Array[Long] = Array.empty
+    var vecs: Array[Array[Float]] = Array.empty
+    val adj = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Int]]
+    var medoid: Int = -1
+
+    private def dist(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+
+    /** Deterministic stand-in for the paper's random R-regular init:
+      * out-neighbors of node i are splitmix64(id, j)-selected — arbitrary
+      * long edges, reproducible across runs and build orders. */
+    private def initEdges(i: Int, n: Int): mutable.ArrayBuffer[Int] = {
+      val out = mutable.ArrayBuffer.empty[Int]
+      val seen = mutable.BitSet(i)
+      var j = 0L
+      while (out.length < math.min(params.r, n - 1) && j < 4L * params.r + 16) {
+        var z = ids(i) * 0x9e3779b97f4a7c15L + j + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        val cand = java.lang.Long.remainderUnsigned(z, n.toLong).toInt
+        if (!seen.contains(cand)) { seen += cand; out += cand }
+        j += 1
+      }
+      out
+    }
+
+    /** Medoid = point nearest the shard centroid (DiskANN's entry-point
+      * rule). Centroid summed in array (sorted-vec_id) order, distances
+      * in double, ties on lower vec_id — the exact math q_vamana_medoids
+      * replays in SQL. */
+    private def computeMedoid(): Int = {
+      val n = ids.length
+      if (n == 0) return -1
+      val d = vecs(0).length
+      val mean = new Array[Double](d)
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < d) { mean(j) += vecs(i)(j).toDouble; j += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < d) { mean(j) /= n; j += 1 }
+      var best = 0
+      var bestD = Double.MaxValue
+      i = 0
+      while (i < n) {
+        var s = 0.0
+        var jj = 0
+        while (jj < d) { val dd = vecs(i)(jj).toDouble - mean(jj); s += dd * dd; jj += 1 }
+        if (s < bestD || (s == bestD && ids(i) < ids(best))) { best = i; bestD = s }
+        i += 1
+      }
+      best
+    }
+
+    /** GreedySearch(medoid, q, k, L) — returns (top-L list, visited set),
+      * deterministic (ties by node id). */
+    private def greedySearch(q: Array[Float], ell: Int): (Seq[(Double, Int)], mutable.BitSet) = {
+      implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2
+      val visited = mutable.BitSet()
+      val inList = mutable.BitSet(medoid)
+      // result: max-heap (worst of the L best on top); candidates: min-heap via negation
+      val result = mutable.PriorityQueue((dist(q, vecs(medoid)), medoid))
+      val candidates = mutable.PriorityQueue((-result.head._1, medoid))
+      while (candidates.nonEmpty) {
+        val (negD, node) = candidates.dequeue()
+        if (!visited.contains(node)) {
+          if (result.size >= ell && -negD > result.head._1) {
+            candidates.clear()
+          } else {
+            visited += node
+            val nbrs = adj(node)
+            var i = 0
+            while (i < nbrs.length) {
+              val nb = nbrs(i)
+              if (!inList.contains(nb)) {
+                inList += nb
+                val nd = dist(q, vecs(nb))
+                if (result.size < ell || nd < result.head._1) {
+                  result.enqueue((nd, nb))
+                  candidates.enqueue((-nd, nb))
+                  if (result.size > ell) result.dequeue()
+                }
+              }
+              i += 1
+            }
+          }
+        }
+      }
+      (result.toSeq.sortBy(t => (t._1, ids(t._2))), visited)
+    }
+
+    /** RobustPrune(p, V, α, R) — the paper's α-slack pruning: greedily
+      * keep the closest candidate, then drop every candidate it
+      * α-dominates (α·d(p*, v) ≤ d(p, v)). */
+    private def robustPrune(p: Int, cand0: Iterable[Int], alpha: Double): Unit = {
+      val pool = mutable.TreeSet.empty[(Double, Long, Int)] // (dist, id, node)
+      (cand0 ++ adj(p)).foreach { v =>
+        if (v != p) pool += ((dist(vecs(p), vecs(v)), ids(v), v))
+      }
+      val out = mutable.ArrayBuffer.empty[Int]
+      while (pool.nonEmpty && out.length < params.r) {
+        val star = pool.head
+        val vStar = star._3
+        pool -= star
+        out += vStar
+        val dominated = pool.filter { case (dPv, _, v) =>
+          alpha * dist(vecs(vStar), vecs(v)) <= dPv
+        }
+        dominated.foreach(pool -= _)
+      }
+      adj(p).clear()
+      adj(p) ++= out
+    }
+
+    /** Load points (sorted by id) and fix the entry point — the
+      * edge-free prefix of [[build]]; [[VamanaIndex.medoids]] stops
+      * here (the medoid does not depend on the edges). */
+    def prepare(points: Array[(Long, Array[Float])]): Unit = {
+      val sorted = points.sortBy(_._1)
+      ids = sorted.map(_._1)
+      vecs = sorted.map(_._2)
+      adj.clear()
+      medoid = computeMedoid()
+    }
+
+    /** Batch build over (id, vec) pairs sorted by id: splitmix init →
+      * medoid → two passes of greedy-search + RobustPrune + backedge
+      * insertion (α=1 first, α=target second), per the paper. */
+    def build(points: Array[(Long, Array[Float])]): Unit = {
+      prepare(points)
+      val n = ids.length
+      var i = 0
+      while (i < n) { adj += initEdges(i, n); i += 1 }
+      if (n <= 1) return
+      Seq(1.0, params.alpha).foreach { alpha =>
+        var p = 0
+        while (p < n) {
+          val (_, visited) = greedySearch(vecs(p), params.l)
+          robustPrune(p, visited, alpha)
+          adj(p).foreach { b =>
+            if (!adj(b).contains(p)) {
+              adj(b) += p
+              if (adj(b).length > params.r) robustPrune(b, adj(b).toSeq, alpha)
+            }
+          }
+          p += 1
+        }
+      }
+    }
+
+    /** Top-k search: greedy beam from the medoid with width max(L, k). */
+    def search(q: Array[Float], k: Int): Seq[(Double, Int)] = {
+      if (medoid < 0) return Nil
+      greedySearch(q, math.max(params.l, k))._1.take(k)
+    }
+  }
+
+  private def shardAndBuild(
+      embeddings: DataFrame,
+      parts: Int,
+      p: Params): org.apache.spark.sql.KeyValueGroupedDataset[Int, (Int, Long, Array[Float])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings
+      .select(pmod(col("vec_id"), lit(parts)).cast("int").as("part_id"),
+        col("vec_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+  }
+
+  /** Distributed Vamana self-search: per-shard graphs (vec_id % parts
+    * routing), each searched for every broadcast query, shard-local
+    * top-k merged globally (A1). Output matches the other k-NN
+    * operators: (query_id, rank, vec_id, dist) ordered. */
+  def selfSearch(
+      embeddings: DataFrame,
+      numQueries: Int,
+      k: Int,
+      numPartitions: Int = 0,
+      params: Params = Params()): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val queries = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    val bcQueries = spark.sparkContext.broadcast(queries)
+    val p = params
+    val partials = shardAndBuild(embeddings, parts, p)
+      .flatMapGroups { (_, it) =>
+        val graph = new LocalGraph(p)
+        graph.build(it.map(t => (t._2, t._3)).toArray)
+        bcQueries.value.iterator.flatMap { case (qid, qv) =>
+          graph.search(qv, k + 1)
+            .filter { case (_, node) => graph.ids(node) != qid }
+            .take(k)
+            .map { case (d, node) => (qid, graph.ids(node), d) }
+        }
+      }
+      .toDF("query_id", "vec_id", "dist")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    partials
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The oracle-checkable structural fingerprint: every shard's entry
+    * point — (part_id, medoid vec_id, shard size) under the exact
+    * centroid/argmin math of [[LocalGraph.build]]. Emitted as a
+    * DataFrame the DuckDB oracle replays (per-shard per-dim mean →
+    * per-vector squared distance → argmin, ties on vec_id), pinning the
+    * medoid rule that anchors every graph walk. */
+  def medoids(
+      embeddings: DataFrame,
+      numPartitions: Int,
+      params: Params = Params()): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val p = params
+    shardAndBuild(embeddings, numPartitions, p)
+      .mapGroups { (pid, it) =>
+        val graph = new LocalGraph(p)
+        graph.prepare(it.map(t => (t._2, t._3)).toArray)
+        (pid.toLong, graph.ids(graph.medoid), graph.ids.length.toLong)
+      }
+      .toDF("part_id", "medoid_vec_id", "n")
+      .orderBy(col("part_id"))
+  }
+
+  // ---- persistence (S4/S3 for the Vamana family) -----------------------
+  // Same contract as the HNSW persistence: graph build is the expensive
+  // step and must not recompute per query batch. One row per node —
+  // (part_id, seq, vec_id, vec, adj, medoid_seq) with `seq` the node's
+  // position in the sorted-vec_id build order and `medoid_seq` the
+  // shard's entry point (constant within a shard — one int next to a
+  // d-float vector, cheaper than a second build pass or a per-shard meta
+  // join) — written partitionBy(part_id), plus a one-row meta table with
+  // the build params.
+
+  /** One serialized graph node (single layer — no level column). */
+  case class VamanaNode(part_id: Int, seq: Int, vec_id: Long,
+      vec: Array[Float], adj: Array[Int], medoid_seq: Int)
+
+  private def graphToRows(g: LocalGraph, partId: Int): Iterator[VamanaNode] =
+    (0 until g.ids.length).iterator.map { i =>
+      VamanaNode(partId, i, g.ids(i), g.vecs(i), g.adj(i).toArray, g.medoid)
+    }
+
+  /** Direct array fill — zero build work on reload (spec-gated via the
+    * row-identity compare against the fresh build). */
+  private[operators] def graphFromRows(
+      rows: Array[VamanaNode], params: Params): LocalGraph = {
+    val g = new LocalGraph(params)
+    rows.sortInPlaceBy(_.seq)
+    g.ids = rows.map(_.vec_id)
+    g.vecs = rows.map(_.vec)
+    rows.foreach(n => g.adj += mutable.ArrayBuffer.from(n.adj))
+    g.medoid = if (rows.nonEmpty) rows(0).medoid_seq else -1
+    g
+  }
+
+  /** S4 — build per-shard graphs exactly as [[selfSearch]] does (same
+    * mod routing, same sorted build order ⇒ bit-identical graphs) and
+    * persist: `dir/nodes` partitioned by part_id, `dir/meta` carrying
+    * the build params + shard count. */
+  def writeIndex(
+      embeddings: DataFrame,
+      dir: String,
+      numPartitions: Int = 0,
+      params: Params = Params()): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val p = params
+    shardAndBuild(embeddings, parts, p)
+      .flatMapGroups { (pid, it) =>
+        val graph = new LocalGraph(p)
+        graph.build(it.map(t => (t._2, t._3)).toArray)
+        graphToRows(graph, pid)
+      }
+      .write.mode("overwrite").partitionBy("part_id").parquet(s"$dir/nodes")
+    Seq((p.r, p.l, p.alpha, parts))
+      .toDF("r", "l", "alpha", "num_partitions")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Shared persisted-search tail: reload every stored graph (direct
+    * fill), walk it for the broadcast query batch, A1-merge. */
+  private def searchGraphs(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    import spark.implicits._
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val p = Params(m.getInt(0), m.getInt(1), m.getDouble(2))
+    val bcQueries = spark.sparkContext.broadcast(queries)
+    val partials = spark.read.parquet(s"$dir/nodes").as[VamanaNode]
+      .groupByKey(_.part_id)
+      .flatMapGroups { (_, it) =>
+        val graph = graphFromRows(it.toArray, p)
+        bcQueries.value.iterator.flatMap { case (qid, qv) =>
+          graph.search(qv, k + 1)
+            .filter { case (_, node) => !excludeSelf || graph.ids(node) != qid }
+            .take(k)
+            .map { case (d, node) => (qid, graph.ids(node), d) }
+        }
+      }
+      .toDF("query_id", "vec_id", "dist")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    partials
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** S3 — self-search a persisted index without rebuilding; on the same
+    * build the rows hash-match [[selfSearch]] exactly (spec-gated). */
+  def selfSearchPersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      numQueries: Int,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val queries = spark.read.parquet(s"$dir/nodes")
+      .where(col("vec_id") < numQueries).as[VamanaNode]
+      .map(n => (n.vec_id, n.vec)).collect().sortBy(_._1)
+    searchGraphs(spark, dir, queries, k, excludeSelf = true)
+  }
+
+  /** Serving path: arbitrary query vectors against a persisted index
+    * (no self-exclusion — external queries have no corpus identity). */
+  def searchPersisted(queries: DataFrame, dir: String, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col("query_id"), col("qvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    searchGraphs(spark, dir, qs, k, excludeSelf = false)
+  }
+}

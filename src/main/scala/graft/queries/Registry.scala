@@ -377,6 +377,23 @@ object Registry {
     "q_hnsw_levels" -> ((s, dir) =>
       HnswIndex.levelHistogram(t(s, dir, "embeddings"))),
 
+    // J4b: Vamana/DiskANN — the second graph-index family (Subramanya et
+    // al. 2019): per-shard single-layer α-pruned graphs over a
+    // SQL-expressible mod routing, searched from the shard medoid.
+    // Approximate — recall-gated in VamanaIndexSpec; rows-only here.
+    "q_vamana_knn" -> ((s, dir) =>
+      VamanaIndex.selfSearch(t(s, dir, "embeddings"), numQueries = 8, k = 10,
+        numPartitions = 4)),
+
+    // Oracle-checked drift fingerprint for the Vamana paths: every
+    // shard's entry point (medoid = argmin distance to the shard
+    // centroid, ties on vec_id) + shard size, replayed exactly by a
+    // DuckDB oracle over the same vec_id % parts routing — the
+    // entry-point rule anchoring every graph walk gets an EXACT compare,
+    // not only a recall gate.
+    "q_vamana_medoids" -> ((s, dir) =>
+      VamanaIndex.medoids(t(s, dir, "embeddings"), numPartitions = 4)),
+
     // ---- sharding / partitioning (SURVEY §2.8) ----
 
     // D2: even contiguous split with remainder → per-shard stats
@@ -772,6 +789,21 @@ object Registry {
           n = 8)
         .select(col("doc_id"), col("is_contaminated"))
         .orderBy(col("doc_id"))
+    }),
+
+    // DSIR data selection (Xie et al., NeurIPS 2023): hashed uni+bigram
+    // importance weights — p̂ fit on the target slice (src0), q̂ on the
+    // raw pool (everything else), add-1 smoothing over B=256 buckets —
+    // then Gumbel top-k resampling with md5-derived noise. Portable
+    // md5-bucket hash + sorted double folds ⇒ the WHOLE pipeline
+    // (feature hash, both LMs, weights, Gumbel keys, selection) is
+    // replayed exactly by the DuckDB oracle.
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dsir.select(
+        target = docs.where(col("source") === "src0"),
+        pool = docs.where(col("source") =!= "src0"),
+        k = 50, b = 256)
     }),
 
     // Deterministic weighted source interleaving (temperature-mixing
@@ -1790,6 +1822,34 @@ s"""WITH cent AS (
 
     "q_hnsw_levels" -> hnswLevelsSql(m = 32),
 
+    // q_vamana_medoids oracle: replay the shard-medoid rule — vec_id % 4
+    // routing, per-shard per-dim mean, per-vector squared distance to it,
+    // argmin with ties on vec_id. No float columns in the output: the
+    // compare is on (part_id, medoid id, shard size) alone, so double
+    // fold-order noise cannot flake the hash.
+    "q_vamana_medoids" ->
+      """WITH e AS (
+        |  SELECT vec_id, vec_id % 4 AS part_id, embedding FROM embeddings
+        |), ee AS (
+        |  SELECT part_id, vec_id,
+        |         unnest(range(1, len(embedding) + 1)) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM e
+        |), mu AS (
+        |  SELECT part_id, i, avg(x) AS mu FROM ee GROUP BY part_id, i
+        |), d2 AS (
+        |  SELECT ee.part_id, ee.vec_id, sum((ee.x - mu.mu) * (ee.x - mu.mu)) AS d2
+        |  FROM ee JOIN mu ON ee.part_id = mu.part_id AND ee.i = mu.i
+        |  GROUP BY ee.part_id, ee.vec_id
+        |), best AS (
+        |  SELECT part_id, vec_id AS medoid_vec_id,
+        |         row_number() OVER (PARTITION BY part_id ORDER BY d2, vec_id) AS rn
+        |  FROM d2
+        |), cnt AS (SELECT part_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY part_id)
+        |SELECT b.part_id, b.medoid_vec_id, cnt.n
+        |FROM best b JOIN cnt ON b.part_id = cnt.part_id
+        |WHERE b.rn = 1 ORDER BY b.part_id""".stripMargin,
+
     "q_bpe_merges" -> bpeMergesSql(numMerges = 8),
 
     "q_pca_norms" ->
@@ -2716,6 +2776,58 @@ s"""WITH cent AS (
          |       round(rk / $wexpr, 6) AS mix_key
          |FROM r ORDER BY rk / $wexpr, source, doc_id""".stripMargin
     },
+
+    // q_dsir_select oracle: the full DSIR replay — same md5 bucket hash,
+    // same add-1 bucket LMs, per-doc weight as a SORTED left-to-right
+    // double fold (list_sort + list_sum == Spark's aggregate over
+    // sort_array — order-pinned, so the only cross-engine noise is ulp-
+    // level ln() rounding, absorbed by round(,3)), same Gumbel keys.
+    "q_dsir_select" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, source,
+        |         toks || CASE WHEN len(toks) >= 2
+        |           THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |           ELSE CAST([] AS VARCHAR[]) END AS grams
+        |  FROM d
+        |), gx AS (
+        |  SELECT doc_id, source,
+        |         ('0x' || substr(md5(unnest(grams)), 1, 8))::BIGINT % 256 AS bucket
+        |  FROM g
+        |), tc AS (
+        |  SELECT bucket, count(*) AS cnt FROM gx WHERE source = 'src0' GROUP BY bucket
+        |), pc AS (
+        |  SELECT bucket, count(*) AS cnt FROM gx WHERE source <> 'src0' GROUP BY bucket
+        |), tot AS (
+        |  SELECT (SELECT count(*) FROM gx WHERE source = 'src0') + 256.0 AS t_tot,
+        |         (SELECT count(*) FROM gx WHERE source <> 'src0') + 256.0 AS p_tot
+        |), ratio AS (
+        |  SELECT r256.bucket,
+        |         ln((COALESCE(tc.cnt, 0) + 1.0) / tot.t_tot)
+        |           - ln((COALESCE(pc.cnt, 0) + 1.0) / tot.p_tot) AS r
+        |  FROM (SELECT unnest(range(0, 256)) AS bucket) r256
+        |  CROSS JOIN tot
+        |  LEFT JOIN tc ON r256.bucket = tc.bucket
+        |  LEFT JOIN pc ON r256.bucket = pc.bucket
+        |), lw AS (
+        |  SELECT gx.doc_id, list_sort(list(ratio.r)) AS rs
+        |  FROM gx JOIN ratio ON gx.bucket = ratio.bucket
+        |  WHERE gx.source <> 'src0'
+        |  GROUP BY gx.doc_id
+        |), sel AS (
+        |  SELECT doc_id, CAST(len(rs) AS BIGINT) AS n_grams, list_sum(rs) AS logw,
+        |         list_sum(rs) - ln(-ln(
+        |           (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+        |             / 4294967296.0)) AS sel_key
+        |  FROM lw
+        |), ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY sel_key DESC, doc_id) AS BIGINT) AS rank,
+        |         doc_id, n_grams, round(logw, 3) AS logw, round(sel_key, 3) AS sel_key
+        |  FROM sel
+        |)
+        |SELECT rank, doc_id, n_grams, logw, sel_key FROM ranked
+        |WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     "q_token_pack" ->
       """WITH tk AS (

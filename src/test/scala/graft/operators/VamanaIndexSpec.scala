@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VamanaIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").cache()
+
+  test("Vamana recall@10 >= 0.9 vs exact FLAT at paper-ish params") {
+    val exact = KnnSearch.selfTopK(emb, numQueries = 8, k = 10)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = VamanaIndex.selfSearch(emb, numQueries = 8, k = 10, numPartitions = 4)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ann intersect exact).size.toDouble / exact.size
+    info(f"Vamana recall@10 = $recall%.3f")
+    assert(recall >= 0.9)
+  }
+
+  test("persisted index: reload searches row-identical to the fresh build") {
+    val dir = java.nio.file.Files.createTempDirectory("vamana_idx").toString
+    VamanaIndex.writeIndex(emb, dir, numPartitions = 4)
+    val fresh = VamanaIndex.selfSearch(emb, numQueries = 8, k = 10, numPartitions = 4)
+      .collect().map(_.toSeq).toSeq
+    val reloaded = VamanaIndex.selfSearchPersisted(spark, dir, numQueries = 8, k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(reloaded == fresh)
+  }
+
+  test("external-query serving matches self-search when queries are corpus rows") {
+    val dir = java.nio.file.Files.createTempDirectory("vamana_srv").toString
+    VamanaIndex.writeIndex(emb, dir, numPartitions = 4)
+    val q = emb.where($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val served = VamanaIndex.searchPersisted(q, dir, k = 1)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // no self-exclusion: a corpus row's nearest neighbor is itself
+    assert(served.toSeq == (0L until 4L).map(i => (i, i)))
+  }
+
+  test("medoids: entry point minimizes distance-to-centroid within its shard") {
+    val medoids = VamanaIndex.medoids(emb, numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(medoids.length == 4)
+    val byShard = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+      .groupBy { case (id, _) => id % 4 }
+    medoids.foreach { case (pid, medoidId, n) =>
+      val pts = byShard(pid)
+      assert(n == pts.length)
+      val d = pts.head._2.length
+      val mean = new Array[Double](d)
+      pts.sortBy(_._1).foreach { case (_, v) =>
+        var j = 0; while (j < d) { mean(j) += v(j); j += 1 }
+      }
+      (0 until d).foreach(j => mean(j) /= pts.length)
+      def d2(v: Array[Float]): Double =
+        v.zipWithIndex.map { case (x, j) => val dd = x - mean(j); dd * dd }.sum
+      val brute = pts.map { case (id, v) => (d2(v), id) }.min._2
+      assert(medoidId == brute, s"shard $pid")
+    }
+  }
+
+  test("degree bound: every node's out-degree <= R after the build") {
+    val dir = java.nio.file.Files.createTempDirectory("vamana_deg").toString
+    val params = VamanaIndex.Params(r = 16, l = 32)
+    VamanaIndex.writeIndex(emb, dir, numPartitions = 2, params = params)
+    val maxDeg = spark.read.parquet(s"$dir/nodes")
+      .select(size($"adj").as("deg")).agg(max($"deg")).head().getInt(0)
+    assert(maxDeg <= params.r, s"max out-degree $maxDeg exceeds R=${params.r}")
+  }
+}

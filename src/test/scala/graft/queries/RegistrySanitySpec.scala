@@ -18,11 +18,14 @@ class RegistrySanitySpec extends AnyFunSuite {
   // q_whiten_stats (Σλ = tr(C)); OPQ dumps the probe0_sq rotation
   // fingerprint. (q_bpe_merges left this set in r6 — its merge rounds
   // are replayed exactly by a chained-CTE DuckDB oracle.)
+  // q_vamana_knn → q_vamana_medoids (entry-point rule, exact DuckDB
+  // replay) + the VamanaIndexSpec recall gate and persisted row-identity.
   private val documentedNoOracle =
     Set("q_hnsw_knn", "q_ivf_trained_knn", "q_pca_reduce",
       "q_hnsw_persisted",
       "q_whiten",
-      "q_opq_knn", "q_opq_ivfpq_knn")
+      "q_opq_knn", "q_opq_ivfpq_knn",
+      "q_vamana_knn")
 
   test("every oracle key has a matching query") {
     val orphans = Registry.oracleSql.keySet -- Registry.queries.keySet
