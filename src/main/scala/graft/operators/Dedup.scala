@@ -202,21 +202,7 @@ object Dedup {
       textCol: String = "text",
       maxGramDocFreq: Int = 0): DataFrame = {
     val k = minTokens
-    val toks = docs.select(col("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
-      .where(size(col("toks")) >= k)
-    val gramsAll = toks.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), size(col("toks")) - k),
-        i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
-      .toDF("doc_id", "pos", "gram")
-    val grams =
-      if (maxGramDocFreq <= 0) gramsAll
-      else {
-        val hot = gramsAll.groupBy(col("gram"))
-          .agg(countDistinct(col("doc_id")).as("df"))
-          .where(col("df") > maxGramDocFreq)
-          .select(col("gram"))
-        gramsAll.join(hot, Seq("gram"), "left_anti")
-      }
+    val grams = spanGrams(docs, k, textCol, maxGramDocFreq)
     val seeds = grams.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("gram"))
       .join(grams.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("gram")),
         Seq("gram"))
@@ -237,6 +223,56 @@ object Dedup {
         col("start_a").cast("long").as("start_a"),
         (col("start_a") - col("diag")).cast("long").as("start_b"),
         col("len_tokens"))
+  }
+
+  /** Shared gram stage of [[duplicateSpans]]: (doc_id, pos, gram) k-gram
+    * postings, with the optional hot-gram doc-frequency cap applied. */
+  private def spanGrams(
+      docs: DataFrame,
+      k: Int,
+      textCol: String,
+      maxGramDocFreq: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= k)
+    val gramsAll = toks.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), size(col("toks")) - k),
+        i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+      .toDF("doc_id", "pos", "gram")
+    if (maxGramDocFreq <= 0) gramsAll
+    else {
+      val hot = gramsAll.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .where(col("df") > maxGramDocFreq)
+        .select(col("gram"))
+      gramsAll.join(hot, Seq("gram"), "left_anti")
+    }
+  }
+
+  /** Audit for the maxGramDocFreq cap: the candidate volume the
+    * self-join would materialize — Σ over grams of pairs(df) — plus
+    * posting/gram counts, WITHOUT running the join (the sums come off
+    * one grouped aggregate of the posting table, so the uncapped number
+    * is measurable even where the uncapped join itself would be the F²
+    * pathology). One row: (num_postings, num_grams, num_candidate_pairs).
+    * SCALE.md records capped-vs-uncapped numbers from this at bench
+    * scale. */
+  def spanCandidateStats(
+      docs: DataFrame,
+      minTokens: Int = 8,
+      textCol: String = "text",
+      maxGramDocFreq: Int = 0): DataFrame = {
+    // per-gram per-doc posting counts c_i: a gram contributes
+    // Σ_{i<j} c_i·c_j = (S² − Σc_i²)/2 candidate pairs (doc_a < doc_b)
+    spanGrams(docs, minTokens, textCol, maxGramDocFreq)
+      .groupBy(col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("gram"))
+      .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("sq"),
+        count(lit(1)).as("df"))
+      .agg(
+        sum(col("s")).cast("long").as("num_postings"),
+        count(lit(1)).cast("long").as("num_grams"),
+        sum((col("s") * col("s") - col("sq")) / 2).cast("long").as("num_candidate_pairs"))
   }
 
   /** The removal half of ExactSubstr dedup (Lee et al. 2022 cut ONE copy

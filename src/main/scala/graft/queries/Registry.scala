@@ -1138,6 +1138,17 @@ object Registry {
       Dedup.duplicateSpans(t(s, dir, "documents"), minTokens = 5)
         .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))),
 
+    // The CAPPED ExactSubstr variant — maxGramDocFreq=2 drops grams
+    // shared by >2 docs before the self-join (the boilerplate/F² spam
+    // control, Dedup.duplicateSpans cap path). Semantics change is
+    // intentional and now ORACLE-CHECKED: the DuckDB replay applies the
+    // identical doc-frequency filter, so the capped join's exact output
+    // (not just its existence) is pinned each round.
+    "q_dup_spans_capped" -> ((s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"), minTokens = 5,
+          maxGramDocFreq = 2)
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))),
+
     // ...and the removal half: cut each duplicated span from the LATER
     // doc (keep-first), emit the cleaned corpus — md5 of the cleaned
     // text pins content without dumping full bodies
@@ -3209,6 +3220,44 @@ s"""WITH cent AS (
         |  FROM tk WHERE len(toks) >= 5
         |), g AS (
         |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0
+        |), seeds AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+        |         a.pos - b.pos AS diag
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |), runs AS (
+        |  SELECT doc_a, doc_b, diag, pos_a,
+        |         CASE WHEN pos_a - lag(pos_a) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) = 1
+        |              THEN 0 ELSE 1 END AS brk
+        |  FROM seeds
+        |), isl AS (
+        |  SELECT doc_a, doc_b, diag, pos_a,
+        |         SUM(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM runs
+        |)
+        |SELECT doc_a, doc_b,
+        |       CAST(min(pos_a) AS BIGINT) AS start_a,
+        |       CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+        |       CAST(max(pos_a) - min(pos_a) + 5 AS BIGINT) AS len_tokens
+        |FROM isl GROUP BY doc_a, doc_b, diag, island
+        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+
+    // q_dup_spans with the hot-gram cap: identical CTEs plus the
+    // df>2 anti-join before the self-join — the exact filter
+    // Dedup.duplicateSpans applies when maxGramDocFreq=2
+    "q_dup_spans_capped" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)-5+2),
+        |    i -> {'pos': i-1, 'gram': array_to_string(toks[i:i+4], ' ')})) AS u
+        |  FROM tk WHERE len(toks) >= 5
+        |), gall AS (
+        |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0
+        |), hot AS (
+        |  SELECT gram FROM gall GROUP BY gram HAVING count(DISTINCT doc_id) > 2
+        |), g AS (
+        |  SELECT gall.* FROM gall LEFT JOIN hot ON gall.gram = hot.gram
+        |  WHERE hot.gram IS NULL
         |), seeds AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
         |         a.pos - b.pos AS diag
