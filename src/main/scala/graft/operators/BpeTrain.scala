@@ -114,4 +114,24 @@ object BpeTrain {
     merges.sortBy(_.rank).foldLeft(charSplit(text)) { (syms, m) =>
       applyMerge(syms, m.left, m.right)
     }
+
+  /** Per-document BPE token counts under a learned merge table — the
+    * token-budget statistic every context-packing / pricing / mixing
+    * stage consumes, computed with the REAL tokenizer rather than the
+    * whitespace proxy. Pure map-side: each word re-encodes via the
+    * [[encodeExpr]] literal merge chain inside a `transform` lambda and
+    * the counts fold per doc — the corpus never shuffles and the merge
+    * table rides in the plan (vocabulary-dictionary broadcast join is
+    * the alternative at very large merge counts; at the typical
+    * 10³-10⁴ merges both work, this form keeps everything in codegen).
+    * Output: (doc_id, n_words, n_bpe_tokens) — n_bpe_tokens ≤ word
+    * character count, ≥ n_words, shrinking as merges grow. */
+  def tokenCounts(docs: DataFrame, merges: Seq[Merge], textCol: String = "text"): DataFrame = {
+    val toks = filter(TextFunctions.tokens(col(textCol)), w => w =!= "")
+    val perWord = transform(toks, w => size(encodeExpr(w, merges)).cast("long"))
+    docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      aggregate(perWord, lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -735,11 +735,21 @@ object Registry {
     // Full BPE merge training (q_bigram_stats is one round's input
     // statistic; this runs the iterative algorithm): 8 merges learned
     // over the word-type dictionary — vocab-sized loop, corpus touched
-    // once. Iterative + driver-argmax ⇒ not SQL-expressible: spec-gated
-    // (BpeTrainSpec pins the exact merge table on a classic corpus),
-    // rows-only here — the same verification class as the recall paths.
+    // once. Despite the iterative driver argmax, the rounds replay as
+    // chained DuckDB CTEs (bpeMergesSql) ⇒ exact hash compare; the
+    // BpeTrainSpec merge table on a classic corpus gates it too.
     "q_bpe_merges" -> ((s, dir) =>
       BpeTrain.trainDF(t(s, dir, "documents"), numMerges = 8)),
+
+    // BPE ENCODING with the table q_bpe_merges learns: per-doc token
+    // counts under the real tokenizer (the statistic context packing /
+    // mixing budgets consume). Map-side merge-chain re-encode per word,
+    // zero corpus shuffle; oracle replays the training rounds, then
+    // joins the final word→symbol-count dictionary back onto the docs.
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      BpeTrain.tokenCounts(docs, BpeTrain.train(docs, numMerges = 8))
+    }),
 
     // BM25 ranked retrieval for a fixed bag-of-words query — lexical
     // search next to the vector paths; global top-N via orderBy.limit
@@ -1640,6 +1650,55 @@ object Registry {
        |) ORDER BY rank""".stripMargin
   }
 
+  /** q_bpe_encode oracle: the SAME training replay as [[bpeMergesSql]]
+    * (word-type dictionary, chained replace rounds over unit-separator-
+    * wrapped symbol strings), but carrying `word` through the rounds so
+    * the FINAL dictionary yields each word type's symbol count; doc
+    * token counts are then a words→dict join + per-doc sum — exactly
+    * what re-encoding every occurrence computes, since BPE encoding is
+    * a function of the word type. */
+  private def bpeEncodeSql(numMerges: Int): String = {
+    val S = "chr(31)"
+    val rounds = (1 to numMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT s.l AS l, s.r AS r, CAST(sum(freq) AS BIGINT) AS pair_count
+         |  FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      i -> {'l': syms[i], 'r': syms[i+1]})) AS s
+         |    FROM (SELECT freq, string_split(trim(ws, $S), $S || $S) AS syms FROM d${i - 1})
+         |  ) GROUP BY s.l, s.r
+         |), t$i AS (
+         |  SELECT l, r FROM p$i ORDER BY pair_count DESC, l, r LIMIT 1
+         |), d$i AS (
+         |  SELECT word, freq, replace(ws, $S || l || $S || $S || r || $S, $S || l || r || $S) AS ws
+         |  FROM d${i - 1} CROSS JOIN t$i
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH d0 AS (
+       |  SELECT word, freq, $S || array_to_string(list_transform(range(1, len(word)+1), i -> word[i]), $S || $S) || $S AS ws
+       |  FROM (
+       |    SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents)
+       |    WHERE word <> '' GROUP BY word
+       |  )
+       |), $rounds, dict AS (
+       |  SELECT word, CAST(len(string_split(trim(ws, $S), $S || $S)) AS BIGINT) AS n_syms
+       |  FROM d$numMerges
+       |), dw AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
+       |), agg AS (
+       |  SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(d.n_syms) AS BIGINT) AS n_bpe_tokens
+       |  FROM dw JOIN dict d ON dw.word = d.word
+       |  WHERE dw.word <> ''
+       |  GROUP BY dw.doc_id
+       |)
+       |SELECT doc.doc_id, COALESCE(agg.n_words, 0) AS n_words,
+       |       COALESCE(agg.n_bpe_tokens, 0) AS n_bpe_tokens
+       |FROM documents doc LEFT JOIN agg ON doc.doc_id = agg.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
+  }
+
   /** Shared by q_ivfpq_knn and q_ivfpq_pruned_knn: persisting the codes
     * table partitioned by cluster_id and pruning to probed lists must not
     * change the IVFPQ result. */
@@ -1862,6 +1921,8 @@ s"""WITH cent AS (
         |WHERE b.rn = 1 ORDER BY b.part_id""".stripMargin,
 
     "q_bpe_merges" -> bpeMergesSql(numMerges = 8),
+
+    "q_bpe_encode" -> bpeEncodeSql(numMerges = 8),
 
     "q_pca_norms" ->
       """SELECT vec_id,

@@ -48,6 +48,20 @@ class BpeTrainSpec extends SparkSpec {
     assert(got.map(m => (m.left, m.right)) == Seq(("a", "b")))
   }
 
+  test("tokenCounts: per-doc counts under the classic table, hand-checked") {
+    val merges = BpeTrain.train(corpus, numMerges = 8)
+    // after 8 merges: low→[low], lower→[low,e,r], newest→[newest],
+    // widest→[w,i,dest]
+    val docs = Seq(
+      (0L, "low lower"),     // 1 + 3 = 4 bpe tokens, 2 words
+      (1L, "newest widest"), // 1 + 3 = 4, 2 words
+      (2L, "lowest"))        // low,est = 2, 1 word
+      .toDF("doc_id", "text")
+    val got = BpeTrain.tokenCounts(docs, merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 2L, 4L), (1L, 2L, 4L), (2L, 1L, 2L)))
+  }
+
   test("trainDF on real documents returns ranked rows") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val got = BpeTrain.trainDF(docs.limit(50), numMerges = 3).collect()
