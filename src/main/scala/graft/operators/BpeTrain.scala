@@ -118,20 +118,35 @@ object BpeTrain {
   /** Per-document BPE token counts under a learned merge table — the
     * token-budget statistic every context-packing / pricing / mixing
     * stage consumes, computed with the REAL tokenizer rather than the
-    * whitespace proxy. Pure map-side: each word re-encodes via the
-    * [[encodeExpr]] literal merge chain inside a `transform` lambda and
-    * the counts fold per doc — the corpus never shuffles and the merge
-    * table rides in the plan (vocabulary-dictionary broadcast join is
-    * the alternative at very large merge counts; at the typical
-    * 10³-10⁴ merges both work, this form keeps everything in codegen).
-    * Output: (doc_id, n_words, n_bpe_tokens) — n_bpe_tokens ≤ word
-    * character count, ≥ n_words, shrinking as merges grow. */
+    * whitespace proxy.
+    *
+    * BPE encoding is a function of the word TYPE, so the merge chain
+    * (an interpreted HOF fold — the expensive part) runs once per
+    * DISTINCT word, not once per occurrence: distinct words (the
+    * Heaps'-law vocabulary, same bounded-model rule as [[train]])
+    * encode via [[encodeExpr]], the symbol counts broadcast-join back
+    * onto the occurrence stream, and the per-doc sums combine map-side
+    * (the shuffle carries one row per doc per partition). The first
+    * per-occurrence form of this benched 18.9 s at sf0.1 — the
+    * type-level rewrite runs the fold ~30× less. At extreme vocabularies
+    * (≫10⁷ types) swap the broadcast for a shuffle join — the counts
+    * are identical.
+    *
+    * Output: (doc_id, n_words, n_bpe_tokens); n_words ≤ n_bpe_tokens ≤
+    * character count, shrinking as merges grow. */
   def tokenCounts(docs: DataFrame, merges: Seq[Merge], textCol: String = "text"): DataFrame = {
     val toks = filter(TextFunctions.tokens(col(textCol)), w => w =!= "")
-    val perWord = transform(toks, w => size(encodeExpr(w, merges)).cast("long"))
-    docs.select(col("doc_id"),
-      size(toks).cast("long").as("n_words"),
-      aggregate(perWord, lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"))
+    val dw = docs.select(col("doc_id"), explode(toks).as("word"))
+    val dict = dw.select(col("word")).distinct()
+      .withColumn("n_syms", size(encodeExpr(col("word"), merges)).cast("long"))
+    val counts = dw.join(broadcast(dict), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("n_syms")).as("n_bpe_tokens"))
+    docs.select(col("doc_id")).join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
   }
 }
