@@ -71,8 +71,10 @@ object Bench {
       // (stderr renders as `[error]` under sbt, making healthy queries read
       // as failures in the driver's captured tail; "errors" is the truth)
       println(s"[bench] $name")
-      // untimed: drain cross-query debris (see scaladoc) before measuring
-      System.gc()
+      // untimed: drain cross-query debris (see scaladoc) before measuring.
+      // SPARK_GRAFT_NOGC=1 disables it — a local A/B knob for separating
+      // GC-discipline cost from machine noise; the driver never sets it.
+      if (!sys.env.contains("SPARK_GRAFT_NOGC")) System.gc()
       val gcs = scala.collection.mutable.ArrayBuffer.empty[Long]
       val times = (1 to iters).map { _ =>
         val g0 = gcMillis()
@@ -116,11 +118,18 @@ object Bench {
     val gcJson = allGcMs.map { case (k, gs) =>
       s"\"$k\":${gs.mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
+    // 1-min system load (NOT this JVM's — the whole box): the r5→r6
+    // analysis showed unchanged-code queries drifting 1.3-2× purely with
+    // machine noise between recording times; recording load alongside
+    // lets a cross-round per-query comparison separate plan regressions
+    // from a busy box.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_$iters","queries":${
         full.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-      },"iters":$itersJson,"gc_ms":$gcJson,"errors":$errJson,"sf":"$sfDir"}""")
+      },"iters":$itersJson,"gc_ms":$gcJson,"load_avg_end":${fmt(loadAvg)},"errors":$errJson,"sf":"$sfDir"}""")
     val bySlow = results.toSeq.sortBy(-_._2)
     val budget = 1400
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
