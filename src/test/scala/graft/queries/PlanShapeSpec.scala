@@ -270,4 +270,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 2, s"rotation path must add no shuffle, saw $exchanges:\n$p")
     assert(p.contains("matvec"), "rotation must plan as the fused map-side projection")
   }
+
+  test("q_dsir_select: scoring is map-side, selection is TakeOrdered — the corpus never shuffles") {
+    val p = planOf(Registry.queries("q_dsir_select")(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      "Gumbel top-k must plan as TakeOrdered (per-partition heap + k-row " +
+        "driver merge), not a global sort")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the ratio map is a plan literal — no join at all in the scoring path")
+    // the only Exchange allowed is the k-row single-partition one feeding
+    // the post-limit rank window — nothing corpus-sized may shuffle
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"scoring must stay map-side, saw $exchanges exchanges:\n$p")
+  }
+
+  test("q_bpe_encode: vocabulary dictionary broadcasts; the occurrence stream never sort-merges") {
+    val p = planOf(Registry.queries("q_bpe_encode")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "the word-type dictionary must broadcast onto the occurrence stream")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_vamana_knn: shard-local top-k partial-limits before the final merge") {
+    val p = planOf(Registry.queries("q_vamana_knn")(spark, sf0001))
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial") && p.contains("Final"),
+      "A1 merge over the per-shard graph results must partial-limit")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
