@@ -41,8 +41,8 @@ object VamanaIndex {
     * Serializable so bounded (model-plane) graphs may broadcast;
     * `search` is read-only per call. */
   private[operators] final class LocalGraph(params: Params) extends Serializable {
-    var ids: Array[Long] = Array.empty
-    var vecs: Array[Array[Float]] = Array.empty
+    val ids = mutable.ArrayBuffer.empty[Long]
+    val vecs = mutable.ArrayBuffer.empty[Array[Float]]
     val adj = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Int]]
     var medoid: Int = -1
 
@@ -168,10 +168,32 @@ object VamanaIndex {
       * here (the medoid does not depend on the edges). */
     def prepare(points: Array[(Long, Array[Float])]): Unit = {
       val sorted = points.sortBy(_._1)
-      ids = sorted.map(_._1)
-      vecs = sorted.map(_._2)
+      ids.clear(); ids ++= sorted.map(_._1)
+      vecs.clear(); vecs ++= sorted.map(_._2)
       adj.clear()
       medoid = computeMedoid()
+    }
+
+    /** FreshDiskANN-style single-point insert (Singh et al. 2021): the
+      * per-point step of [[build]]'s final pass — greedy search from the
+      * existing medoid collects the visited set, RobustPrune picks the
+      * new node's neighbors, backedges insert with re-prune. The entry
+      * point does NOT move on insert (FreshDiskANN keeps it; the medoid
+      * rule applies at build/rebuild time). */
+    def insertPoint(id: Long, vec: Array[Float]): Unit = {
+      val idx = ids.length
+      ids += id
+      vecs += vec
+      adj += mutable.ArrayBuffer.empty[Int]
+      if (idx == 0) { medoid = 0; return }
+      val (_, visited) = greedySearch(vec, params.l)
+      robustPrune(idx, visited, params.alpha)
+      adj(idx).foreach { b =>
+        if (!adj(b).contains(idx)) {
+          adj(b) += idx
+          if (adj(b).length > params.r) robustPrune(b, adj(b).toSeq, params.alpha)
+        }
+      }
     }
 
     /** Batch build over (id, vec) pairs sorted by id: splitmix init →
@@ -309,8 +331,8 @@ object VamanaIndex {
       rows: Array[VamanaNode], params: Params): LocalGraph = {
     val g = new LocalGraph(params)
     rows.sortInPlaceBy(_.seq)
-    g.ids = rows.map(_.vec_id)
-    g.vecs = rows.map(_.vec)
+    g.ids ++= rows.iterator.map(_.vec_id)
+    g.vecs ++= rows.iterator.map(_.vec)
     rows.foreach(n => g.adj += mutable.ArrayBuffer.from(n.adj))
     g.medoid = if (rows.nonEmpty) rows(0).medoid_seq else -1
     g
@@ -397,5 +419,48 @@ object VamanaIndex {
     val qs = queries.select(col("query_id"), col("qvec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     searchGraphs(spark, dir, qs, k, excludeSelf = false)
+  }
+
+  /** `index.add` for the persisted Vamana — the FreshDiskANN insert
+    * path (the reference's background add works on every FAISS type;
+    * DiskANN's own streaming variant is FreshDiskANN): route the batch
+    * by the build's `vec_id % parts` rule, reload ONLY touched shards
+    * (direct fill), [[LocalGraph.insertPoint]] each new vector sorted
+    * by vec_id, rewrite just those partitions (dynamic partition
+    * overwrite after an eager localCheckpoint — same
+    * read-own-delete-race discipline as the HNSW add). Untouched
+    * shards' files never move. Insert-order dependence matches FAISS:
+    * A-then-B ≠ fresh A∪B, deterministically. */
+  def addToIndex(newVectors: DataFrame, dir: String): Unit = {
+    val spark = newVectors.sparkSession
+    import spark.implicits._
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val p = Params(m.getInt(0), m.getInt(1), m.getDouble(2))
+    val parts = m.getInt(3)
+    val routed = newVectors
+      .select(pmod(col("vec_id"), lit(parts)).cast("int").as("part_id"),
+        col("vec_id"), col("embedding"))
+    val touched = routed.select(col("part_id")).distinct()
+      .collect().map(_.getInt(0))
+    val existing = spark.read.parquet(s"$dir/nodes").as[VamanaNode]
+      .filter(col("part_id").isin(touched.map(Int.box): _*))
+      .groupByKey(_.part_id)
+    val adds = routed.as[(Int, Long, Array[Float])].groupByKey(_._1)
+    val rewritten = existing.cogroup(adds) { (pid, oldIt, newIt) =>
+      val graph = graphFromRows(oldIt.toArray, p)
+      newIt.toArray.sortBy(_._2).foreach { case (_, id, v) => graph.insertPoint(id, v) }
+      graphToRows(graph, pid)
+    }.localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      rewritten.write.mode("overwrite").partitionBy("part_id").parquet(s"$dir/nodes")
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      rewritten.unpersist(blocking = false)
+    }
   }
 }

@@ -204,6 +204,78 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** [[hnswIngestLoop]] for the Vamana family: each micro-batch routes
+    * by the build's `vec_id % parts` rule and inserts via the
+    * FreshDiskANN per-point path (`VamanaIndex.addToIndex` — only
+    * touched shards rewrite), with the same per-batch marker replay
+    * guard (at-least-once foreachBatch ⇒ markers make re-delivered
+    * batches no-ops). */
+  def vamanaIngestLoop(
+      vectorStream: DataFrame,
+      indexDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectorStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          graft.operators.VamanaIndex.addToIndex(batch, indexDir)
+          fs.create(marker, true).close()
+        }
+      }
+      .start()
+
+  /** The crawl-ingest dedup loop: each micro-batch of documents
+    * anti-joins against a PERSISTED seen-hash set (the batch
+    * `CorpusOps.incrementalDedup` contract as a stream — unbounded
+    * history, unlike the watermark-bounded `streamingExactDedup` whose
+    * state dies at the watermark), appends the survivors to `outDir/docs`
+    * and their hashes to `outDir/seen`. Within a batch the canonical
+    * (lowest doc_id per hash) row survives, matching the batch operator.
+    * Replay safety: same per-batch marker guard as the index ingest
+    * loops — a re-delivered batch is a no-op, so a doc can never append
+    * twice. At scale the seen side is a hash-only table (16-byte md5 +
+    * id), bucketable by hash prefix; the Bloom-pruned pre-filter of
+    * `incrementalDedupBloom` drops in front unchanged. */
+  def dedupIngestLoop(
+      docStream: DataFrame,
+      outDir: String,
+      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(s"$outDir/_batches/$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          val hashed = batch.withColumn("content_hash", md5(col(textCol)))
+          val seenPath = s"$outDir/seen"
+          val novel =
+            if (fs.exists(new org.apache.hadoop.fs.Path(seenPath))) {
+              val seen = spark.read.parquet(seenPath).select(col("content_hash"))
+              hashed.join(seen, Seq("content_hash"), "left_anti")
+            } else hashed
+          // batch-internal canonicalization: lowest doc_id per hash
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+          val kept = novel
+            .withColumn("_rn", row_number().over(w))
+            .where(col("_rn") === 1).drop("_rn")
+            // the two appends below must see ONE evaluation: md5+window
+            // recomputed per sink could diverge under speculative lineage
+            .localCheckpoint(true)
+          try {
+            kept.drop("content_hash")
+              .write.mode("append").parquet(s"$outDir/docs")
+            kept.select(col("content_hash"), col("doc_id"))
+              .write.mode("append").parquet(seenPath)
+            fs.create(marker, true).close()
+          } finally kept.unpersist(blocking = false)
+        }
+      }
+      .start()
+
   /** Stream-stream interval join: pair each event with every anchor of
     * the same key whose window `[anchor.ts, anchor.ts + lenSec)` contains
     * the event's time — the streaming form of

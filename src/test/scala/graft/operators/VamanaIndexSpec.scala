@@ -66,6 +66,32 @@ class VamanaIndexSpec extends SparkSpec {
     }
   }
 
+  test("addToIndex: added vectors are searchable, degree bound holds, untouched shards' files never move") {
+    val dir = java.nio.file.Files.createTempDirectory("vamana_add").toString
+    val params = VamanaIndex.Params(r = 16, l = 32)
+    // base = all but vec_id 96..99; the adds route to shards 0..3 — but
+    // restrict adds to shard 0 (vec_id % 4 == 0) to leave shards 1-3 untouched
+    val adds = emb.where($"vec_id" >= 96 && pmod($"vec_id", lit(4)) === 0)
+    val base = emb.where($"vec_id" < 96 || pmod($"vec_id", lit(4)) =!= 0)
+    VamanaIndex.writeIndex(base, dir, numPartitions = 4, params = params)
+    val untouchedBefore = new java.io.File(s"$dir/nodes/part_id=1")
+      .listFiles().map(f => (f.getName, f.lastModified)).toSet
+    VamanaIndex.addToIndex(adds, dir)
+    val untouchedAfter = new java.io.File(s"$dir/nodes/part_id=1")
+      .listFiles().map(f => (f.getName, f.lastModified)).toSet
+    assert(untouchedAfter == untouchedBefore, "shard 1 received no adds — its files must not rewrite")
+    // every added vector finds itself at rank 1 through the serving path
+    val q = adds.select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val served = VamanaIndex.searchPersisted(q, dir, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(served.nonEmpty && served.forall { case (qid, vid, d) => qid == vid && d == 0.0 })
+    val maxDeg = spark.read.parquet(s"$dir/nodes")
+      .select(max(size($"adj"))).head().getInt(0)
+    assert(maxDeg <= params.r)
+    // total node count = base + adds
+    assert(spark.read.parquet(s"$dir/nodes").count() == emb.count())
+  }
+
   test("degree bound: every node's out-degree <= R after the build") {
     val dir = java.nio.file.Files.createTempDirectory("vamana_deg").toString
     val params = VamanaIndex.Params(r = 16, l = 32)

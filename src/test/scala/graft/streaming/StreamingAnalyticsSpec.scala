@@ -339,4 +339,76 @@ class StreamingAnalyticsSpec extends SparkSpec {
     // one event falls into two overlapping 10-min windows sliding by 5
     assert(spark.table("sliding_out").count() == 2)
   }
+
+  test("vamanaIngestLoop: streamed adds grow the persisted shards; replay is a no-op") {
+    import graft.operators.VamanaIndex
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("vamanaingest").toString
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    VamanaIndex.writeIndex(emb.where($"vec_id" < 400), dir, numPartitions = 4)
+
+    val arrivals = emb.where($"vec_id" >= 400)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val src = MemoryStream[(Long, Array[Float])]
+    val q = StreamingAnalytics.vamanaIngestLoop(
+      src.toDF().toDF("vec_id", "embedding"), dir)
+    try {
+      src.addData(arrivals.take(50).toSeq)
+      q.processAllAvailable()
+      src.addData(arrivals.drop(50).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // every streamed-in vector is a searchable node: it finds itself
+    val probe = emb.where($"vec_id" >= 400)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val served = VamanaIndex.searchPersisted(probe, dir, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(served.length == arrivals.length)
+    assert(served.forall { case (qid, vid, d) => qid == vid && d == 0.0 })
+
+    val before = VamanaIndex.selfSearchPersisted(spark, dir, numQueries = 8, k = 5)
+      .collect().map(_.toString).toSeq
+    val src2 = MemoryStream[(Long, Array[Float])]
+    val q2 = StreamingAnalytics.vamanaIngestLoop(
+      src2.toDF().toDF("vec_id", "embedding"), dir)
+    try {
+      src2.addData(arrivals.take(50).toSeq) // replays as batchId 0
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val after = VamanaIndex.selfSearchPersisted(spark, dir, numQueries = 8, k = 5)
+      .collect().map(_.toString).toSeq
+    assert(after == before, "replayed batch must not mutate the graphs")
+  }
+
+  test("dedupIngestLoop: cross-batch and in-batch dups drop; replay never double-appends") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("dedupingest").toString
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingAnalytics.dedupIngestLoop(
+      src.toDF().toDF("doc_id", "text"), dir)
+    try {
+      // batch 0: doc 2 duplicates doc 1 in-batch
+      src.addData((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
+      q.processAllAvailable()
+      // batch 1: doc 4 duplicates the already-seen "beta"; doc 5 is new
+      src.addData((4L, "beta"), (5L, "gamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val docs = spark.read.parquet(s"$dir/docs")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(docs == Seq(1L, 3L, 5L), s"got $docs")
+    assert(spark.read.parquet(s"$dir/seen").count() == 3)
+
+    // replay batch 0 on a fresh stream: the marker makes it a no-op
+    val src2 = MemoryStream[(Long, String)]
+    val q2 = StreamingAnalytics.dedupIngestLoop(
+      src2.toDF().toDF("doc_id", "text"), dir)
+    try {
+      src2.addData((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$dir/docs").count() == 3,
+      "replayed batch must not re-append")
+  }
 }
