@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.{HnswIndex, IvfIndex, IvfPqIndex, KnnSearch, OpqIndex, PqIndex}
+import graft.operators.{HnswIndex, IvfIndex, IvfPqIndex, KnnSearch, OpqIndex, PqIndex, VamanaIndex}
 
 /** Thin unified API over the index families (SURVEY §7.1) — the Spark
   * counterpart of the reference's `create-index --type flat|ivf|ivfpq|hnsw`
@@ -27,6 +27,9 @@ object VectorIndex {
       trained: Boolean = false) extends IndexSpec
   /** Per-partition navigable-small-world graphs. */
   final case class Hnsw(m: Int = 32, efConstruction: Int = 64, efSearch: Int = 64) extends IndexSpec
+  /** Per-shard Vamana/DiskANN graphs (R = degree, L = beam, α = prune slack). */
+  final case class Vamana(r: Int = 32, l: Int = 64, alpha: Double = 1.2,
+      numPartitions: Int = 0) extends IndexSpec
   /** Learned-rotation PQ (`OPQMatrix` + PQ). */
   final case class Opq(m: Int, subDim: Int, ksub: Int, iters: Int = 6) extends IndexSpec
   /** Learned rotation fronting residual IVFPQ (`OPQ → IVFPQ`, the FAISS
@@ -62,6 +65,9 @@ object VectorIndex {
     case Hnsw(m, efC, efS) =>
       HnswIndex.selfSearch(embeddings, numQueries, k,
         params = HnswIndex.Params(m, efC, efS))
+    case Vamana(r, l, alpha, parts) =>
+      VamanaIndex.selfSearch(embeddings, numQueries, k, parts,
+        params = VamanaIndex.Params(r, l, alpha))
     case Opq(m, subDim, ksub, iters) =>
       OpqIndex.selfSearchTrained(embeddings, numQueries, m, subDim, ksub, k, iters)
     case OpqIvfPq(nlist, nprobe, m, subDim, ksub, iters) =>

@@ -40,6 +40,8 @@ class ReferencePipelineSpec extends SparkSpec {
       IvfPqIndex.buildSeeded(corpus, nlist = 8, m = 8, subDim = 8, ksub = 16)
     IvfPqIndex.writeIndex(codes, s"$work/ivfpq")
     HnswIndex.writeIndex(corpus, s"$work/hnsw", numPartitions = 4)
+    // plus the engine's second graph family (beyond the reference's four)
+    VamanaIndex.writeIndex(corpus, s"$work/vamana", numPartitions = 4)
 
     // 4. reload each index from disk and serve ONE query batch on all four
     val q = corpus.where($"vec_id" < 4)
@@ -55,9 +57,11 @@ class ReferencePipelineSpec extends SparkSpec {
     val ivfpq = IvfPqIndex.searchPruned(q, pqCents, cb,
       spark.read.parquet(s"$work/ivfpq"), nprobe = 2, m = 8, subDim = 8, k = 5)
     val hnsw = HnswIndex.searchPersisted(q, s"$work/hnsw", k = 5)
+    val vamana = VamanaIndex.searchPersisted(q, s"$work/vamana", k = 5)
 
     // every family answers the full batch with k rows per query
-    Seq("flat" -> flat, "ivf" -> ivfFull, "ivfpq" -> ivfpq, "hnsw" -> hnsw)
+    Seq("flat" -> flat, "ivf" -> ivfFull, "ivfpq" -> ivfpq, "hnsw" -> hnsw,
+      "vamana" -> vamana)
       .foreach { case (name, df) =>
         val counts = df.groupBy($"query_id").count().collect()
         assert(counts.length == 4 && counts.forall(_.getLong(1) == 5), name)
@@ -65,8 +69,8 @@ class ReferencePipelineSpec extends SparkSpec {
     // IVF at nprobe = nlist scans everything ⇒ identical neighbor set to FLAT
     assert(idSet(ivfFull) == idSet(flat))
     // graph search over corpus-vector queries finds the query itself first
-    assert(hnsw.where($"rank" === 1).collect()
+    Seq(hnsw, vamana).foreach(g => assert(g.where($"rank" === 1).collect()
       .forall(r => r.getAs[Long]("vec_id") == r.getAs[Long]("query_id")
-        && r.getAs[Double]("dist") == 0.0))
+        && r.getAs[Double]("dist") == 0.0)))
   }
 }

@@ -16,6 +16,7 @@ class VectorIndexSpec extends SparkSpec {
       "ivfpq_trained" -> IvfPq(nlist = 8, nprobe = 2, m = 8, subDim = 8, ksub = 16,
         trained = true),
       "hnsw" -> Hnsw(),
+      "vamana" -> Vamana(numPartitions = 4),
       "opq" -> Opq(m = 8, subDim = 8, ksub = 16, iters = 2),
       "opq_ivfpq" -> OpqIvfPq(nlist = 8, nprobe = 2, m = 8, subDim = 8, ksub = 16, iters = 2),
       "ivf_hnsw" -> IvfHnsw(nlist = 16, nprobe = 4))
