@@ -111,6 +111,36 @@ object Dsir {
       .orderBy(col("rank"))
   }
 
+  /** The paper's selection-quality metric: hashed-bucket KL(target ‖
+    * subset) with add-1 smoothing, one row per labeled subset — run it
+    * on (selected, random-control, whole-pool) and DSIR worked iff the
+    * selected set's KL undercuts both. Distributions are B-sized
+    * (model-plane: the bucket counts collect like [[logRatios]]); the
+    * KL fold runs driver-side over SORTED buckets so the double sum is
+    * order-pinned. Output: (subset, n_docs, kl) ordered by subset. */
+  def klReport(
+      target: DataFrame,
+      subsets: Seq[(String, DataFrame)],
+      b: Int,
+      textCol: String = "text"): DataFrame = {
+    val spark = target.sparkSession
+    import spark.implicits._
+    def dist(df: DataFrame): Long => Double = {
+      val c = bucketCounts(df, b, textCol).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val tot = c.values.sum.toDouble + b
+      k => (c.getOrElse(k, 0L) + 1.0) / tot
+    }
+    val pT = dist(target)
+    subsets.map { case (label, df) =>
+      val pS = dist(df)
+      var kl = 0.0
+      (0L until b.toLong).foreach { k => kl += pT(k) * math.log(pT(k) / pS(k)) }
+      (label, df.count(),
+        BigDecimal(kl).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("subset", "n_docs", "kl").orderBy(col("subset"))
+  }
+
   /** The composed pipeline: fit ratios on (target, pool), score the
     * pool, Gumbel-select k docs. */
   def select(

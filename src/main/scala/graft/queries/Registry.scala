@@ -816,6 +816,23 @@ object Registry {
         k = 50, b = 256)
     }),
 
+    // The DSIR paper's own selection-quality metric: hashed-bucket
+    // KL(target ‖ subset) for the DSIR-selected 50, a deterministic
+    // random control (md5-ordered 50), and the whole pool. Selection
+    // worked iff kl(selected) < kl(random) ≈ kl(pool) — and the whole
+    // eval (selection replay included) hash-matches its DuckDB oracle.
+    "q_dsir_kl" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = docs.where(col("source") === "src0")
+      val pool = docs.where(col("source") =!= "src0")
+      val picked = Dsir.select(target, pool, k = 50, b = 256).select(col("doc_id"))
+      val selected = pool.join(picked, Seq("doc_id"), "left_semi")
+      val rand = pool
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(50)
+      Dsir.klReport(target,
+        Seq("pool" -> pool, "random" -> rand, "selected" -> selected), b = 256)
+    }),
+
     // Deterministic weighted source interleaving (temperature-mixing
     // analog): global order by rank/weight, range-sort executed
     "q_source_interleave" -> ((s, dir) =>
@@ -1649,6 +1666,55 @@ object Registry {
        |  $out
        |) ORDER BY rank""".stripMargin
   }
+
+  /** Shared CTE chain of the DSIR oracles (q_dsir_select / q_dsir_kl):
+    * tokenize → uni+bigram grams → md5 buckets → target/pool bucket LMs
+    * (add-1 over B=256) → per-doc sorted-fold importance weights →
+    * Gumbel keys → ranked selection. */
+  private val dsirCoreCtes: String =
+    """d AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), g AS (
+      |  SELECT doc_id, source,
+      |         toks || CASE WHEN len(toks) >= 2
+      |           THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |           ELSE CAST([] AS VARCHAR[]) END AS grams
+      |  FROM d
+      |), gx AS (
+      |  SELECT doc_id, source,
+      |         ('0x' || substr(md5(unnest(grams)), 1, 8))::BIGINT % 256 AS bucket
+      |  FROM g
+      |), tc AS (
+      |  SELECT bucket, count(*) AS cnt FROM gx WHERE source = 'src0' GROUP BY bucket
+      |), pc AS (
+      |  SELECT bucket, count(*) AS cnt FROM gx WHERE source <> 'src0' GROUP BY bucket
+      |), tot AS (
+      |  SELECT (SELECT count(*) FROM gx WHERE source = 'src0') + 256.0 AS t_tot,
+      |         (SELECT count(*) FROM gx WHERE source <> 'src0') + 256.0 AS p_tot
+      |), ratio AS (
+      |  SELECT r256.bucket,
+      |         ln((COALESCE(tc.cnt, 0) + 1.0) / tot.t_tot)
+      |           - ln((COALESCE(pc.cnt, 0) + 1.0) / tot.p_tot) AS r
+      |  FROM (SELECT unnest(range(0, 256)) AS bucket) r256
+      |  CROSS JOIN tot
+      |  LEFT JOIN tc ON r256.bucket = tc.bucket
+      |  LEFT JOIN pc ON r256.bucket = pc.bucket
+      |), lw AS (
+      |  SELECT gx.doc_id, list_sort(list(ratio.r)) AS rs
+      |  FROM gx JOIN ratio ON gx.bucket = ratio.bucket
+      |  WHERE gx.source <> 'src0'
+      |  GROUP BY gx.doc_id
+      |), sel AS (
+      |  SELECT doc_id, CAST(len(rs) AS BIGINT) AS n_grams, list_sum(rs) AS logw,
+      |         list_sum(rs) - ln(-ln(
+      |           (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+      |             / 4294967296.0)) AS sel_key
+      |  FROM lw
+      |), ranked AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY sel_key DESC, doc_id) AS BIGINT) AS rank,
+      |         doc_id, n_grams, round(logw, 3) AS logw, round(sel_key, 3) AS sel_key
+      |  FROM sel
+      |)""".stripMargin
 
   /** q_bpe_encode oracle: the SAME training replay as [[bpeMergesSql]]
     * (word-type dictionary, chained replace rounds over unit-separator-
@@ -2855,51 +2921,51 @@ s"""WITH cent AS (
     // sort_array — order-pinned, so the only cross-engine noise is ulp-
     // level ln() rounding, absorbed by round(,3)), same Gumbel keys.
     "q_dsir_select" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), g AS (
-        |  SELECT doc_id, source,
-        |         toks || CASE WHEN len(toks) >= 2
-        |           THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-        |           ELSE CAST([] AS VARCHAR[]) END AS grams
-        |  FROM d
-        |), gx AS (
-        |  SELECT doc_id, source,
-        |         ('0x' || substr(md5(unnest(grams)), 1, 8))::BIGINT % 256 AS bucket
-        |  FROM g
-        |), tc AS (
-        |  SELECT bucket, count(*) AS cnt FROM gx WHERE source = 'src0' GROUP BY bucket
-        |), pc AS (
-        |  SELECT bucket, count(*) AS cnt FROM gx WHERE source <> 'src0' GROUP BY bucket
-        |), tot AS (
-        |  SELECT (SELECT count(*) FROM gx WHERE source = 'src0') + 256.0 AS t_tot,
-        |         (SELECT count(*) FROM gx WHERE source <> 'src0') + 256.0 AS p_tot
-        |), ratio AS (
-        |  SELECT r256.bucket,
-        |         ln((COALESCE(tc.cnt, 0) + 1.0) / tot.t_tot)
-        |           - ln((COALESCE(pc.cnt, 0) + 1.0) / tot.p_tot) AS r
-        |  FROM (SELECT unnest(range(0, 256)) AS bucket) r256
-        |  CROSS JOIN tot
-        |  LEFT JOIN tc ON r256.bucket = tc.bucket
-        |  LEFT JOIN pc ON r256.bucket = pc.bucket
-        |), lw AS (
-        |  SELECT gx.doc_id, list_sort(list(ratio.r)) AS rs
-        |  FROM gx JOIN ratio ON gx.bucket = ratio.bucket
-        |  WHERE gx.source <> 'src0'
-        |  GROUP BY gx.doc_id
-        |), sel AS (
-        |  SELECT doc_id, CAST(len(rs) AS BIGINT) AS n_grams, list_sum(rs) AS logw,
-        |         list_sum(rs) - ln(-ln(
-        |           (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
-        |             / 4294967296.0)) AS sel_key
-        |  FROM lw
-        |), ranked AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY sel_key DESC, doc_id) AS BIGINT) AS rank,
-        |         doc_id, n_grams, round(logw, 3) AS logw, round(sel_key, 3) AS sel_key
-        |  FROM sel
-        |)
+      s"""WITH $dsirCoreCtes
         |SELECT rank, doc_id, n_grams, logw, sel_key FROM ranked
         |WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    // q_dsir_kl oracle: selection replayed via the shared CTEs, then
+    // hashed-bucket KL(target ‖ subset) for selected/random/pool — the
+    // add-1 dense distributions rebuilt per subset over the same gram
+    // table. KL sums B=256 doubles (round 4 absorbs order noise).
+    "q_dsir_kl" ->
+      s"""WITH $dsirCoreCtes,
+        |sel50 AS (SELECT doc_id FROM ranked WHERE rank <= 50),
+        |rand50 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |    FROM documents WHERE source <> 'src0'
+        |  ) WHERE rn <= 50
+        |), b256 AS (SELECT unnest(range(0, 256)) AS bucket),
+        |tdist AS (
+        |  SELECT b256.bucket, (COALESCE(tc.cnt, 0) + 1.0) / tot.t_tot AS p
+        |  FROM b256 CROSS JOIN tot LEFT JOIN tc ON b256.bucket = tc.bucket
+        |), selc AS (
+        |  SELECT gx.bucket, count(*) AS cnt FROM gx JOIN sel50 ON gx.doc_id = sel50.doc_id GROUP BY gx.bucket
+        |), randc AS (
+        |  SELECT gx.bucket, count(*) AS cnt FROM gx JOIN rand50 ON gx.doc_id = rand50.doc_id GROUP BY gx.bucket
+        |), seltot AS (
+        |  SELECT (SELECT count(*) FROM gx JOIN sel50 ON gx.doc_id = sel50.doc_id) + 256.0 AS t
+        |), randtot AS (
+        |  SELECT (SELECT count(*) FROM gx JOIN rand50 ON gx.doc_id = rand50.doc_id) + 256.0 AS t
+        |), kls AS (
+        |  SELECT 'pool' AS subset,
+        |         (SELECT count(*) FROM documents WHERE source <> 'src0') AS n_docs,
+        |         (SELECT sum(td.p * ln(td.p / ((COALESCE(pc.cnt, 0) + 1.0) / tot.p_tot)))
+        |          FROM tdist td CROSS JOIN tot LEFT JOIN pc ON td.bucket = pc.bucket) AS kl
+        |  UNION ALL
+        |  SELECT 'random', (SELECT count(*) FROM rand50),
+        |         (SELECT sum(td.p * ln(td.p / ((COALESCE(randc.cnt, 0) + 1.0) / randtot.t)))
+        |          FROM tdist td CROSS JOIN randtot LEFT JOIN randc ON td.bucket = randc.bucket)
+        |  UNION ALL
+        |  SELECT 'selected', (SELECT count(*) FROM sel50),
+        |         (SELECT sum(td.p * ln(td.p / ((COALESCE(selc.cnt, 0) + 1.0) / seltot.t)))
+        |          FROM tdist td CROSS JOIN seltot LEFT JOIN selc ON td.bucket = selc.bucket)
+        |)
+        |SELECT subset, CAST(n_docs AS BIGINT) AS n_docs, round(kl, 4) AS kl
+        |FROM kls ORDER BY subset""".stripMargin,
+
 
     "q_token_pack" ->
       """WITH tk AS (

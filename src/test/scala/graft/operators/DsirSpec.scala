@@ -44,6 +44,23 @@ class DsirSpec extends SparkSpec {
     assert(minA > maxB)
   }
 
+  test("klReport: DSIR-selected subset undercuts the random control on the planted fixture") {
+    val target = (0 until 20).map(i => (i.toLong, vocabDoc(vocabA, i, 30)))
+      .toDF("doc_id", "text")
+    val pool = ((100 until 120).map(i => (i.toLong, vocabDoc(vocabA, i, 30))) ++
+      (200 until 220).map(i => (i.toLong, vocabDoc(vocabB, i, 30))))
+      .toDF("doc_id", "text")
+    val picked = Dsir.select(target, pool, k = 10, b = 64).select($"doc_id")
+    val selected = pool.join(picked, Seq("doc_id"), "left_semi")
+    val rand = pool.orderBy(md5($"doc_id".cast("string")), $"doc_id").limit(10)
+    val kl = Dsir.klReport(target,
+      Seq("selected" -> selected, "random" -> rand, "pool" -> pool), b = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    info(s"kl = $kl")
+    assert(kl("selected") < kl("random"))
+    assert(kl("selected") < kl("pool"))
+  }
+
   test("resample is deterministic and returns exactly k ranked rows") {
     val docs = (0 until 40).map(i => (i.toLong, vocabDoc(vocabA, i, 10)))
       .toDF("doc_id", "text")
