@@ -231,6 +231,38 @@ object CorpusOps {
       .orderBy(col("mix_key"), col("source"), col("doc_id"))
   }
 
+  /** Temperature-based source sampling — the multinomial mixing rule of
+    * the standard LLM/multilingual data recipes (p_s ∝ n_s^α; α=1 is
+    * natural proportions, α→0 uniform across sources; e.g. α=0.3 in
+    * mBERT/XLM-R, α=0.5 common for corpus mixing — with the implicit
+    * UniMax-style cap that a source never repeats: quota ≤ n_s).
+    * Deterministic materialization against a doc budget T:
+    * quota_s = min(⌊T·n_s^α / Σ_t n_t^α⌋, n_s), filled by the
+    * md5-ordered first quota_s docs of each source (the same
+    * deterministic-random order `weightedInterleave` uses).
+    *
+    * Scale: source counts are a model-plane aggregate (one row per
+    * source); quotas ride as a plan literal; the sample is one
+    * per-source window (partitioned — parallel across sources) + filter.
+    * Output adds `sample_rank` (1..quota within source). */
+  def temperatureSample(docs: DataFrame, totalBudget: Long, alpha: Double): DataFrame = {
+    require(totalBudget > 0 && alpha > 0)
+    val counts = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val z = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val quotas: Map[String, Long] = counts.map { case (s, n) =>
+      s -> math.min(math.floor(totalBudget * math.pow(n.toDouble, alpha) / z).toLong, n)
+    }.toMap
+    val quota = quotas.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, q)) => when(col("source") === s, lit(q)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= quota)
+  }
+
   /** Context-window packing: assign docs to training bins of ~`budget`
     * tokens. Within each (source, subshard) stream — subshards keep the
     * window parallel at corpus scale — docs in doc_id order land in bin

@@ -833,6 +833,15 @@ object Registry {
         Seq("pool" -> pool, "random" -> rand, "selected" -> selected), b = 256)
     }),
 
+    // Temperature-based source sampling (p_s ∝ n_s^α, α=0.5, UniMax-
+    // style no-repeat cap): the standard LLM mixing rule, deterministic
+    // via md5-ordered per-source fills against a 300-doc budget
+    "q_temperature_sample" -> ((s, dir) =>
+      CorpusOps.temperatureSample(t(s, dir, "documents"),
+          totalBudget = 300, alpha = 0.5)
+        .select(col("doc_id"), col("source"), col("sample_rank"))
+        .orderBy(col("doc_id"))),
+
     // Deterministic weighted source interleaving (temperature-mixing
     // analog): global order by rank/weight, range-sort executed
     "q_source_interleave" -> ((s, dir) =>
@@ -2966,6 +2975,28 @@ s"""WITH cent AS (
         |SELECT subset, CAST(n_docs AS BIGINT) AS n_docs, round(kl, 4) AS kl
         |FROM kls ORDER BY subset""".stripMargin,
 
+
+    // q_temperature_sample oracle: same α-power quotas (floor, capped at
+    // n_s) and the same md5-ordered per-source fill
+    "q_temperature_sample" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT sum(pow(n, 0.5)) AS z FROM c
+        |), q AS (
+        |  SELECT source,
+        |         LEAST(CAST(floor(300 * pow(n, 0.5) / tot.z) AS BIGINT), CAST(n AS BIGINT)) AS quota
+        |  FROM c CROSS JOIN tot
+        |), r AS (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+        |  FROM documents
+        |)
+        |SELECT r.doc_id, r.source, r.sample_rank
+        |FROM r JOIN q ON r.source = q.source
+        |WHERE r.sample_rank <= q.quota
+        |ORDER BY r.doc_id""".stripMargin,
 
     "q_token_pack" ->
       """WITH tk AS (

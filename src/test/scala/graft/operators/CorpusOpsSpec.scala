@@ -174,4 +174,23 @@ class CorpusOpsSpec extends SparkSpec {
       assert(docsInSub.sortBy(_._1).map(_._3).toSeq == Seq(0L, 0L, 1L, 1L))
     }
   }
+
+  test("temperatureSample: alpha=0.5 flattens the mixture; the cap never repeats a doc") {
+    // big: 100 docs, small: 10 docs. alpha=0.5 -> shares 10 : sqrt(10),
+    // T=50 -> big floor(50*10/13.162)=37, small min(floor(12.01), 10)=10
+    // (the UniMax cap engages). Natural sampling would give small ~4.5.
+    val docs = ((0 until 100).map(i => (i.toLong, "big", s"text $i")) ++
+      (100 until 110).map(i => (i.toLong, "small", s"text $i")))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusOps.temperatureSample(docs, totalBudget = 50, alpha = 0.5)
+    val bySource = got.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource == Map("big" -> 37L, "small" -> 10L), s"got $bySource")
+    // no repeats: every sampled doc_id is distinct
+    assert(got.select($"doc_id").distinct().count() == 47)
+    // deterministic across runs
+    val again = CorpusOps.temperatureSample(docs, totalBudget = 50, alpha = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == got.select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }
