@@ -21,6 +21,25 @@ class VamanaIndexSpec extends SparkSpec {
     assert(recall >= 0.9)
   }
 
+  test("sharded recall: bench-scale partition counts, gate >= 0.85 at 32 shards") {
+    // same measurement HnswIndexSpec records — the sharded-graph recall
+    // tradeoff curve SCALE.md cites, on the largest local table
+    val big = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").cache()
+    val exact = KnnSearch.selfTopK(big, numQueries = 16, k = 10)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val measured = Seq(4, 16, 32).map { parts =>
+      val ann = VamanaIndex.selfSearch(big, numQueries = 16, k = 10, numPartitions = parts)
+        .select($"query_id", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (ann intersect exact).size.toDouble / exact.size
+      info(f"Vamana recall@10 at $parts%2d shards = $recall%.3f")
+      parts -> recall
+    }
+    big.unpersist()
+    assert(measured.toMap.apply(32) >= 0.85)
+  }
+
   test("persisted index: reload searches row-identical to the fresh build") {
     val dir = java.nio.file.Files.createTempDirectory("vamana_idx").toString
     VamanaIndex.writeIndex(emb, dir, numPartitions = 4)
