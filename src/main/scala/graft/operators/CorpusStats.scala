@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -108,6 +109,30 @@ object CorpusStats {
           aggregate(col("lst"), lit(0.0d), (acc, x) => acc + x.getField("contrib")) /
             col("n_tokens").cast("double"), 4))
       .select(col("doc_id"), col("n_tokens"), col("nll"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020: score each
+    * doc with an LM, split every source into head/middle/tail thirds by
+    * perplexity, train on head+middle): per-source NTILE(3) over the
+    * [[unigramNll]] score, ascending — head = most fluent third under
+    * the corpus LM. The LM here is the corpus unigram model (exact ⇒
+    * oracle-replayable); a trained KenLM drops into the same shape.
+    *
+    * Scale: everything is [[unigramNll]]'s profile (vocab-sized cf
+    * broadcast, per-doc sorted folds) plus ONE per-source window over
+    * (nll, doc_id) — parallel across sources; nll is pre-rounded so the
+    * tertile order is engine-stable. Output: (doc_id, source, n_tokens,
+    * nll, bucket) ordered by doc_id. */
+  def perplexityBuckets(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("nll"), col("doc_id"))
+    unigramNll(docs, textCol)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("tertile", ntile(3).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("nll"),
+        when(col("tertile") === 1, "head")
+          .when(col("tertile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
   }
 
   /** Cross-source duplication matrix — for every pair of sources, how

@@ -52,6 +52,50 @@ object EmbeddingQuality {
       .orderBy(col("vec_id"))
   }
 
+  /** Self-supervised-prototypes data pruning (Sorscher et al. 2022,
+    * "Beyond neural scaling laws" — the SSL-prototypes metric): score
+    * every example by L2² to its assigned cluster prototype, then keep
+    * the ⌈keepFrac·n_c⌉ HARDEST (farthest — `keepHard`) examples of
+    * each cluster — the paper's rule when data is abundant; flip
+    * `keepHard=false` for the scarce-data regime (keep easy/
+    * prototypical). Prototypes here are the engine's seeded-centroid
+    * rule (deterministic ⇒ DuckDB-replayable end to end); swap in
+    * `IvfIndex.trainCentroids` for the paper's k-means (recall-gated
+    * path).
+    *
+    * Scale: assignment is the shuffle-free fused argmin
+    * ([[IvfIndex.assign]]); the scoring join is a broadcast of the
+    * model-sized prototype table; the keep-rule is one window per
+    * cluster (parallel across clusters, AQE/salting handles Zipf cells
+    * like every other cluster_id stage). Output:
+    * (vec_id, cluster_id, proto_dist, keep_rank) ordered by vec_id. */
+  def prototypePrune(
+      embeddings: DataFrame,
+      centroids: Array[IvfIndex.Centroid],
+      keepFrac: Double,
+      keepHard: Boolean = true): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = centroids.toSeq.toDF("cluster_id", "centroid")
+    val ordering =
+      if (keepHard) org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id")).orderBy(col("proto_dist").desc, col("vec_id"))
+      else org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id")).orderBy(col("proto_dist"), col("vec_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    IvfIndex.assign(embeddings, centroids)
+      .join(broadcast(cents), Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"),
+        Distances.l2Sq(col("embedding"), col("centroid")).as("proto_dist"))
+      .withColumn("keep_rank", row_number().over(ordering).cast("long"))
+      .withColumn("n_c", count(lit(1)).over(wAll))
+      .where(col("keep_rank") <= ceil(lit(keepFrac) * col("n_c")))
+      .select(col("vec_id"), col("cluster_id"),
+        round(col("proto_dist"), 4).as("proto_dist"), col("keep_rank"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label centroid drift between two corpus halves (vec_id parity
     * split — any deterministic split works): L2 distance between the
     * halves' rounded per-dim centroids. The embedding-space analog of

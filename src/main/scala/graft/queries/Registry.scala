@@ -276,6 +276,15 @@ object Registry {
 
     // Embedding outlier pruning: distance to own label centroid vs a
     // per-label z-score gate (mislabeled/corrupted-sample curation)
+    // SSL-prototypes data pruning (Sorscher et al. 2022): keep each
+    // cluster's hardest quarter by distance-to-prototype — seeded
+    // prototypes keep the whole recipe exact/oracle-replayable
+    "q_prototype_prune" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      EmbeddingQuality.prototypePrune(emb,
+        IvfIndex.seedCentroids(emb, 16), keepFrac = 0.25)
+    }),
+
     "q_embedding_outliers" -> ((s, dir) =>
       EmbeddingQuality.outliers(t(s, dir, "embeddings"), z = 2.0)),
 
@@ -1202,6 +1211,11 @@ object Registry {
       CorpusStats.unigramNll(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // The full CCNet recipe (Wenzek et al. 2020) on that signal:
+    // per-source head/middle/tail thirds by LM score
+    "q_perplexity_buckets" -> ((s, dir) =>
+      CorpusStats.perplexityBuckets(t(s, dir, "documents"))),
+
     // FAISS merge_from: two half-indexes on the same centroids, merged,
     // must search identically to the single full index (shared oracle)
     "q_ivf_merge" -> ((s, dir) => {
@@ -1889,6 +1903,30 @@ s"""WITH cent AS (
          |SELECT cid AS cluster_id, count(*) AS num_vectors,
          |       min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
          |FROM a GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    // q_prototype_prune oracle: same seeded prototypes, same argmin
+    // assignment, same per-cluster hardest-first window with the
+    // ceil(0.25·n_c) keep rule (0.25 is exactly representable — the
+    // ceil boundary cannot drift between engines)
+    "q_prototype_prune" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+         |), d0 AS (
+         |  SELECT v.vec_id, c.cid, ${l2sqSql("v.embedding", "c.cvec")} AS d
+         |  FROM embeddings v CROSS JOIN cent c
+         |), a AS (
+         |  SELECT vec_id, cid AS cluster_id, d AS proto_dist FROM (
+         |    SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0
+         |  ) WHERE rn = 1
+         |), ranked AS (
+         |  SELECT vec_id, cluster_id, proto_dist,
+         |         CAST(row_number() OVER (PARTITION BY cluster_id ORDER BY proto_dist DESC, vec_id) AS BIGINT) AS keep_rank,
+         |         count(*) OVER (PARTITION BY cluster_id) AS n_c
+         |  FROM a
+         |)
+         |SELECT vec_id, cluster_id, round(proto_dist, 4) AS proto_dist, keep_rank
+         |FROM ranked WHERE keep_rank <= ceil(0.25 * n_c)
+         |ORDER BY vec_id""".stripMargin,
 
     "q_binary_knn" ->
       """WITH c AS (
@@ -3512,6 +3550,38 @@ s"""WITH cent AS (
         |)
         |SELECT doc_id, n_tokens,
         |       round(nll_sum / CAST(n_tokens AS DOUBLE), 4) AS nll
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q_perplexity_buckets oracle: the q_unigram_nll CTEs + the
+    // per-source ascending NTILE(3) head/middle/tail split (nll is
+    // pre-rounded, ties on doc_id — tertile order engine-stable)
+    "q_perplexity_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term
+        |), cf AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks GROUP BY term
+        |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks
+        |), j AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(cf.cf AS DOUBLE)) AS contrib
+        |  FROM tf JOIN cf USING (term) CROSS JOIN n
+        |), d AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |         list_sum(list(contrib ORDER BY term)) AS nll_sum
+        |  FROM j GROUP BY doc_id
+        |), scored AS (
+        |  SELECT d.doc_id, doc.source, d.n_tokens,
+        |         round(d.nll_sum / CAST(d.n_tokens AS DOUBLE), 4) AS nll
+        |  FROM d JOIN documents doc ON d.doc_id = doc.doc_id
+        |), bucketed AS (
+        |  SELECT doc_id, source, n_tokens, nll,
+        |         ntile(3) OVER (PARTITION BY source ORDER BY nll, doc_id) AS tertile
+        |  FROM scored
+        |)
+        |SELECT doc_id, source, n_tokens, nll,
+        |       CASE tertile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM bucketed ORDER BY doc_id""".stripMargin
   )
 }
