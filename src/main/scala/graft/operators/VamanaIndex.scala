@@ -421,6 +421,51 @@ object VamanaIndex {
     searchGraphs(spark, dir, qs, k, excludeSelf = false)
   }
 
+  /** Vamana coarse quantizer — IVF probe selection via one driver-built
+    * graph over the nlist centroids (the DiskANN counterpart of
+    * [[HnswIndex.coarseProbes]], model-plane: nlist ≈ √n rows) broadcast
+    * to every task; probe selection walks the graph per query row
+    * instead of scanning all nlist centroids. At beam L ≥ nlist the walk
+    * visits every reachable centroid, so probes equal the exact argmin
+    * top-nprobe and the composed search shares the exact-IVF oracle
+    * (same contract the IVF_HNSW composition uses). Output matches
+    * [[IvfIndex.probes]]: (query_id, qvec, cluster_id). */
+  def coarseProbes(
+      queries: DataFrame,
+      centroids: Array[IvfIndex.Centroid],
+      nprobe: Int,
+      params: Params = Params()): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val g = new LocalGraph(params)
+    g.build(centroids.map { case (cid, v) => (cid, v) })
+    val bc = spark.sparkContext.broadcast(g)
+    queries.select(col("query_id"), col("qvec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val graph = bc.value
+        rows.flatMap { case (qid, qv) =>
+          graph.search(qv, nprobe)
+            .map { case (_, node) => (qid, qv, graph.ids(node)) }
+        }
+      }
+      .toDF("query_id", "qvec", "cluster_id")
+  }
+
+  /** Composed IVF search with Vamana probe selection — candidate scan,
+    * pruning and top-k identical to [[IvfIndex.search]]; only the probe
+    * phase differs (graph walk vs exact argmin). */
+  def searchIvfVamana(
+      queries: DataFrame,
+      centroids: Array[IvfIndex.Centroid],
+      assignments: DataFrame,
+      nprobe: Int,
+      k: Int,
+      excludeSelf: Boolean = false,
+      params: Params = Params()): DataFrame =
+    IvfIndex.searchWithProbes(
+      coarseProbes(queries, centroids, nprobe, params), assignments, k, excludeSelf)
+
   /** `index.add` for the persisted Vamana — the FreshDiskANN insert
     * path (the reference's background add works on every FAISS type;
     * DiskANN's own streaming variant is FreshDiskANN): route the batch

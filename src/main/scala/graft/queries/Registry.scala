@@ -166,6 +166,22 @@ object Registry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The same composition with the Vamana coarse quantizer — at beam
+    // L ≥ nlist the graph walk visits every centroid, so probes equal
+    // the exact argmin set and the composed search shares q_ivf_knn's
+    // oracle (the IVF_HNSW contract, second graph family)
+    "q_ivf_vamana_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = IvfIndex.seedCentroids(emb, 16)
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      VamanaIndex.searchIvfVamana(q, cents, IvfIndex.assign(emb, cents),
+          nprobe = 4, k = 10, excludeSelf = true)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // S4→S3→D4 as one path: persist the index partitioned by cluster_id,
     // reload, search with static partition pruning — only the probed
     // inverted-list partitions are read (PartitionFilters; plan gated in
@@ -2058,6 +2074,10 @@ s"""WITH cent AS (
     // identical oracle: HNSW probe selection at ef ≥ nlist covers every
     // centroid, so the composed search equals exact-probe IVF
     "q_ivf_hnsw_knn" -> ivfKnnSql,
+
+    // identical oracle: Vamana probe selection at L >= nlist covers every
+    // centroid, so the composed search equals exact-probe IVF
+    "q_ivf_vamana_knn" -> ivfKnnSql,
 
     "q_index_stats" ->
       s"""WITH cent AS (
