@@ -46,6 +46,41 @@ object BinaryIndex {
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
+  /** Binary shortlist → exact full-precision re-rank (the standard
+    * binary-quantization serving recipe: Hamming prunes, L2 decides).
+    * `signSource` lets the sign bits come from a TRANSFORMED view of the
+    * same ids — pass a seeded-rotation projection ([[Rotation]]) for the
+    * modern rotate-then-sign composition (a random rotation spreads
+    * variance evenly across dims, so every sign bit carries information;
+    * plain sign bits waste bits on low-variance dims). The re-rank
+    * always scores RAW vectors, so rotation never changes the final
+    * metric. Shortlist rows are Q×`shortlist` — the re-rank join is the
+    * PQ re-rank shape (broadcast shortlist semi-join).
+    * Output: (query_id, rank, vec_id, dist). */
+  def selfSearchReranked(
+      embeddings: DataFrame,
+      d: Int,
+      numQueries: Int,
+      k: Int,
+      shortlist: Int,
+      signSource: Option[DataFrame] = None): DataFrame = {
+    val signs = signSource.getOrElse(embeddings)
+    val sl = selfSearch(signs, d, numQueries, shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val qs = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    sl.join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.Distances.l2Sq(col("embedding"), col("qvec")).as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Self-search: first `numQueries` ids as queries, Hamming top-k over
     * the binarized table (ties by vec_id). Output: (query_id, rank,
     * vec_id, hamming). */

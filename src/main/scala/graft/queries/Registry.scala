@@ -118,6 +118,20 @@ object Registry {
 
     // Binary (sign-bit) quantization + Hamming k-NN — IndexBinaryFlat
     // analog: 32× smaller codes, deterministic end-to-end (exact oracle)
+    // Rotate-then-sign binary search with exact re-rank: a seeded random
+    // rotation spreads variance across dims so every sign bit carries
+    // information; Hamming prunes to a 30-candidate shortlist, exact L2
+    // over the RAW vectors decides the final 10. Fully deterministic —
+    // the composed 3-stage pipeline hash-matches one DuckDB oracle.
+    "q_rotated_binary_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val rmat = Rotation.randomOrthogonal(64, 42L)
+      val rotated = emb.select(col("vec_id"),
+        Rotation.rotateExpr(col("embedding"), rmat).as("embedding"))
+      BinaryIndex.selfSearchReranked(emb, d = 64, numQueries = 8, k = 10,
+        shortlist = 30, signSource = Some(rotated))
+    }),
+
     "q_binary_knn" -> ((s, dir) =>
       BinaryIndex.selfSearch(t(s, dir, "embeddings"), d = 64,
         numQueries = 8, k = 10)),
@@ -1466,6 +1480,51 @@ object Registry {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q_rotated_binary_knn oracle: the same rotation literal as
+    * [[rotatedKnnSql]]; Hamming on the rotated SIGN bits replayed as a
+    * per-dim sign-mismatch count (= popcount(xor) of the packed codes,
+    * without replaying the packing); exact-L2 re-rank on raw vectors. */
+  private val rotatedBinaryKnnSql: String = {
+    val rLit = Rotation.randomOrthogonal(64, 42L)
+      .map(row => row.map(f => java.lang.Double.toString(f.toDouble))
+        .mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""WITH rmat AS (
+       |  SELECT $rLit AS m
+       |), rot AS (
+       |  SELECT vec_id, list_transform(range(1, 65), i ->
+       |    CAST(list_sum(list_transform(range(1, 65), j ->
+       |      m[i][j] * CAST(embedding[j] AS DOUBLE))) AS REAL)) AS rvec
+       |  FROM embeddings, rmat
+       |), q AS (
+       |  SELECT vec_id AS query_id, rvec AS qrvec FROM rot WHERE vec_id < 8
+       |), h AS (
+       |  SELECT q.query_id, v.vec_id,
+       |         CAST(list_sum(list_transform(range(1, 65), i ->
+       |           CASE WHEN (q.qrvec[i] > 0) <> (v.rvec[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+       |  FROM q CROSS JOIN rot v WHERE v.vec_id <> q.query_id
+       |), sl AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rk
+       |    FROM h
+       |  ) WHERE rk <= 30
+       |), qv AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+       |), rr AS (
+       |  SELECT sl.query_id, sl.vec_id, ${l2sqSql("qv.qvec", "e.embedding")} AS dist
+       |  FROM sl
+       |  JOIN embeddings e ON sl.vec_id = e.vec_id
+       |  JOIN qv ON sl.query_id = qv.query_id
+       |), r AS (
+       |  SELECT query_id, vec_id, dist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+       |  FROM rr
+       |)
+       |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q_lsh_cosine_knn oracle — shared with q_ann_recall's approximate
     * subquery. */
   private val lshCosineKnnSql: String =
@@ -2583,6 +2642,8 @@ s"""WITH cent AS (
     "q_mmr_rerank" -> mmrRerankSql,
 
     "q_rotated_knn" -> rotatedKnnSql,
+
+    "q_rotated_binary_knn" -> rotatedBinaryKnnSql,
 
     "q_cosine_simjoin" ->
       s"""WITH f AS (

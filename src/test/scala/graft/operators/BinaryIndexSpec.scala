@@ -36,4 +36,30 @@ class BinaryIndexSpec extends SparkSpec {
       assert(hs.zip(hs.tail).forall { case (a, b) => a <= b })
     }
   }
+
+  test("rotated-sign shortlist + exact re-rank: recall rises with shortlist size") {
+    // a 64-bit sign sketch is the coarsest tier — on isotropic data the
+    // shortlist size is the recall knob (the sketch only prunes; the
+    // exact re-rank decides). Measure the curve and gate the knob's
+    // monotone effect + a floor at a 20%-corpus shortlist.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val exact = KnnSearch.selfTopK(emb, numQueries = 8, k = 10)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rmat = Rotation.randomOrthogonal(64, 42L)
+    val rotated = emb.select($"vec_id",
+      Rotation.rotateExpr($"embedding", rmat).as("embedding"))
+    val curve = Seq(30, 60, 100).map { sl =>
+      val reranked = BinaryIndex.selfSearchReranked(emb, d = 64, numQueries = 8,
+        k = 10, shortlist = sl, signSource = Some(rotated))
+        .select($"query_id", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (reranked intersect exact).size.toDouble / exact.size
+      info(f"shortlist $sl%3d → recall@10 = $recall%.3f")
+      recall
+    }
+    assert(curve.zip(curve.tail).forall { case (a, b) => b >= a },
+      "growing the shortlist must never lose recall")
+    assert(curve.last >= 0.6, s"20%-corpus shortlist floor, got ${curve.last}")
+  }
 }
