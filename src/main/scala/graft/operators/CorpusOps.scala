@@ -231,6 +231,31 @@ object CorpusOps {
       .orderBy(col("mix_key"), col("source"), col("doc_id"))
   }
 
+  /** Chunk-level exact dedup — the chunk-granularity form of
+    * [[graft.operators.Dedup.exactDedup]] (RAG ingestion and
+    * chunked-pretraining pipelines dedup the CHUNK stream, not whole
+    * docs — a doc that shares half its windows with the corpus keeps
+    * only its novel half): non-overlapping `chunkTokens` windows hash
+    * ([[chunkByTokens]] at stride = chunk), the canonical copy of each
+    * hash is the lowest (doc_id, chunk_id), and the per-doc report says
+    * what fraction of a doc's chunks were cross-corpus duplicates.
+    *
+    * Scale: one map-side chunk explode + ONE hash-partitioned window
+    * (the exact-dedup shuffle shape, on chunk hashes instead of doc
+    * hashes) + a per-doc aggregate. Output: (doc_id, n_chunks,
+    * dup_chunks, dup_frac) ordered. */
+  def chunkDedupStats(docs: DataFrame, chunkTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col("chunk_hash")).orderBy(col("doc_id"), col("chunk_id"))
+    chunkByTokens(docs, chunkTokens, chunkTokens)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("dup_chunks"))
+      .withColumn("dup_frac",
+        round(col("dup_chunks").cast("double") / col("n_chunks").cast("double"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** Temperature-based source sampling — the multinomial mixing rule of
     * the standard LLM/multilingual data recipes (p_s ∝ n_s^α; α=1 is
     * natural proportions, α→0 uniform across sources; e.g. α=0.3 in

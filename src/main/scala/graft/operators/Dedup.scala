@@ -275,6 +275,57 @@ object Dedup {
         sum((col("s") * col("s") - col("sq")) / 2).cast("long").as("num_candidate_pairs"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    * — the MOSS algorithm): hash every k-gram, slide a window of w
+    * consecutive hashes, and in each window select the minimum hash
+    * (RIGHTMOST position on ties — the paper's robust-winnowing rule).
+    * Guarantees: any shared substring of ≥ w+k−1 tokens yields at least
+    * one shared fingerprint, and selection density is ~2/(w+1) — the
+    * local fingerprinting scheme plagiarism/overlap detection is built
+    * on, positional where the MinHash sketch is global.
+    *
+    * Shape: sliding per-doc window-min (rows-bounded window frame) +
+    * a BOUNDED w-fanout explode joining each gram to the ≤ w window
+    * starts that could select it — O(n·w) rows, all equi-joins, no
+    * range join; the rightmost-tie argmax is one grouped max per
+    * window. Portable md5-derived 32-bit hashes keep the whole thing
+    * DuckDB-replayable. Output: (doc_id, fp_pos, fp_hash) distinct,
+    * ordered. */
+  def winnowFingerprints(
+      docs: DataFrame,
+      k: Int = 4,
+      w: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= k + w - 1)
+    val grams = toks.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), size(col("toks")) - k),
+        i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+      .toDF("doc_id", "pos", "gram")
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
+    val wSlide = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val wCount = Window.partitionBy(col("doc_id"))
+    val wins = grams
+      .withColumn("wmin", min(col("h")).over(wSlide))
+      .withColumn("n", count(lit(1)).over(wCount))
+      .where(col("pos") <= col("n") - w) // full windows only
+      .select(col("doc_id"), col("pos").as("s"), col("wmin"))
+    val cand = grams
+      .select(col("doc_id"), col("pos"), col("h"),
+        explode(sequence(lit(0), lit(w - 1))).as("kk"))
+      .select(col("doc_id"), (col("pos") - col("kk")).as("s"), col("pos"), col("h"))
+      .where(col("s") >= 0)
+    cand.join(wins, Seq("doc_id", "s"))
+      .where(col("h") === col("wmin"))
+      .groupBy(col("doc_id"), col("s"))
+      .agg(max(col("pos")).as("fp_pos"), first(col("wmin")).as("fp_hash"))
+      .select(col("doc_id"), col("fp_pos").cast("long").as("fp_pos"), col("fp_hash"))
+      .distinct()
+      .orderBy(col("doc_id"), col("fp_pos"), col("fp_hash"))
+  }
+
   /** The removal half of ExactSubstr dedup (Lee et al. 2022 cut ONE copy
     * of each duplicated span and showed the model improves): given
     * [[duplicateSpans]] output, delete the span tokens from the LATER

@@ -740,6 +740,17 @@ object Registry {
         .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"), col("chunk_hash"))
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // Chunk-level exact dedup (RAG-ingestion form): per-doc duplicated-
+    // chunk fraction over non-overlapping 32-token windows
+    "q_chunk_dedup" -> ((s, dir) =>
+      CorpusOps.chunkDedupStats(t(s, dir, "documents"), chunkTokens = 32)),
+
+    // Winnowing fingerprints (Schleimer et al. 2003 — MOSS): rightmost
+    // window-min selection over 4-gram hashes, w=4; the positional
+    // local-fingerprint scheme next to the global MinHash sketch
+    "q_winnow" -> ((s, dir) =>
+      Dedup.winnowFingerprints(t(s, dir, "documents"), k = 4, w = 4)),
+
     // Deterministic train/val/test split: pure row-local md5 routing
     "q_hash_split" -> ((s, dir) =>
       CorpusOps.hashSplit(t(s, dir, "documents"), col("doc_id"), 0.8, 0.1)
@@ -2902,6 +2913,69 @@ s"""WITH cent AS (
         |       CAST(len(toks[chunk_id*24+1 : chunk_id*24+32]) AS BIGINT) AS chunk_tokens,
         |       md5(array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ')) AS chunk_hash
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // q_winnow oracle: same 4-gram md5 hashes, the same sliding
+    // window-min (full windows only), the same bounded w-fanout
+    // candidate join, rightmost-tie argmax per window, distinct output
+    "q_winnow" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)-4+2),
+        |    i -> {'pos': i-1, 'gram': array_to_string(toks[i:i+3], ' ')})) AS u
+        |  FROM tk WHERE len(toks) >= 7
+        |), g AS (
+        |  SELECT doc_id, u.pos AS pos,
+        |         ('0x' || substr(md5(u.gram), 1, 8))::BIGINT AS h
+        |  FROM g0
+        |), wins AS (
+        |  SELECT doc_id, pos AS s,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |         count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM g
+        |), winf AS (
+        |  SELECT doc_id, s, wmin FROM wins WHERE s <= n - 4
+        |), cand AS (
+        |  SELECT g.doc_id, g.pos - r.k AS s, g.pos, g.h
+        |  FROM g CROSS JOIN range(0, 4) r(k)
+        |  WHERE g.pos - r.k >= 0
+        |), sel AS (
+        |  SELECT c.doc_id, c.s, max(c.pos) AS fp_pos, w.wmin AS fp_hash
+        |  FROM cand c JOIN winf w ON c.doc_id = w.doc_id AND c.s = w.s
+        |  WHERE c.h = w.wmin
+        |  GROUP BY c.doc_id, c.s, w.wmin
+        |)
+        |SELECT DISTINCT doc_id, CAST(fp_pos AS BIGINT) AS fp_pos, fp_hash
+        |FROM sel ORDER BY doc_id, fp_pos, fp_hash""".stripMargin,
+
+    // q_chunk_dedup oracle: the q_doc_chunks CTE at stride = chunk, then
+    // the canonical-rank window on chunk_hash and the per-doc rollup
+    "q_chunk_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, greatest(0, (n_tokens - 32 + 32 - 1) // 32) + 1)) AS chunk_id
+        |  FROM tk
+        |), h AS (
+        |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |         md5(array_to_string(toks[chunk_id*32+1 : chunk_id*32+32], ' ')) AS chunk_hash
+        |  FROM c
+        |), r AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_id) AS rn
+        |  FROM h
+        |), d AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+        |  FROM r GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_chunks, dup_chunks,
+        |       round(CAST(dup_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE), 4) AS dup_frac
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_hash_split" ->
       s"""SELECT doc_id,

@@ -132,4 +132,24 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("winnowing guarantee: docs sharing a >= w+k-1 token substring share a fingerprint") {
+    import spark.implicits._
+    // shared run of 7 tokens (= w+k-1 at k=4, w=4) embedded in different contexts
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven eight"),
+      (2L, s"red blue green yellow $shared purple orange pink brown"),
+      (3L, "completely different words with no overlap at all whatsoever here today"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, k = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "a shared w+k-1 substring must yield at least one shared fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty,
+      "disjoint vocab must share no fingerprints")
+    // density: selected positions are a strict subset of gram positions
+    assert(byDoc(1L).size < 10)
+  }
 }
