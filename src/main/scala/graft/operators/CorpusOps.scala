@@ -205,6 +205,43 @@ object CorpusOps {
         coalesce(col("is_contaminated"), lit(false)))
   }
 
+  /** Bloom-pruned [[decontaminate]], result-identical: at 100 TB the
+    * benchmark gram set (dozens of evals × all their n-grams) outgrows a
+    * comfortable broadcast — a Bloom filter of it is KBs-per-million-
+    * grams and rides in the plan, the map-side `might_contain` clears
+    * the definitely-clean grams (the overwhelming majority) WITHOUT any
+    * join, and only maybe-hits do the exact gram join that removes the
+    * false positives. Same novel/maybe split as
+    * [[incrementalDedupBloom]]; equality with the exact path is
+    * spec-gated. */
+  def decontaminateBloom(train: DataFrame, benchmark: DataFrame, n: Int,
+      textCol: String = "text", fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val bGrams = benchmark
+      .select(explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val bloom = bGrams.stat.bloomFilter("gram", math.max(bGrams.count(), 1L), fpp)
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(out)
+      out.toByteArray
+    }
+    val trainGrams = train
+      .select(col("doc_id"),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
+    val mightHit = ColumnBridge.column(graft.plans.BloomMightContain(
+      ColumnBridge.expression(col("gram")), bytes))
+    val contaminated = trainGrams
+      .where(mightHit) // map-side: definitely-clean grams never join
+      .join(broadcast(bGrams), Seq("gram")) // exact verify kills false positives
+      .select(col("doc_id")).distinct()
+      .withColumn("is_contaminated", lit(true))
+    train
+      .join(broadcast(contaminated), Seq("doc_id"), "left")
+      .withColumn("is_contaminated",
+        coalesce(col("is_contaminated"), lit(false)))
+  }
+
   /** Deterministic weighted source interleaving — the corpus-mixing
     * ORDER: docs from source s appear in the training stream with
     * frequency ∝ `weights(s)` (the deterministic analog of

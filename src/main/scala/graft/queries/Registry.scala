@@ -851,6 +851,19 @@ object Registry {
         .orderBy(col("doc_id"))
     }),
 
+    // The Bloom-pruned decontamination (100 TB eval-set path): map-side
+    // might_contain clears definitely-clean grams without a join, exact
+    // verify kills false positives — result-identical, SAME oracle
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusOps.decontaminateBloom(
+          train = docs.where(pmod(col("doc_id"), lit(50L)) =!= 0L),
+          benchmark = docs.where(pmod(col("doc_id"), lit(50L)) === 0L),
+          n = 8)
+        .select(col("doc_id"), col("is_contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR data selection (Xie et al., NeurIPS 2023): hashed uni+bigram
     // importance weights — p̂ fit on the target slice (src0), q̂ on the
     // raw pool (everything else), add-1 smoothing over B=256 buckets —
@@ -1775,6 +1788,26 @@ object Registry {
        |  $out
        |) ORDER BY rank""".stripMargin
   }
+
+  /** Shared by q_decontaminate and its Bloom-pruned twin — the Bloom
+    * path is result-identical by construction. */
+  private val decontaminateSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-6),
+      |    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||
+      |         toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7]))) AS gram
+      |  FROM tk
+      |), bg AS (
+      |  SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+      |), hits AS (
+      |  SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram) WHERE g.doc_id % 50 <> 0
+      |)
+      |SELECT t.doc_id, (h.doc_id IS NOT NULL) AS is_contaminated
+      |FROM documents t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      |WHERE t.doc_id % 50 <> 0
+      |ORDER BY t.doc_id""".stripMargin
 
   /** Shared CTE chain of the DSIR oracles (q_dsir_select / q_dsir_kl):
     * tokenize → uni+bigram grams → md5 buckets → target/pool bucket LMs
@@ -3061,23 +3094,11 @@ s"""WITH cent AS (
          |WHERE quality >= (SELECT quantile_cont(quality, 0.25) FROM q)
          |ORDER BY doc_id""".stripMargin,
 
-    "q_decontaminate" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), g AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)-6),
-        |    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||
-        |         toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7]))) AS gram
-        |  FROM tk
-        |), bg AS (
-        |  SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
-        |), hits AS (
-        |  SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram) WHERE g.doc_id % 50 <> 0
-        |)
-        |SELECT t.doc_id, (h.doc_id IS NOT NULL) AS is_contaminated
-        |FROM documents t LEFT JOIN hits h ON t.doc_id = h.doc_id
-        |WHERE t.doc_id % 50 <> 0
-        |ORDER BY t.doc_id""".stripMargin,
+    "q_decontaminate" -> decontaminateSql,
+
+    // identical oracle: the Bloom pre-filter never changes the verdict
+    // (false positives are exact-verified away)
+    "q_decontaminate_bloom" -> decontaminateSql,
 
     "q_session_window" ->
       """WITH o AS (

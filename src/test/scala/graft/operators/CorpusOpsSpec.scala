@@ -193,4 +193,27 @@ class CorpusOpsSpec extends SparkSpec {
       .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(again == got.select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("decontaminateBloom equals the exact path on a planted-contamination fixture") {
+    // 3 of 8 train docs verbatim-contain a benchmark 8-gram
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "clean text one with plenty of ordinary words in it for sure"),
+      (2L, "prefix the quick brown fox jumps over the lazy dog suffix here"),
+      (3L, "another clean document that shares no long run with the benchmark"),
+      (4L, "quick brown fox jumps over the lazy dog tonight indeed truly"),
+      (5L, "clean five six seven eight nine ten eleven twelve thirteen fourteen"),
+      (6L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (7L, "totally unrelated content goes here with many harmless tokens present"),
+      (8L, "nothing to see in this one either just plain words"))
+      .toDF("doc_id", "text")
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"is_contaminated").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toSeq
+    val exact = verdicts(CorpusOps.decontaminate(train, bench, n = 8))
+    val bloom = verdicts(CorpusOps.decontaminateBloom(train, bench, n = 8))
+    assert(bloom == exact)
+    assert(exact.filter(_._2).map(_._1) == Seq(2L, 4L, 6L))
+  }
 }
