@@ -326,6 +326,31 @@ object Dedup {
       .orderBy(col("doc_id"), col("fp_pos"), col("fp_hash"))
   }
 
+  /** Winnowing overlap pairs — MOSS's actual use of the fingerprints:
+    * doc pairs sharing ≥ `minShared` DISTINCT fingerprint hashes, with
+    * the shared count (the plagiarism/near-dup ranking signal). The
+    * candidate join is an equi-join on fp_hash — fan-out bounded by
+    * fingerprint collision groups (the winnowing guarantee makes any
+    * ≥ w+k−1-token shared run produce a collision, so recall is
+    * structural, not probabilistic). Output: (doc_a, doc_b, shared_fps)
+    * ordered. */
+  def winnowDups(
+      docs: DataFrame,
+      k: Int = 4,
+      w: Int = 4,
+      minShared: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w, textCol)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    fps.select(col("doc_id").as("doc_a"), col("fp_hash"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp_hash")), Seq("fp_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The removal half of ExactSubstr dedup (Lee et al. 2022 cut ONE copy
     * of each duplicated span and showed the model improves): given
     * [[duplicateSpans]] output, delete the span tokens from the LATER

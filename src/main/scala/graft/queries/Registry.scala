@@ -751,6 +751,11 @@ object Registry {
     "q_winnow" -> ((s, dir) =>
       Dedup.winnowFingerprints(t(s, dir, "documents"), k = 4, w = 4)),
 
+    // MOSS overlap pairs on those fingerprints: docs sharing >= 2
+    // distinct fingerprint hashes, with the shared count
+    "q_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowDups(t(s, dir, "documents"), k = 4, w = 4, minShared = 2)),
+
     // Deterministic train/val/test split: pure row-local md5 routing
     "q_hash_split" -> ((s, dir) =>
       CorpusOps.hashSplit(t(s, dir, "documents"), col("doc_id"), 0.8, 0.1)
@@ -1788,6 +1793,39 @@ object Registry {
        |  $out
        |) ORDER BY rank""".stripMargin
   }
+
+  /** Shared CTEs of the winnowing oracles (q_winnow / q_winnow_pairs):
+    * gram hashes → full-window sliding min → bounded w-fanout candidate
+    * join → rightmost-tie argmax selection (`sel`). */
+  private val winnowCoreCtes: String =
+    """tk AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), g0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)-4+2),
+      |    i -> {'pos': i-1, 'gram': array_to_string(toks[i:i+3], ' ')})) AS u
+      |  FROM tk WHERE len(toks) >= 7
+      |), g AS (
+      |  SELECT doc_id, u.pos AS pos,
+      |         ('0x' || substr(md5(u.gram), 1, 8))::BIGINT AS h
+      |  FROM g0
+      |), wins AS (
+      |  SELECT doc_id, pos AS s,
+      |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+      |         count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM g
+      |), winf AS (
+      |  SELECT doc_id, s, wmin FROM wins WHERE s <= n - 4
+      |), cand AS (
+      |  SELECT g.doc_id, g.pos - r.k AS s, g.pos, g.h
+      |  FROM g CROSS JOIN range(0, 4) r(k)
+      |  WHERE g.pos - r.k >= 0
+      |), sel AS (
+      |  SELECT c.doc_id, c.s, max(c.pos) AS fp_pos, w.wmin AS fp_hash
+      |  FROM cand c JOIN winf w ON c.doc_id = w.doc_id AND c.s = w.s
+      |  WHERE c.h = w.wmin
+      |  GROUP BY c.doc_id, c.s, w.wmin
+      |)""".stripMargin
 
   /** Shared by q_decontaminate and its Bloom-pruned twin — the Bloom
     * path is result-identical by construction. */
@@ -2951,36 +2989,23 @@ s"""WITH cent AS (
     // window-min (full windows only), the same bounded w-fanout
     // candidate join, rightmost-tie argmax per window, distinct output
     "q_winnow" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-        |), g0 AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)-4+2),
-        |    i -> {'pos': i-1, 'gram': array_to_string(toks[i:i+3], ' ')})) AS u
-        |  FROM tk WHERE len(toks) >= 7
-        |), g AS (
-        |  SELECT doc_id, u.pos AS pos,
-        |         ('0x' || substr(md5(u.gram), 1, 8))::BIGINT AS h
-        |  FROM g0
-        |), wins AS (
-        |  SELECT doc_id, pos AS s,
-        |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
-        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
-        |         count(*) OVER (PARTITION BY doc_id) AS n
-        |  FROM g
-        |), winf AS (
-        |  SELECT doc_id, s, wmin FROM wins WHERE s <= n - 4
-        |), cand AS (
-        |  SELECT g.doc_id, g.pos - r.k AS s, g.pos, g.h
-        |  FROM g CROSS JOIN range(0, 4) r(k)
-        |  WHERE g.pos - r.k >= 0
-        |), sel AS (
-        |  SELECT c.doc_id, c.s, max(c.pos) AS fp_pos, w.wmin AS fp_hash
-        |  FROM cand c JOIN winf w ON c.doc_id = w.doc_id AND c.s = w.s
-        |  WHERE c.h = w.wmin
-        |  GROUP BY c.doc_id, c.s, w.wmin
-        |)
+      s"""WITH $winnowCoreCtes
         |SELECT DISTINCT doc_id, CAST(fp_pos AS BIGINT) AS fp_pos, fp_hash
         |FROM sel ORDER BY doc_id, fp_pos, fp_hash""".stripMargin,
+
+    // q_winnow_pairs oracle: the same selection CTEs, then the MOSS
+    // overlap join — pairs sharing >= 2 distinct fingerprint hashes
+    "q_winnow_pairs" ->
+      s"""WITH $winnowCoreCtes, fpd AS (
+        |  SELECT DISTINCT doc_id, fp_hash FROM sel
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(count(*) AS BIGINT) AS shared_fps
+        |  FROM fpd a JOIN fpd b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT doc_a, doc_b, shared_fps FROM p WHERE shared_fps >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // q_chunk_dedup oracle: the q_doc_chunks CTE at stride = chunk, then
     // the canonical-rank window on chunk_hash and the per-doc rollup
