@@ -304,13 +304,15 @@ object Dedup {
       .toDF("doc_id", "pos", "gram")
       .select(col("doc_id"), col("pos"),
         conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
+    // ONE window pass: the same sliding frame yields the min AND the
+    // row count — a frame of exactly w rows ⟺ a full window (the
+    // pos ≤ n−w test without a second, full-partition window)
     val wSlide = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
-    val wCount = Window.partitionBy(col("doc_id"))
     val wins = grams
       .withColumn("wmin", min(col("h")).over(wSlide))
-      .withColumn("n", count(lit(1)).over(wCount))
-      .where(col("pos") <= col("n") - w) // full windows only
+      .withColumn("wlen", count(lit(1)).over(wSlide))
+      .where(col("wlen") === w) // full windows only
       .select(col("doc_id"), col("pos").as("s"), col("wmin"))
     val cand = grams
       .select(col("doc_id"), col("pos"), col("h"),

@@ -1812,10 +1812,11 @@ object Registry {
       |  SELECT doc_id, pos AS s,
       |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
       |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
-      |         count(*) OVER (PARTITION BY doc_id) AS n
+      |         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wlen
       |  FROM g
       |), winf AS (
-      |  SELECT doc_id, s, wmin FROM wins WHERE s <= n - 4
+      |  SELECT doc_id, s, wmin FROM wins WHERE wlen = 4
       |), cand AS (
       |  SELECT g.doc_id, g.pos - r.k AS s, g.pos, g.h
       |  FROM g CROSS JOIN range(0, 4) r(k)
