@@ -217,9 +217,13 @@ object CorpusOps {
   def decontaminateBloom(train: DataFrame, benchmark: DataFrame, n: Int,
       textCol: String = "text", fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
+    // one evaluation of the benchmark shingling: the count, the Bloom
+    // aggregation, and the exact-verify join all read the pinned rows
+    // (uncached, each would re-run the explode+distinct shuffle)
     val bGrams = benchmark
       .select(explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
       .distinct()
+      .localCheckpoint(true)
     val bloom = bGrams.stat.bloomFilter("gram", math.max(bGrams.count(), 1L), fpp)
     val bytes = {
       val out = new java.io.ByteArrayOutputStream()
@@ -309,20 +313,24 @@ object CorpusOps {
     * Output adds `sample_rank` (1..quota within source). */
   def temperatureSample(docs: DataFrame, totalBudget: Long, alpha: Double): DataFrame = {
     require(totalBudget > 0 && alpha > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
     val counts = docs.groupBy(col("source")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val z = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
-    val quotas: Map[String, Long] = counts.map { case (s, n) =>
-      s -> math.min(math.floor(totalBudget * math.pow(n.toDouble, alpha) / z).toLong, n)
-    }.toMap
-    val quota = quotas.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
-      case (acc, (s, q)) => when(col("source") === s, lit(q)).otherwise(acc)
-    }
+    // quotas ride as a broadcast (source, quota) table — a nested CASE
+    // chain would grow the expression tree linearly in source count
+    // (thousands of domains in the recipes this implements)
+    val quotas = counts.map { case (s, n) =>
+      (s, math.min(math.floor(totalBudget * math.pow(n.toDouble, alpha) / z).toLong, n))
+    }.toSeq.toDF("source", "_quota")
     val w = Window.partitionBy(col("source"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     docs
       .withColumn("sample_rank", row_number().over(w).cast("long"))
-      .where(col("sample_rank") <= quota)
+      .join(broadcast(quotas), Seq("source"))
+      .where(col("sample_rank") <= col("_quota"))
+      .drop("_quota")
   }
 
   /** Context-window packing: assign docs to training bins of ~`budget`

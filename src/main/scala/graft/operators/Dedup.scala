@@ -262,17 +262,23 @@ object Dedup {
       textCol: String = "text",
       maxGramDocFreq: Int = 0): DataFrame = {
     // per-gram per-doc posting counts c_i: a gram contributes
-    // Σ_{i<j} c_i·c_j = (S² − Σc_i²)/2 candidate pairs (doc_a < doc_b)
+    // Σ_{i<j} c_i·c_j = (S² − Σc_i²)/2 candidate pairs (doc_a < doc_b).
+    // The pair arithmetic runs in DECIMAL(38,0): a hot gram with S past
+    // ~3×10⁹ postings would wrap S² in long math, and a double `/2`
+    // loses exactness past 2⁵³ — i.e. the audit would lie precisely in
+    // the F² pathology it exists to measure. 38 digits cover S ≤ 10¹⁹.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     spanGrams(docs, minTokens, textCol, maxGramDocFreq)
       .groupBy(col("gram"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("gram"))
-      .agg(sum(col("c")).as("s"), sum(col("c") * col("c")).as("sq"),
+      .agg(sum(col("c")).as("s"), sum(col("c").cast(dec) * col("c")).as("sq"),
         count(lit(1)).as("df"))
       .agg(
         sum(col("s")).cast("long").as("num_postings"),
         count(lit(1)).cast("long").as("num_grams"),
-        sum((col("s") * col("s") - col("sq")) / 2).cast("long").as("num_candidate_pairs"))
+        ((sum(col("s").cast(dec) * col("s")) - sum(col("sq"))) / 2)
+          .cast(dec).as("num_candidate_pairs"))
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003

@@ -482,7 +482,13 @@ object HnswIndex {
     // lineage back to the files the commit is about to delete.
     val rewritten = existing.cogroup(adds) { (pid, oldIt, newIt) =>
       val graph = graphFromRows(oldIt.toArray, p)
-      newIt.toArray.sortBy(_._2).foreach { case (_, id, v) => graph.insert(id, v) }
+      // idempotent by id: a replayed batch (crash between the overwrite
+      // commit and hnswIngestLoop's marker) re-delivers vectors the
+      // graph already holds — skip them so the replay is a no-op, not a
+      // duplicate-node insert
+      val have = graph.ids.toSet
+      newIt.toArray.sortBy(_._2)
+        .foreach { case (_, id, v) => if (!have.contains(id)) graph.insert(id, v) }
       graphToRows(graph, pid)
     }.localCheckpoint(true)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

@@ -302,7 +302,10 @@ object IvfIndex {
     val d = cents.head._2.length
     var itr = 0
     while (itr < iters) {
-      val assigned = assign(embeddings, cents)
+      // pin the round's assignment: the means pass and the medoid-snap
+      // pass both read it — uncached, each would re-run the full
+      // corpus × nlist argmin scan
+      val assigned = assign(embeddings, cents).localCheckpoint(true)
       val means = assigned
         .select(col("cluster_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cluster_id"), col("pos"))
@@ -331,6 +334,7 @@ object IvfIndex {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .toMap
       cents = cents.map { case (cid, v) => (cid, snapped.getOrElse(cid, v)) }
+      assigned.unpersist(blocking = false) // round's pin released eagerly
       itr += 1
     }
     cents

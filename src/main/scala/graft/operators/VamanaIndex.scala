@@ -275,6 +275,13 @@ object VamanaIndex {
         }
       }
       .toDF("query_id", "vec_id", "dist")
+    mergeTopK(partials, k)
+  }
+
+  /** The shared A1 shard-merge tail: fresh-build and persisted searches
+    * MUST go through this one code path — VamanaIndexSpec's row-identity
+    * test assumes their tie-breaking/rounding can never diverge. */
+  private def mergeTopK(partials: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
     partials
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -389,12 +396,7 @@ object VamanaIndex {
         }
       }
       .toDF("query_id", "vec_id", "dist")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
-    partials
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
-      .orderBy(col("query_id"), col("rank"))
+    mergeTopK(partials, k)
   }
 
   /** S3 — self-search a persisted index without rebuilding; on the same
@@ -493,7 +495,14 @@ object VamanaIndex {
     val adds = routed.as[(Int, Long, Array[Float])].groupByKey(_._1)
     val rewritten = existing.cogroup(adds) { (pid, oldIt, newIt) =>
       val graph = graphFromRows(oldIt.toArray, p)
-      newIt.toArray.sortBy(_._2).foreach { case (_, id, v) => graph.insertPoint(id, v) }
+      // idempotent by id: a batch replayed after a crash in the
+      // window between the overwrite commit and the caller's replay
+      // marker (vamanaIngestLoop) re-delivers vectors the graph
+      // already holds — skipping them makes the replay a no-op
+      // instead of a duplicate-node insert
+      val have = graph.ids.toSet
+      newIt.toArray.sortBy(_._2)
+        .foreach { case (_, id, v) => if (!have.contains(id)) graph.insertPoint(id, v) }
       graphToRows(graph, pid)
     }.localCheckpoint(true)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

@@ -29,8 +29,23 @@ object Registry {
     * stable, so a query's build-then-read stays coherent and repeated
     * bench iterations reuse the built index. */
   private val procId: Long = java.lang.ProcessHandle.current().pid()
-  private def tmpIndexDir(prefix: String, dataDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/${prefix}_${Integer.toHexString(dataDir.hashCode)}_p$procId"
+  // proc-scoped dirs would otherwise accumulate in tmp forever (every
+  // bench/verify/test JVM writes fresh copies nothing reuses) — each
+  // created path registers for recursive deletion at JVM exit
+  private val scratchDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    scratchDirs.forEach { dir =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }))
+  private def tmpIndexDir(prefix: String, dataDir: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/${prefix}_${Integer.toHexString(dataDir.hashCode)}_p$procId"
+    scratchDirs.add(p)
+    p
+  }
 
   /** events.parquet's ts column has shipped in three physical forms across
     * driver data generations: TIMESTAMP(NANOS) (arrives as long nanos under

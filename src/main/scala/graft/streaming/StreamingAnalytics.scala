@@ -230,13 +230,22 @@ object StreamingAnalytics {
     * anti-joins against a PERSISTED seen-hash set (the batch
     * `CorpusOps.incrementalDedup` contract as a stream — unbounded
     * history, unlike the watermark-bounded `streamingExactDedup` whose
-    * state dies at the watermark), appends the survivors to `outDir/docs`
-    * and their hashes to `outDir/seen`. Within a batch the canonical
-    * (lowest doc_id per hash) row survives, matching the batch operator.
-    * Replay safety: same per-batch marker guard as the index ingest
-    * loops — a re-delivered batch is a no-op, so a doc can never append
-    * twice. At scale the seen side is a hash-only table (16-byte md5 +
-    * id), bucketable by hash prefix; the Bloom-pruned pre-filter of
+    * state dies at the watermark). Within a batch the canonical (lowest
+    * doc_id per hash) row survives, matching the batch operator.
+    *
+    * Replay safety is ATOMIC, not best-effort: a batch's survivors and
+    * their hashes are written together under one staging directory and
+    * committed by a single directory rename to
+    * `outDir/batches/<batchId>/{docs,seen}` — the batch is visible
+    * all-or-nothing, so a crash at ANY point either leaves nothing (the
+    * replay redoes the batch) or everything (the replay sees the
+    * committed directory and no-ops). A two-append-plus-marker scheme
+    * would have a window where docs landed but the marker didn't —
+    * replay would then append the docs twice. Readers consume the
+    * `docs` subdirs of `outDir/batches`; the seen set is the `seen`
+    * subdirs (glob over batch dirs).
+    * At scale the seen side is a hash-only table (16-byte md5 + id),
+    * bucketable by hash prefix; the Bloom pre-filter of
     * `incrementalDedupBloom` drops in front unchanged. */
   def dedupIngestLoop(
       docStream: DataFrame,
@@ -246,14 +255,19 @@ object StreamingAnalytics {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val marker = new org.apache.hadoop.fs.Path(s"$outDir/_batches/$batchId")
-        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(marker) && !batch.isEmpty) {
+        val committed = new org.apache.hadoop.fs.Path(s"$outDir/batches/$batchId")
+        val fs = committed.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(committed) && !batch.isEmpty) {
+          val staging = new org.apache.hadoop.fs.Path(s"$outDir/_staging/$batchId")
+          if (fs.exists(staging)) fs.delete(staging, true) // stale partial attempt
           val hashed = batch.withColumn("content_hash", md5(col(textCol)))
-          val seenPath = s"$outDir/seen"
+          val seenGlob = new org.apache.hadoop.fs.Path(s"$outDir/batches/*/seen")
+          val seenDirs = Option(fs.globStatus(seenGlob)).getOrElse(Array.empty)
+            .map(_.getPath.toString)
           val novel =
-            if (fs.exists(new org.apache.hadoop.fs.Path(seenPath))) {
-              val seen = spark.read.parquet(seenPath).select(col("content_hash"))
+            if (seenDirs.nonEmpty) {
+              val seen = spark.read.parquet(seenDirs.toIndexedSeq: _*)
+                .select(col("content_hash"))
               hashed.join(seen, Seq("content_hash"), "left_anti")
             } else hashed
           // batch-internal canonicalization: lowest doc_id per hash
@@ -262,15 +276,18 @@ object StreamingAnalytics {
           val kept = novel
             .withColumn("_rn", row_number().over(w))
             .where(col("_rn") === 1).drop("_rn")
-            // the two appends below must see ONE evaluation: md5+window
+            // the two writes below must see ONE evaluation: md5+window
             // recomputed per sink could diverge under speculative lineage
             .localCheckpoint(true)
           try {
-            kept.drop("content_hash")
-              .write.mode("append").parquet(s"$outDir/docs")
+            kept.drop("content_hash").write.parquet(s"$staging/docs")
             kept.select(col("content_hash"), col("doc_id"))
-              .write.mode("append").parquet(seenPath)
-            fs.create(marker, true).close()
+              .write.parquet(s"$staging/seen")
+            fs.mkdirs(committed.getParent)
+            // the atomic commit point; a lost race to an already-
+            // committed dir (concurrent restart) is success
+            if (!fs.rename(staging, committed) && !fs.exists(committed))
+              throw new java.io.IOException(s"batch $batchId commit rename failed")
           } finally kept.unpersist(blocking = false)
         }
       }

@@ -14,7 +14,7 @@ class SpanCapAuditSpec extends SparkSpec {
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     def stats(cap: Int): (Long, Long, Long) = {
       val r = Dedup.spanCandidateStats(docs, minTokens = 5, maxGramDocFreq = cap).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2))
+      (r.getLong(0), r.getLong(1), r.getDecimal(2).longValueExact())
     }
     val (uPost, uGrams, uPairs) = stats(0)
     val (cPost, cGrams, cPairs) = stats(2)
@@ -38,6 +38,6 @@ class SpanCapAuditSpec extends SparkSpec {
     val r = Dedup.spanCandidateStats(docs, minTokens = 5).head()
     // postings: doc1 has 7 5-grams (2 of them "a b c d e"), doc2 1, doc3 2
     assert(r.getLong(0) == 10L, s"postings=${r.getLong(0)}")
-    assert(r.getLong(2) == 5L, s"pairs=${r.getLong(2)}")
+    assert(r.getDecimal(2).longValueExact() == 5L, s"pairs=${r.getDecimal(2)}")
   }
 }

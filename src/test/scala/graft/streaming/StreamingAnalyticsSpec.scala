@@ -395,10 +395,10 @@ class StreamingAnalyticsSpec extends SparkSpec {
       src.addData((4L, "beta"), (5L, "gamma"))
       q.processAllAvailable()
     } finally q.stop()
-    val docs = spark.read.parquet(s"$dir/docs")
+    val docs = spark.read.parquet(s"$dir/batches/*/docs")
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(docs == Seq(1L, 3L, 5L), s"got $docs")
-    assert(spark.read.parquet(s"$dir/seen").count() == 3)
+    assert(spark.read.parquet(s"$dir/batches/*/seen").count() == 3)
 
     // replay batch 0 on a fresh stream: the marker makes it a no-op
     val src2 = MemoryStream[(Long, String)]
@@ -408,7 +408,14 @@ class StreamingAnalyticsSpec extends SparkSpec {
       src2.addData((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
       q2.processAllAvailable()
     } finally q2.stop()
-    assert(spark.read.parquet(s"$dir/docs").count() == 3,
+    assert(spark.read.parquet(s"$dir/batches/*/docs").count() == 3,
       "replayed batch must not re-append")
+    // atomicity surface: every committed batch dir holds BOTH tables
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/batches/*")).foreach { st =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "docs")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "seen")))
+    }
   }
 }
