@@ -111,6 +111,47 @@ object CorpusStats {
       .select(col("doc_id"), col("n_tokens"), col("nll"))
   }
 
+  /** TARGET-domain LM scoring — the actual CCNet configuration (Wenzek
+    * et al. 2020 score Common Crawl with a WIKIPEDIA-trained LM, not a
+    * self-LM): fit the unigram model on `lmCorpus`, score `docs`
+    * against it with add-1 smoothing over a V+1-term event space (the
+    * +1 is the shared OOV bucket — scored docs contain terms the target
+    * never saw): p(w) = (cf_target(w)+1)/(N_target+V+1). Low nll =
+    * target-like text; the DSIR importance weight is exactly the
+    * difference of two of these scores.
+    *
+    * Scale: identical profile to [[unigramNll]] — the target cf table
+    * is Heaps'-law vocabulary-sized and broadcasts; per-doc sums fold
+    * left-to-right over term-sorted lists for oracle bit parity.
+    * Output: (doc_id, n_tokens, oov_tokens, nll) ordered by doc_id. */
+  def crossNll(docs: DataFrame, lmCorpus: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val lmToks = lmCorpus.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val cf = lmToks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      .localCheckpoint(true) // one evaluation: N, V and the join all read it
+    val nTotal = cf.agg(sum(col("cf"))).head().getLong(0)
+    val v = cf.count()
+    val denom = (nTotal + v + 1).toDouble
+    val toks = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(cf), Seq("term"), "left")
+      .withColumn("contrib",
+        col("tf").cast("double") *
+          log(lit(denom) / (coalesce(col("cf"), lit(0L)).cast("double") + 1.0d)))
+      .withColumn("oov", when(col("cf").isNull, col("tf")).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("oov")).cast("long").as("oov_tokens"),
+        sort_array(collect_list(struct(col("term"), col("contrib")))).as("lst"))
+      .withColumn("nll",
+        round(
+          aggregate(col("lst"), lit(0.0d), (acc, x) => acc + x.getField("contrib")) /
+            col("n_tokens").cast("double"), 4))
+      .select(col("doc_id"), col("n_tokens"), col("oov_tokens"), col("nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020: score each
     * doc with an LM, split every source into head/middle/tail thirds by
     * perplexity, train on head+middle): per-source NTILE(3) over the

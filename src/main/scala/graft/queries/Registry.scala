@@ -1290,6 +1290,16 @@ object Registry {
     "q_perplexity_buckets" -> ((s, dir) =>
       CorpusStats.perplexityBuckets(t(s, dir, "documents"))),
 
+    // The actual CCNet configuration: a TARGET-domain LM (src0) scores
+    // the rest of the corpus, add-1 smoothing over a V+1 event space
+    // with a shared OOV bucket — low nll = target-like text
+    "q_cross_nll" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusStats.crossNll(
+        docs.where(col("source") =!= "src0"),
+        lmCorpus = docs.where(col("source") === "src0"))
+    }),
+
     // FAISS merge_from: two half-indexes on the same centroids, merged,
     // must search identically to the single full index (shared oracle)
     "q_ivf_merge" -> ((s, dir) => {
@@ -3766,6 +3776,38 @@ s"""WITH cent AS (
         |  FROM j GROUP BY doc_id
         |)
         |SELECT doc_id, n_tokens,
+        |       round(nll_sum / CAST(n_tokens AS DOUBLE), 4) AS nll
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q_cross_nll oracle: target-LM cf over src0, V+1 add-1 smoothing
+    // with the OOV bucket, left join onto the scored docs' tf, the same
+    // term-sorted fold
+    "q_cross_nll" ->
+      """WITH lmtoks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE source = 'src0'
+        |), cf AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM lmtoks GROUP BY term
+        |), denom AS (
+        |  SELECT CAST((SELECT count(*) FROM lmtoks)
+        |           + (SELECT count(*) FROM cf) + 1 AS DOUBLE) AS d
+        |), toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE source <> 'src0'
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term
+        |), j AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         CAST(tf.tf AS DOUBLE) * ln(denom.d / (CAST(COALESCE(cf.cf, 0) AS DOUBLE) + 1.0)) AS contrib,
+        |         CASE WHEN cf.cf IS NULL THEN tf.tf ELSE 0 END AS oov
+        |  FROM tf LEFT JOIN cf USING (term) CROSS JOIN denom
+        |), d AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |         CAST(sum(oov) AS BIGINT) AS oov_tokens,
+        |         list_sum(list(contrib ORDER BY term)) AS nll_sum
+        |  FROM j GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, oov_tokens,
         |       round(nll_sum / CAST(n_tokens AS DOUBLE), 4) AS nll
         |FROM d ORDER BY doc_id""".stripMargin,
 

@@ -66,4 +66,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(0)._3 < out(1)._3) // doc with the rare word scores higher NLL
     assert(out.forall(_._2 == 4L))
   }
+
+  test("crossNll: OOV terms hit the shared smoothing bucket; target-like docs score lower") {
+    import spark.implicits._
+    val lm = Seq((100L, "alpha beta gamma alpha beta alpha")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta alpha"),      // all in-vocab, high-cf terms
+      (2L, "zzz qqq www"))           // all OOV
+      .toDF("doc_id", "text")
+    val got = CorpusStats.crossNll(docs, lm)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (n1, oov1, nll1) = got(1L)
+    val (n2, oov2, nll2) = got(2L)
+    assert(oov1 == 0L && oov2 == 3L && n1 == 3L && n2 == 3L)
+    assert(nll1 < nll2, "target-like text must score lower than all-OOV text")
+    // hand-check doc 2: every term gets p = 1/(N+V+1) = 1/(6+3+1)
+    assert(math.abs(nll2 - math.log(10.0)) < 1e-3)
+  }
 }
