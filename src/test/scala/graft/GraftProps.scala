@@ -265,6 +265,38 @@ object GraftProps extends Properties("graft") {
       .collect().forall(r => (0 until 5).forall(i => r.getBoolean(i)))
   }
 
+  // --- winnowing (Schleimer et al. 2003) structural guarantees on
+  // random word documents: every full window of w consecutive gram
+  // positions contains at least one selected fingerprint (the paper's
+  // coverage/density theorem — THE property making overlap detection
+  // sound), and selections are genuine window minima ---
+
+  private val wordsDocGen: Gen[String] = for {
+    n <- Gen.chooseNum(8, 40)
+    ws <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"))
+  } yield ws.mkString(" ")
+
+  property("winnowingCoversEveryWindow") = forAll(Gen.listOfN(4, wordsDocGen)) { texts =>
+    val s = spark
+    import s.implicits._
+    val k = 3
+    val w = 4
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, k = k, w = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (d, rows) => d -> rows.map(_._2).toSet }
+    texts.zipWithIndex.forall { case (t, i) =>
+      val toks = t.trim.split("\\s+").toSeq
+      val nGrams = toks.length - k + 1
+      if (toks.length < k + w - 1) fps.get(i.toLong).isEmpty || fps(i.toLong).isEmpty
+      else (0 to nGrams - w).forall { st =>
+        // some selected position falls inside window [st, st+w-1]
+        fps.getOrElse(i.toLong, Set.empty).exists(p => p >= st && p <= st + w - 1)
+      }
+    }
+  }
+
   property("ngramWindowsEqualsHofForm") = forAll(Gen.listOfN(6, textGen),
       Gen.chooseNum(1, 4)) { (texts, n) =>
     val s = spark
