@@ -94,21 +94,47 @@ object CorpusStats {
   def unigramNll(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val cf = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
     val nTotal = cf.agg(sum(col("cf"))).head().getLong(0) // control-plane scalar
-    tf.join(broadcast(cf), Seq("term"))
-      .withColumn("contrib",
-        col("tf").cast("double") *
-          log(lit(nTotal.toDouble) / col("cf").cast("double")))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_tokens"),
-        sort_array(collect_list(struct(col("term"), col("contrib")))).as("lst"))
+    nllScore(docs, textCol, cf, joinType = "inner",
+      contrib = col("tf").cast("double") *
+        log(lit(nTotal.toDouble) / col("cf").cast("double")),
+      withOov = false)
+  }
+
+  /** Shared per-doc scoring tail of [[unigramNll]] and [[crossNll]]:
+    * per-(doc,term) tf, the cf join, and the term-sorted left-to-right
+    * contribution fold (ONE copy, so the oracle bit-parity discipline
+    * cannot silently diverge between the self-LM and target-LM paths). */
+  private def nllScore(
+      docs: DataFrame,
+      textCol: String,
+      cf: DataFrame,
+      joinType: String,
+      contrib: org.apache.spark.sql.Column,
+      withOov: Boolean): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val base = tf.join(broadcast(cf), Seq("term"), joinType)
+      .withColumn("contrib", contrib)
+    val aggs = Seq(
+      Some(sum(col("tf")).as("n_tokens")),
+      if (withOov)
+        Some(sum(when(col("cf").isNull, col("tf")).otherwise(0L))
+          .cast("long").as("oov_tokens"))
+      else None,
+      Some(sort_array(collect_list(struct(col("term"), col("contrib")))).as("lst"))
+    ).flatten
+    val outCols = Seq(col("doc_id"), col("n_tokens")) ++
+      (if (withOov) Seq(col("oov_tokens")) else Nil) :+ col("nll")
+    base.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("nll",
         round(
           aggregate(col("lst"), lit(0.0d), (acc, x) => acc + x.getField("contrib")) /
             col("n_tokens").cast("double"), 4))
-      .select(col("doc_id"), col("n_tokens"), col("nll"))
+      .select(outCols: _*)
   }
 
   /** TARGET-domain LM scoring — the actual CCNet configuration (Wenzek
@@ -128,27 +154,17 @@ object CorpusStats {
       textCol: String = "text"): DataFrame = {
     val lmToks = lmCorpus.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
     val cf = lmToks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
-      .localCheckpoint(true) // one evaluation: N, V and the join all read it
-    val nTotal = cf.agg(sum(col("cf"))).head().getLong(0)
-    val v = cf.count()
-    val denom = (nTotal + v + 1).toDouble
-    val toks = docs.select(col("doc_id"),
-      explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    tf.join(broadcast(cf), Seq("term"), "left")
-      .withColumn("contrib",
-        col("tf").cast("double") *
-          log(lit(denom) / (coalesce(col("cf"), lit(0L)).cast("double") + 1.0d)))
-      .withColumn("oov", when(col("cf").isNull, col("tf")).otherwise(0L))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_tokens"),
-        sum(col("oov")).cast("long").as("oov_tokens"),
-        sort_array(collect_list(struct(col("term"), col("contrib")))).as("lst"))
-      .withColumn("nll",
-        round(
-          aggregate(col("lst"), lit(0.0d), (acc, x) => acc + x.getField("contrib")) /
-            col("n_tokens").cast("double"), 4))
-      .select(col("doc_id"), col("n_tokens"), col("oov_tokens"), col("nll"))
+      .localCheckpoint(true) // one evaluation: N+V and the join both read it
+    // one job for both scalars; sum is null (not 0) on an empty cf —
+    // surface that as the real error, not a bare NPE
+    val nv = cf.agg(sum(col("cf")), count(lit(1))).head()
+    require(!nv.isNullAt(0),
+      "crossNll: lmCorpus has no tokens — the target-LM corpus filter matched nothing")
+    val denom = (nv.getLong(0) + nv.getLong(1) + 1).toDouble
+    nllScore(docs, textCol, cf, joinType = "left",
+      contrib = col("tf").cast("double") *
+        log(lit(denom) / (coalesce(col("cf"), lit(0L)).cast("double") + 1.0d)),
+      withOov = true)
       .orderBy(col("doc_id"))
   }
 

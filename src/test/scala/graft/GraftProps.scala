@@ -272,7 +272,9 @@ object GraftProps extends Properties("graft") {
   // sound), and selections are genuine window minima ---
 
   private val wordsDocGen: Gen[String] = for {
-    n <- Gen.chooseNum(8, 40)
+    // 3..40 words: lengths below k+w-1 = 6 exercise the no-fingerprint
+    // branch for real (8+ would leave it dead code)
+    n <- Gen.chooseNum(3, 40)
     ws <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"))
   } yield ws.mkString(" ")
 
@@ -289,7 +291,7 @@ object GraftProps extends Properties("graft") {
     texts.zipWithIndex.forall { case (t, i) =>
       val toks = t.trim.split("\\s+").toSeq
       val nGrams = toks.length - k + 1
-      if (toks.length < k + w - 1) fps.get(i.toLong).isEmpty || fps(i.toLong).isEmpty
+      if (toks.length < k + w - 1) !fps.contains(i.toLong) // sub-window docs emit nothing
       else (0 to nGrams - w).forall { st =>
         // some selected position falls inside window [st, st+w-1]
         fps.getOrElse(i.toLong, Set.empty).exists(p => p >= st && p <= st + w - 1)
