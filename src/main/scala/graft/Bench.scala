@@ -63,9 +63,15 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     val allIters = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val allGcMs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
+    val allLoad = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
+    // 1-min system load (the whole box, not this JVM) sampled PER
+    // ITERATION: the r5→r6 creep on unchanged queries could not be
+    // separated from sandbox contention with only an end-of-run sample
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val results = selected.map { case (name, fn) =>
       // stdout marker so engine warnings in the log tail attribute to a query
       // (stderr renders as `[error]` under sbt, making healthy queries read
@@ -76,6 +82,7 @@ object Bench {
       // GC-discipline cost from machine noise; the driver never sets it.
       if (!sys.env.contains("SPARK_GRAFT_NOGC")) System.gc()
       val gcs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
       val times = (1 to iters).map { _ =>
         val g0 = gcMillis()
         val t0 = System.nanoTime()
@@ -83,6 +90,7 @@ object Bench {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
           gcs += gcMillis() - g0
+          loads += loadAvg()
           dt
         } catch {
           case e: Throwable =>
@@ -90,10 +98,12 @@ object Bench {
               errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
                 .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
             gcs += gcMillis() - g0
+            loads += loadAvg()
             -1.0
         }
       }
       allGcMs(name) = gcs.toSeq
+      allLoad(name) = loads.toSeq
       allIters(name) = times
       // any failed iteration marks the query failed — never a silent fast number
       val median =
@@ -118,18 +128,18 @@ object Bench {
     val gcJson = allGcMs.map { case (k, gs) =>
       s"\"$k\":${gs.mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
-    // 1-min system load (NOT this JVM's — the whole box): the r5→r6
-    // analysis showed unchanged-code queries drifting 1.3-2× purely with
-    // machine noise between recording times; recording load alongside
-    // lets a cross-round per-query comparison separate plan regressions
-    // from a busy box.
-    val loadAvg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadJson = allLoad.map { case (k, ls) =>
+      s"\"$k\":${ls.map(fmt).mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
+    // SPARK_GRAFT_DETAIL redirects the detail artifact (the isolated-run
+    // harness writes one file per fresh JVM); the driver never sets it,
+    // so the recorded bench always lands at bench_detail.json
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_detail.json"),
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_DETAIL", "bench_detail.json")),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_$iters","queries":${
         full.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-      },"iters":$itersJson,"gc_ms":$gcJson,"load_avg_end":${fmt(loadAvg)},"errors":$errJson,"sf":"$sfDir"}""")
+      },"iters":$itersJson,"gc_ms":$gcJson,"load_avg":$loadJson,"load_avg_end":${fmt(loadAvg())},"errors":$errJson,"sf":"$sfDir"}""")
     val bySlow = results.toSeq.sortBy(-_._2)
     val budget = 1400
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]

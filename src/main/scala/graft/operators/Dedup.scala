@@ -240,11 +240,21 @@ object Dedup {
       .toDF("doc_id", "pos", "gram")
     if (maxGramDocFreq <= 0) gramsAll
     else {
-      val hot = gramsAll.groupBy(col("gram"))
+      // ONE evaluation of the tokenize+explode: uncheckpointed, the
+      // doc-frequency pre-pass and the anti-join left side would each
+      // re-run it (the cap's pre-pass then costs more than it saves —
+      // the r6 bench measured the double scan at 2× the uncapped
+      // query). localCheckpoint spills MEMORY_AND_DISK, so at corpus
+      // scale this trades one posting-table materialization (~k×
+      // corpus tokens, disk-backed, partition-local) against a second
+      // full tokenize pass — the same single-evaluation discipline as
+      // crossNll's count table.
+      val posted = gramsAll.localCheckpoint(true)
+      val hot = posted.groupBy(col("gram"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .where(col("df") > maxGramDocFreq)
         .select(col("gram"))
-      gramsAll.join(hot, Seq("gram"), "left_anti")
+      posted.join(hot, Seq("gram"), "left_anti")
     }
   }
 
@@ -290,13 +300,14 @@ object Dedup {
     * local fingerprinting scheme plagiarism/overlap detection is built
     * on, positional where the MinHash sketch is global.
     *
-    * Shape: sliding per-doc window-min (rows-bounded window frame) +
-    * a BOUNDED w-fanout explode joining each gram to the ≤ w window
-    * starts that could select it — O(n·w) rows, all equi-joins, no
-    * range join; the rightmost-tie argmax is one grouped max per
-    * window. Portable md5-derived 32-bit hashes keep the whole thing
-    * DuckDB-replayable. Output: (doc_id, fp_pos, fp_hash) distinct,
-    * ordered. */
+    * Shape: ONE sliding per-doc window pass (rows-bounded frame of
+    * exactly w grams) computing `min(struct(h, -pos))` — struct
+    * ordering compares h first, then -pos, so the minimum IS
+    * (window-min hash, rightmost tying position) in a single
+    * aggregate. No explode, no join, no groupBy: selection costs the
+    * same shuffle the window already pays. Portable md5-derived
+    * 32-bit hashes keep the whole thing DuckDB-replayable. Output:
+    * (doc_id, fp_pos, fp_hash) distinct, ordered. */
   def winnowFingerprints(
       docs: DataFrame,
       k: Int = 4,
@@ -310,26 +321,24 @@ object Dedup {
       .toDF("doc_id", "pos", "gram")
       .select(col("doc_id"), col("pos"),
         conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
-    // ONE window pass: the same sliding frame yields the min AND the
-    // row count — a frame of exactly w rows ⟺ a full window (the
-    // pos ≤ n−w test without a second, full-partition window)
+    // ONE window pass: the same sliding frame yields the selection AND
+    // the row count — a frame of exactly w rows ⟺ a full window (the
+    // pos ≤ n−w test without a second, full-partition window). The
+    // min-struct trick replaces the former O(n·w) explode + equi-join
+    // + groupBy: min(struct(h, -pos)) is lexicographic, so it selects
+    // the minimum hash and, among ties, the LARGEST pos — exactly the
+    // robust-winnowing rightmost-tie rule — inside the frame the pass
+    // already runs.
     val wSlide = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
-    val wins = grams
-      .withColumn("wmin", min(col("h")).over(wSlide))
+    grams
+      .withColumn("sel",
+        min(struct(col("h").as("h"), (-col("pos")).as("negpos"))).over(wSlide))
       .withColumn("wlen", count(lit(1)).over(wSlide))
       .where(col("wlen") === w) // full windows only
-      .select(col("doc_id"), col("pos").as("s"), col("wmin"))
-    val cand = grams
-      .select(col("doc_id"), col("pos"), col("h"),
-        explode(sequence(lit(0), lit(w - 1))).as("kk"))
-      .select(col("doc_id"), (col("pos") - col("kk")).as("s"), col("pos"), col("h"))
-      .where(col("s") >= 0)
-    cand.join(wins, Seq("doc_id", "s"))
-      .where(col("h") === col("wmin"))
-      .groupBy(col("doc_id"), col("s"))
-      .agg(max(col("pos")).as("fp_pos"), first(col("wmin")).as("fp_hash"))
-      .select(col("doc_id"), col("fp_pos").cast("long").as("fp_pos"), col("fp_hash"))
+      .select(col("doc_id"),
+        (-col("sel.negpos")).cast("long").as("fp_pos"),
+        col("sel.h").as("fp_hash"))
       .distinct()
       .orderBy(col("doc_id"), col("fp_pos"), col("fp_hash"))
   }

@@ -40,14 +40,35 @@ object Dsir {
   private[operators] def bucketOf(g: Column, b: Int): Column =
     pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"), lit(b.toLong))
 
-  /** Hashed-gram bucket counts for a corpus: ≤ B rows (map-side partial
-    * aggregation; the explode never leaves its stage unaggregated). */
-  def bucketCounts(docs: DataFrame, b: Int, textCol: String = "text"): DataFrame =
-    docs
-      .select(explode(grams(col(textCol))).as("gram"))
-      .select(bucketOf(col("gram"), b).as("bucket"))
+  /** Tokenize-once representation: (doc_id, [keep cols...], buckets) —
+    * each document's hashed-gram BUCKET array. Every downstream DSIR
+    * stage (bucket LMs, importance weights, KL eval) is a function of
+    * the buckets alone, so a pipeline that bucketizes once and
+    * localCheckpoints never re-tokenizes: the corpus parquet is
+    * scanned exactly once however many subsets/aggregates follow (the
+    * r6 q_dsir_kl shape paid ~8 scans re-deriving grams per stage). */
+  def bucketed(
+      docs: DataFrame,
+      b: Int,
+      textCol: String = "text",
+      keep: Seq[String] = Nil): DataFrame =
+    docs.select(
+      (col("doc_id") +: keep.map(col)) :+
+        transform(grams(col(textCol)), g => bucketOf(g, b)).as("buckets"): _*)
+
+  /** Bucket counts from a [[bucketed]] input: ≤ B rows (map-side
+    * partial aggregation; the explode never leaves its stage
+    * unaggregated). */
+  def bucketCountsB(bdocs: DataFrame): DataFrame =
+    bdocs
+      .select(explode(col("buckets")).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Hashed-gram bucket counts for a corpus — text-input wrapper over
+    * [[bucketCountsB]]. */
+  def bucketCounts(docs: DataFrame, b: Int, textCol: String = "text"): DataFrame =
+    bucketCountsB(bucketed(docs, b, textCol))
 
   /** Dense per-bucket log importance ratio log p̂_b − log q̂_b with add-1
     * smoothing, as a driver-side map (model-plane: B entries). Buckets
@@ -56,12 +77,20 @@ object Dsir {
       target: DataFrame,
       pool: DataFrame,
       b: Int,
-      textCol: String = "text"): Map[Long, Double] = {
+      textCol: String = "text"): Map[Long, Double] =
+    logRatiosB(bucketed(target, b, textCol), bucketed(pool, b, textCol), b)
+
+  /** [[logRatios]] over [[bucketed]] inputs — the form a
+    * tokenize-once pipeline uses (no re-tokenize per side). */
+  def logRatiosB(
+      targetB: DataFrame,
+      poolB: DataFrame,
+      b: Int): Map[Long, Double] = {
     def counts(df: DataFrame): Map[Long, Long] =
-      bucketCounts(df, b, textCol).collect()
+      bucketCountsB(df).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val tc = counts(target)
-    val pc = counts(pool)
+    val tc = counts(targetB)
+    val pc = counts(poolB)
     val tTot = tc.values.sum.toDouble + b
     val pTot = pc.values.sum.toDouble + b
     (0L until b.toLong).map { bucket =>
@@ -80,13 +109,16 @@ object Dsir {
       docs: DataFrame,
       ratios: Map[Long, Double],
       b: Int,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    importanceWeightsB(bucketed(docs, b, textCol), ratios)
+
+  /** [[importanceWeights]] over a [[bucketed]] input. */
+  def importanceWeightsB(bdocs: DataFrame, ratios: Map[Long, Double]): DataFrame = {
     val ratioMap = typedlit(ratios)
-    val gs = grams(col(textCol))
-    val ratioArr = transform(gs, g => element_at(ratioMap, bucketOf(g, b)))
-    docs.select(
+    val ratioArr = transform(col("buckets"), bkt => element_at(ratioMap, bkt))
+    bdocs.select(
       col("doc_id"),
-      size(gs).cast("long").as("n_grams"),
+      size(col("buckets")).cast("long").as("n_grams"),
       aggregate(sort_array(ratioArr), lit(0.0d), (acc, x) => acc + x).as("logw"))
   }
 
@@ -122,27 +154,57 @@ object Dsir {
       target: DataFrame,
       subsets: Seq[(String, DataFrame)],
       b: Int,
-      textCol: String = "text"): DataFrame = {
-    val spark = target.sparkSession
+      textCol: String = "text"): DataFrame =
+    klReportB(bucketed(target, b, textCol),
+      subsets.map { case (l, df) => l -> bucketed(df, b, textCol) }, b)
+
+  /** [[klReport]] over [[bucketed]] inputs, computed in ONE job: every
+    * subset (and the target) rides a labeled union, each doc explodes
+    * its buckets PLUS a sentinel bucket −1, and a single
+    * groupBy(subset, bucket) aggregate yields all distributions AND
+    * the per-subset doc counts (the sentinel row count) together —
+    * the r6 shape paid one bucket-count job plus one df.count() job
+    * per subset. Collect is ≤ (B+1)·(|subsets|+1) rows (model-plane);
+    * the KL fold runs driver-side over SORTED buckets so the double
+    * sum stays order-pinned. Output: (subset, n_docs, kl) ordered. */
+  def klReportB(
+      targetB: DataFrame,
+      subsets: Seq[(String, DataFrame)],
+      b: Int): DataFrame = {
+    val spark = targetB.sparkSession
     import spark.implicits._
-    def dist(df: DataFrame): Long => Double = {
-      val c = bucketCounts(df, b, textCol).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val targetLabel = " target" // leading space: reserved, no caller label collides
+    require(subsets.forall(_._1 != targetLabel), "label ' target' is reserved")
+    val labeled = (((targetLabel, targetB)) +: subsets).map { case (l, df) =>
+      df.select(lit(l).as("subset"),
+        explode(concat(array(lit(-1L)),
+          coalesce(col("buckets"), array()))).as("bucket"))
+    }.reduce(_ unionAll _)
+    val rows = labeled.groupBy(col("subset"), col("bucket"))
+      .agg(count(lit(1)).as("cnt")).collect()
+    val counts: Map[String, Map[Long, Long]] = rows
+      .groupBy(_.getString(0))
+      .map { case (l, rs) => l -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    def dist(l: String): Long => Double = {
+      val c = counts.getOrElse(l, Map.empty) - (-1L)
       val tot = c.values.sum.toDouble + b
       k => (c.getOrElse(k, 0L) + 1.0) / tot
     }
-    val pT = dist(target)
-    subsets.map { case (label, df) =>
-      val pS = dist(df)
+    val pT = dist(targetLabel)
+    subsets.map { case (label, _) =>
+      val pS = dist(label)
       var kl = 0.0
       (0L until b.toLong).foreach { k => kl += pT(k) * math.log(pT(k) / pS(k)) }
-      (label, df.count(),
+      (label, counts.getOrElse(label, Map.empty).getOrElse(-1L, 0L),
         BigDecimal(kl).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.toDF("subset", "n_docs", "kl").orderBy(col("subset"))
   }
 
   /** The composed pipeline: fit ratios on (target, pool), score the
-    * pool, Gumbel-select k docs. */
+    * pool, Gumbel-select k docs. Tokenize-once: the pool is bucketized
+    * and localCheckpointed, so fitting q̂ and scoring read the SAME
+    * materialized buckets — one pool scan total (the naïve composition
+    * re-tokenized the pool for each stage). */
   def select(
       target: DataFrame,
       pool: DataFrame,
@@ -150,7 +212,12 @@ object Dsir {
       b: Int = 256,
       textCol: String = "text",
       seed: String = "dsir"): DataFrame = {
-    val ratios = logRatios(target, pool, b, textCol)
-    resample(importanceWeights(pool, ratios, b, textCol), k, seed)
+    val poolB = bucketed(pool, b, textCol).localCheckpoint(true)
+    // no explicit unpersist: the returned plan still reads the
+    // checkpoint (truncated lineage — an eager unpersist would make it
+    // unrecomputable); blocks release via ContextCleaner when the
+    // caller drops the DataFrame
+    val ratios = logRatiosB(bucketed(target, b, textCol), poolB, b)
+    resample(importanceWeightsB(poolB, ratios), k, seed)
   }
 }

@@ -906,14 +906,22 @@ object Registry {
     // eval (selection replay included) hash-matches its DuckDB oracle.
     "q_dsir_kl" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val target = docs.where(col("source") === "src0")
-      val pool = docs.where(col("source") =!= "src0")
-      val picked = Dsir.select(target, pool, k = 50, b = 256).select(col("doc_id"))
-      val selected = pool.join(picked, Seq("doc_id"), "left_semi")
-      val rand = pool
+      val b = 256
+      // tokenize-once: ONE documents scan into checkpointed bucket
+      // arrays; ratios, scoring, the random control, and the one-job
+      // KL report all read the materialized buckets (the r6 shape
+      // re-scanned documents ~8 times, once per derived stage)
+      val bdocs = Dsir.bucketed(docs, b, keep = Seq("source")).localCheckpoint(true)
+      val targetB = bdocs.where(col("source") === "src0")
+      val poolB = bdocs.where(col("source") =!= "src0")
+      val ratios = Dsir.logRatiosB(targetB, poolB, b)
+      val picked = Dsir.resample(Dsir.importanceWeightsB(poolB, ratios), k = 50)
+        .select(col("doc_id"))
+      val selectedB = poolB.join(picked, Seq("doc_id"), "left_semi")
+      val randB = poolB
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(50)
-      Dsir.klReport(target,
-        Seq("pool" -> pool, "random" -> rand, "selected" -> selected), b = 256)
+      Dsir.klReportB(targetB,
+        Seq("pool" -> poolB, "random" -> randB, "selected" -> selectedB), b)
     }),
 
     // Temperature-based source sampling (p_s ∝ n_s^α, α=0.5, UniMax-
