@@ -41,4 +41,20 @@ object AnnEval {
     val r = recallAtK(approx, exact).agg(avg(col("recall"))).head()
     if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
+
+  /** One summary row per index family for the per-round recall report:
+    * micro recall over all queries, with the ratio as PER-MILLE under
+    * INTEGER floor division (`n_hit*1000 div n_exact`) — exact in any
+    * engine, immune to the double-rounding decimal-tie trap a
+    * `round(x, 3)` would hit. Output: (family, n_queries, n_exact,
+    * n_hit, recall_pm). */
+  def recallReportRow(family: String, approx: DataFrame, exact: DataFrame): DataFrame =
+    recallCounts(approx, exact)
+      .agg(count(lit(1)).as("nq"), sum(col("n_hit")).as("h"),
+        sum(col("n_exact")).as("e"))
+      .select(lit(family).as("family"),
+        col("nq").cast("long").as("n_queries"),
+        col("e").cast("long").as("n_exact"),
+        col("h").cast("long").as("n_hit"),
+        expr("h * 1000 div e").cast("long").as("recall_pm"))
 }

@@ -235,9 +235,17 @@ object CorpusOps {
         explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
     val mightHit = ColumnBridge.column(graft.plans.BloomMightContain(
       ColumnBridge.expression(col("gram")), bytes))
+    // exact verify kills false positives. NO broadcast hint here, by
+    // design: the Bloom path exists precisely for the regime where the
+    // benchmark gram set outgrows a comfortable broadcast, so hinting
+    // the verify join to broadcast would reintroduce the broadcast the
+    // filter obviates. The Bloom prune shrinks the probe side to
+    // maybe-hits (~fpp of the corpus grams), so a shuffle join is cheap
+    // at scale; at test scale AQE/auto-broadcast picks broadcast on its
+    // own from the gram-set stats.
     val contaminated = trainGrams
       .where(mightHit) // map-side: definitely-clean grams never join
-      .join(broadcast(bGrams), Seq("gram")) // exact verify kills false positives
+      .join(bGrams, Seq("gram"))
       .select(col("doc_id")).distinct()
       .withColumn("is_contaminated", lit(true))
     train

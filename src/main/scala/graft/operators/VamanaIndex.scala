@@ -226,6 +226,44 @@ object VamanaIndex {
       if (medoid < 0) return Nil
       greedySearch(q, math.max(params.l, k))._1.take(k)
     }
+
+    /** Make every node reachable from the medoid, STRUCTURALLY:
+      * RobustPrune plus backedge re-pruning does not guarantee
+      * connectivity (a later prune of b may drop the just-added b→p
+      * backedge, severing p's last in-edge), so a contract of the form
+      * "at L ≥ n the walk visits every node" is data-dependent without
+      * this patch. BFS from the medoid; any unreachable node gains a
+      * direct medoid→node edge (the medoid's out-degree may exceed R
+      * here — acceptable at the model-plane scales that rely on the
+      * exhaustive-walk contract, and irrelevant to α-pruning quality
+      * since patch edges only ADD reachability). Returns the number of
+      * edges added. */
+    def patchReachability(): Int = {
+      val n = ids.length
+      if (n == 0 || medoid < 0) return 0
+      val seen = mutable.BitSet(medoid)
+      var frontier = List(medoid)
+      while (frontier.nonEmpty) {
+        val next = mutable.ListBuffer.empty[Int]
+        frontier.foreach { u =>
+          val nbrs = adj(u)
+          var i = 0
+          while (i < nbrs.length) {
+            val v = nbrs(i)
+            if (!seen.contains(v)) { seen += v; next += v }
+            i += 1
+          }
+        }
+        frontier = next.toList
+      }
+      var added = 0
+      var v = 0
+      while (v < n) {
+        if (!seen.contains(v)) { adj(medoid) += v; added += 1 }
+        v += 1
+      }
+      added
+    }
   }
 
   private def shardAndBuild(
@@ -428,10 +466,14 @@ object VamanaIndex {
     * [[HnswIndex.coarseProbes]], model-plane: nlist ≈ √n rows) broadcast
     * to every task; probe selection walks the graph per query row
     * instead of scanning all nlist centroids. At beam L ≥ nlist the walk
-    * visits every reachable centroid, so probes equal the exact argmin
-    * top-nprobe and the composed search shares the exact-IVF oracle
-    * (same contract the IVF_HNSW composition uses). Output matches
-    * [[IvfIndex.probes]]: (query_id, qvec, cluster_id). */
+    * visits every centroid — a STRUCTURAL guarantee, not a
+    * data-dependent one: after the build, [[LocalGraph.patchReachability]]
+    * BFS-verifies connectivity from the medoid and adds a direct medoid
+    * edge to any centroid RobustPrune's backedge re-pruning severed —
+    * so probes equal the exact argmin top-nprobe and the composed
+    * search shares the exact-IVF oracle (same contract the IVF_HNSW
+    * composition uses). Output matches [[IvfIndex.probes]]:
+    * (query_id, qvec, cluster_id). */
   def coarseProbes(
       queries: DataFrame,
       centroids: Array[IvfIndex.Centroid],
@@ -441,6 +483,7 @@ object VamanaIndex {
     import spark.implicits._
     val g = new LocalGraph(params)
     g.build(centroids.map { case (cid, v) => (cid, v) })
+    g.patchReachability()
     val bc = spark.sparkContext.broadcast(g)
     queries.select(col("query_id"), col("qvec"))
       .as[(Long, Array[Float])]

@@ -233,17 +233,22 @@ object StreamingAnalytics {
     * state dies at the watermark). Within a batch the canonical (lowest
     * doc_id per hash) row survives, matching the batch operator.
     *
-    * Replay safety is ATOMIC, not best-effort: a batch's survivors and
-    * their hashes are written together under one staging directory and
-    * committed by a single directory rename to
-    * `outDir/batches/<batchId>/{docs,seen}` — the batch is visible
-    * all-or-nothing, so a crash at ANY point either leaves nothing (the
-    * replay redoes the batch) or everything (the replay sees the
-    * committed directory and no-ops). A two-append-plus-marker scheme
-    * would have a window where docs landed but the marker didn't —
-    * replay would then append the docs twice. Readers consume the
-    * `docs` subdirs of `outDir/batches`; the seen set is the `seen`
-    * subdirs (glob over batch dirs).
+    * Replay safety: a batch's survivors and their hashes are written
+    * together under one staging directory and committed by a single
+    * directory rename to `outDir/batches/<batchId>/{docs,seen}`,
+    * followed by a `_commit` marker INSIDE the renamed directory. On
+    * rename-atomic filesystems (HDFS, local, ABFS) the rename alone
+    * makes the batch visible all-or-nothing; the marker narrows the
+    * contract further so it survives object stores too (S3A renames are
+    * non-atomic copy+delete): a batch COUNTS as committed only when its
+    * marker exists, and the marker is written strictly after everything
+    * else, so a crash mid-copy leaves a markerless partial directory
+    * that the replay DELETES and redoes rather than trusting. Unlike a
+    * two-append-plus-marker scheme, nothing is ever appended in place —
+    * the replay's delete-and-redo is safe because a markerless dir is
+    * by definition invisible to readers. Readers consume the `docs`
+    * subdirs of marker-bearing `outDir/batches/<id>` dirs; the seen set
+    * is those batches' `seen` subdirs.
     * At scale the seen side is a hash-only table (16-byte md5 + id),
     * bucketable by hash prefix; the Bloom pre-filter of
     * `incrementalDedupBloom` drops in front unchanged. */
@@ -256,14 +261,22 @@ object StreamingAnalytics {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val committed = new org.apache.hadoop.fs.Path(s"$outDir/batches/$batchId")
+        val marker = new org.apache.hadoop.fs.Path(committed, "_commit")
         val fs = committed.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(committed) && !batch.isEmpty) {
+        // committed ⟺ marker exists; a dir without marker is a crashed
+        // non-atomic rename (object stores) — delete and redo
+        if (!fs.exists(marker) && fs.exists(committed)) fs.delete(committed, true)
+        if (!fs.exists(marker) && !batch.isEmpty) {
           val staging = new org.apache.hadoop.fs.Path(s"$outDir/_staging/$batchId")
           if (fs.exists(staging)) fs.delete(staging, true) // stale partial attempt
           val hashed = batch.withColumn("content_hash", md5(col(textCol)))
-          val seenGlob = new org.apache.hadoop.fs.Path(s"$outDir/batches/*/seen")
-          val seenDirs = Option(fs.globStatus(seenGlob)).getOrElse(Array.empty)
-            .map(_.getPath.toString)
+          // seen set = marker-bearing batches only (a partially copied
+          // batch must not poison the anti-join)
+          val seenDirs = Option(fs.globStatus(
+              new org.apache.hadoop.fs.Path(s"$outDir/batches/*/_commit")))
+            .getOrElse(Array.empty)
+            .map(m => new org.apache.hadoop.fs.Path(m.getPath.getParent, "seen").toString)
+            .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
           val novel =
             if (seenDirs.nonEmpty) {
               val seen = spark.read.parquet(seenDirs.toIndexedSeq: _*)
@@ -284,10 +297,12 @@ object StreamingAnalytics {
             kept.select(col("content_hash"), col("doc_id"))
               .write.parquet(s"$staging/seen")
             fs.mkdirs(committed.getParent)
-            // the atomic commit point; a lost race to an already-
-            // committed dir (concurrent restart) is success
+            // the commit point; a lost race to an already-committed dir
+            // (concurrent restart) is success
             if (!fs.rename(staging, committed) && !fs.exists(committed))
               throw new java.io.IOException(s"batch $batchId commit rename failed")
+            // marker LAST: readers/replays trust only marker-bearing dirs
+            if (!fs.exists(marker)) fs.create(marker, true).close()
           } finally kept.unpersist(blocking = false)
         }
       }

