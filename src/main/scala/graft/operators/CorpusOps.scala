@@ -388,4 +388,61 @@ object CorpusOps {
       .reduce(_ + _)
     df.withColumn("bucket", bucket)
   }
+
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    * (2006) A-ES: each row draws a deterministic md5 uniform uᵢ and the
+    * k rows maximizing uᵢ^(1/wᵢ) are EXACTLY a weight-proportional
+    * sample without replacement. Computed in log form (ln uᵢ / wᵢ — the
+    * same monotone order, no underflow for huge weights) with the same
+    * md5-uniform construction [[graft.operators.Dsir.resample]] uses,
+    * so the whole draw is reproducible and DuckDB-replayable. The
+    * length-proportional (w = token count) draw this defaults to is the
+    * standard "sample tokens, not documents" corpus-subsetting rule.
+    *
+    * Scale: scoring is pure map-side; selection is `orderBy.limit` ⇒
+    * TakeOrdered (per-partition heap + k-row driver merge, no global
+    * sort) — the [[graft.operators.Dsir.resample]] shape. Output:
+    * (rank, doc_id, weight, sel_key rounded) ordered by rank. */
+  def weightedSample(docs: DataFrame, weight: Column, k: Int,
+      seed: String = "wsample"): DataFrame = {
+    val u = (conv(substring(md5(concat_ws(":", lit(seed), col("doc_id"))), 1, 8), 16, 10)
+      .cast("double") + lit(0.5d)) / lit(4294967296.0d)
+    val key = log(u) / weight.cast("double")
+    val w = Window.orderBy(desc("sel_key"), col("doc_id"))
+    docs
+      .where(weight > 0) // zero-weight rows are never sampled (and 1/w diverges)
+      .withColumn("weight", weight.cast("long"))
+      .withColumn("sel_key", key)
+      .orderBy(desc("sel_key"), col("doc_id"))
+      .limit(k)
+      // k-row bounded window (post-limit) — not a corpus-wide sort
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("weight"),
+        round(col("sel_key"), 6).as("sel_key"))
+      .orderBy(col("rank"))
+  }
+
+  /** Corpus snapshot diff (the CDC primitive of an ingest pipeline):
+    * given two snapshots keyed by doc_id, classify every id as `added`
+    * (new only), `removed` (old only), `changed` (both, different
+    * content hash) or `unchanged`. The compare rides on md5 content
+    * hashes, never full texts — at 100 TB the diff join shuffles
+    * 16-byte hashes + ids, and both sides prune to (doc_id, hash)
+    * column scans. One full-outer equi-join on the key; no window, no
+    * all-pairs anything. Output: (doc_id, status) for the non-unchanged
+    * rows, ordered. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col(textCol)).as("_old_hash"))
+    val n = newDocs.select(col("doc_id"), md5(col(textCol)).as("_new_hash"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("_old_hash").isNull, lit("added"))
+          .when(col("_new_hash").isNull, lit("removed"))
+          .when(col("_old_hash") =!= col("_new_hash"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .where(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
 }

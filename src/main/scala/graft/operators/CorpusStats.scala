@@ -212,4 +212,70 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** Stupid-backoff bigram LM scoring — Brants et al. 2007 ("Large
+    * Language Models in Machine Translation"), THE distributed n-gram
+    * LM recipe (unnormalized scores, no discount estimation — designed
+    * exactly so counts shard over a cluster): fit bigram+unigram counts
+    * on `lmCorpus`, score each doc's bigram stream as
+    *
+    *   S(w₂|w₁) = c(w₁w₂)/c(w₁)              if c(w₁w₂) > 0
+    *            = 0.4 · (c(w₂)+1)/(N+V+1)    otherwise
+    *
+    * (the paper's α = 0.4; the unigram stage carries the same shared
+    * add-1 OOV bucket as [[crossNll]], so unseen words score finitely).
+    * Per-doc score = Σ ln S / n_bigrams — the bigram upgrade of the
+    * CCNet-style [[crossNll]] fluency signal.
+    *
+    * Scale: both count tables are vocabulary-sized (Heaps' law) and
+    * broadcast; scoring is map-side per (doc, bigram) with the fold
+    * over the BIGRAM-SORTED contribution list (the [[unigramNll]]
+    * bit-parity discipline). Output: (doc_id, n_bigrams,
+    * unseen_bigrams, sbo_ll) for docs with ≥ 1 bigram, ordered. */
+  def stupidBackoff(docs: DataFrame, lmCorpus: DataFrame,
+      textCol: String = "text", alpha: Double = 0.4): DataFrame = {
+    // two LM-corpus tokenize passes (unigram + bigram count fits), each
+    // collapsing map-side into a vocab-sized table; only the COUNT
+    // tables checkpoint/broadcast — never the corpus
+    val uc = lmCorpus.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true) // one evaluation: N+V scalar and two joins read it
+    val nv = uc.agg(sum(col("c1")), count(lit(1))).head()
+    require(!nv.isNullAt(0),
+      "stupidBackoff: lmCorpus has no tokens — the LM corpus filter matched nothing")
+    val denom = (nv.getLong(0) + nv.getLong(1) + 1).toDouble
+    val bc = lmCorpus.select(explode(TextFunctions.wordBigrams(col(textCol))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    // per-doc bigram stream with its left word (for the c(w1) denom)
+    // and right word (for the backoff numerator)
+    val tf = docs.select(col("doc_id"),
+        explode(TextFunctions.wordBigrams(col(textCol))).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("tf"))
+      .withColumn("w1", element_at(split(col("bigram"), " ", 2), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " ", 2), 2))
+    val scored = tf
+      .join(broadcast(bc), Seq("bigram"), "left")
+      .join(broadcast(uc.select(col("term").as("w1"), col("c1").as("c1l"))),
+        Seq("w1"), "left")
+      .join(broadcast(uc.select(col("term").as("w2"), col("c1").as("c1r"))),
+        Seq("w2"), "left")
+      .withColumn("score",
+        when(col("c2").isNotNull,
+          col("c2").cast("double") / col("c1l").cast("double"))
+          .otherwise(lit(alpha) *
+            (coalesce(col("c1r"), lit(0L)).cast("double") + 1.0d) / lit(denom)))
+      .withColumn("contrib", col("tf").cast("double") * log(col("score")))
+    scored.groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(when(col("c2").isNull, col("tf")).otherwise(0L))
+          .cast("long").as("unseen_bigrams"),
+        sort_array(collect_list(struct(col("bigram"), col("contrib")))).as("lst"))
+      .withColumn("sbo_ll",
+        round(
+          aggregate(col("lst"), lit(0.0d), (acc, x) => acc + x.getField("contrib")) /
+            col("n_bigrams").cast("double"), 4))
+      .select(col("doc_id"), col("n_bigrams"), col("unseen_bigrams"), col("sbo_ll"))
+      .orderBy(col("doc_id"))
+  }
 }

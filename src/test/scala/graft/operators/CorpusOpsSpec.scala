@@ -216,4 +216,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bloom == exact)
     assert(exact.filter(_._2).map(_._1) == Seq(2L, 4L, 6L))
   }
+
+  test("weightedSample: ranks are 1..k, zero-weight rows excluded, tokens-heavy docs overrepresented") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val weight = graft.functions.TextFunctions.tokenCountWs($"text")
+    val sample = CorpusOps.weightedSample(docs, weight, k = 20).collect()
+    assert(sample.map(_.getLong(0)).toSeq == (1L to 20L))
+    assert(sample.forall(_.getLong(2) > 0))
+    // A-ES draws ∝ weight: the sampled docs' mean token count must
+    // exceed the corpus mean (deterministic given the fixed seed/data)
+    val corpusMean = docs.agg(avg(weight)).head().getDouble(0)
+    val sampleMean = sample.map(_.getLong(2).toDouble).sum / sample.length
+    info(f"corpus mean tokens $corpusMean%.1f, sample mean $sampleMean%.1f")
+    assert(sampleMean > corpusMean)
+  }
+
+  test("corpusDiff classifies added/removed/changed and drops unchanged") {
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val nw = Seq((2L, "beta"), (3L, "gamma EDITED"), (4L, "delta")).toDF("doc_id", "text")
+    val got = CorpusOps.corpusDiff(old, nw).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
+  }
 }

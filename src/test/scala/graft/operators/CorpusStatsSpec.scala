@@ -83,4 +83,27 @@ class CorpusStatsSpec extends SparkSpec {
     // hand-check doc 2: every term gets p = 1/(N+V+1) = 1/(6+3+1)
     assert(math.abs(nll2 - math.log(10.0)) < 1e-3)
   }
+
+  test("stupidBackoff: seen bigrams score c2/c1, unseen back off at 0.4 into the add-1 unigram") {
+    // LM: "a b b" → unigrams a:1 b:2 (N=3, V=2, denom=6); bigrams "a b":1, "b b":1
+    val lm = Seq((100L, "a b b")).toDF("doc_id", "text")
+    // doc: bigrams "a b" (seen), "b z" (unseen, z OOV)
+    val docs = Seq((1L, "a b z")).toDF("doc_id", "text")
+    val got = CorpusStats.stupidBackoff(docs, lm).head()
+    assert(got.getLong(1) == 2L, "two bigrams scored")
+    assert(got.getLong(2) == 1L, "one unseen bigram")
+    // contribs: ln(1/1) + ln(0.4 * (0+1)/6); mean over 2
+    val expected = BigDecimal((math.log(1.0 / 1.0) + math.log(0.4 * 1.0 / 6.0)) / 2.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getDouble(3) == expected)
+  }
+
+  test("stupidBackoff: a doc drawn from the LM scores higher than off-domain text") {
+    val lm = Seq((100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the quick brown cat naps under the warm sun")).toDF("doc_id", "text")
+    val docs = Seq((1L, "the quick brown fox"), (2L, "zz yy xx ww")).toDF("doc_id", "text")
+    val scores = CorpusStats.stupidBackoff(docs, lm).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scores(1L) > scores(2L))
+  }
 }
