@@ -422,6 +422,52 @@ object CorpusOps {
       .orderBy(col("rank"))
   }
 
+  /** MLM training-example generation — the BERT recipe (Devlin et al.
+    * 2019), deterministic: select `maskFrac` of token positions via an
+    * md5 uniform on (seed, doc_id, pos); of the selected, 80% become
+    * `[MASK]`, 10% a RANDOM vocabulary token, 10% stay unchanged (the
+    * published 80/10/10 split — the second uniform and the vocabulary
+    * draw come from independent substrings of the same md5, so the
+    * whole example set replays bit-identically anywhere, DuckDB
+    * included).
+    *
+    * Scale: tokenize+select is a pure map-side explode+filter (~15% of
+    * tokens survive); the vocabulary table (Heaps-law-sized, indexed by
+    * a sorted row_number) broadcasts onto only the `random` rows; no
+    * corpus shuffle anywhere. Output: (doc_id, pos, token, action,
+    * replacement) for the selected positions, ordered. */
+  def mlmMask(docs: DataFrame, maskFrac: Double = 0.15,
+      textCol: String = "text", seed: String = "mlm"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextFunctions.tokens(col(textCol)))).toDF("doc_id", "pos", "token")
+    val h = md5(concat_ws(":", lit(seed), col("doc_id"), col("pos")))
+    def uni(from: Int): Column =
+      (conv(substring(h, from, 8), 16, 10).cast("double") + lit(0.5d)) /
+        lit(4294967296.0d)
+    val vocab = docs.select(explode(TextFunctions.tokens(col(textCol))).as("vtok"))
+      .distinct()
+    val vocabSize = vocab.count() // control-plane scalar (Heaps-law bounded)
+    val indexed = vocab.select(col("vtok"),
+      (row_number().over(Window.orderBy(col("vtok"))) - 1).cast("long").as("vidx"))
+    val selected = toks
+      .where(uni(1) < maskFrac)
+      .withColumn("action",
+        when(uni(9) < 0.8d, lit("mask"))
+          .when(uni(9) < 0.9d, lit("random"))
+          .otherwise(lit("keep")))
+      .withColumn("vidx",
+        when(col("action") === "random",
+          pmod(conv(substring(h, 17, 8), 16, 10).cast("long"), lit(vocabSize))))
+    selected
+      .join(broadcast(indexed), Seq("vidx"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"),
+        col("action"),
+        when(col("action") === "mask", lit("[MASK]"))
+          .when(col("action") === "random", col("vtok"))
+          .otherwise(col("token")).as("replacement"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** Corpus snapshot diff (the CDC primitive of an ingest pipeline):
     * given two snapshots keyed by doc_id, classify every id as `added`
     * (new only), `removed` (old only), `changed` (both, different

@@ -41,7 +41,15 @@ object Sketches {
     * 1-bit of the remaining 32−log2(m) bits) via the integer-exact
     * `bits − length(bin(w)) + 1` identity — no floating log anywhere.
     * Merge two register tables by `unionAll.groupBy(bucket).max(rho)`. */
-  def hllRegisters(df: DataFrame, keyCol: String, m: Int = 64): DataFrame = {
+  def hllRegisters(df: DataFrame, keyCol: String, m: Int = 64): DataFrame =
+    hllRegistersBy(df, keyCol, m, Nil)
+
+  /** [[hllRegisters]] with extra grouping columns — one register table
+    * per group in ONE aggregation pass (distinct-per-time-window, per
+    * source, per shard …). Output: (groups…, bucket, rho); rollups
+    * max-merge across any subset of groups. */
+  def hllRegistersBy(df: DataFrame, keyCol: String, m: Int,
+      groups: Seq[String]): DataFrame = {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
     val p = Integer.numberOfTrailingZeros(m)
     val bits = 32 - p
@@ -51,8 +59,9 @@ object Sketches {
     // `bits` leading zeros ⇒ ρ = bits+1
     val rho = when(w === 0L, lit(bits + 1))
       .otherwise(lit(bits + 1) - length(bin(w)))
-    df.select(pmod(h, lit(m.toLong)).as("bucket"), rho.cast("long").as("rho"))
-      .groupBy(col("bucket"))
+    df.select(groups.map(col) :+ pmod(h, lit(m.toLong)).as("bucket")
+        :+ rho.cast("long").as("rho"): _*)
+      .groupBy((groups :+ "bucket").map(col): _*)
       .agg(max(col("rho")).as("rho"))
   }
 
@@ -63,22 +72,32 @@ object Sketches {
     * caller sees `v_zero` to judge whether the raw estimate is in its
     * accurate regime (v_zero = 0 ⇒ it is). Output: (m, v_zero,
     * est_distinct). */
-  def hllEstimate(registers: DataFrame, m: Int): DataFrame = {
+  def hllEstimate(registers: DataFrame, m: Int): DataFrame =
+    hllEstimateBy(registers, m, Nil)
+
+  /** [[hllEstimate]] per group (matching [[hllRegistersBy]] output).
+    * Output: (groups…, m, v_zero, est_distinct). */
+  def hllEstimateBy(registers: DataFrame, m: Int, groups: Seq[String]): DataFrame = {
     val alpha = m match {
       case 16 => 0.673
       case 32 => 0.697
       case 64 => 0.709
       case _ => 0.7213 / (1.0 + 1.079 / m)
     }
-    registers
-      .agg(count(lit(1)).as("occupied"),
-        sum(pow(lit(2.0d), -col("rho").cast("double"))).as("s_occ"))
-      .select(
-        lit(m.toLong).as("m"),
-        (lit(m.toLong) - col("occupied")).as("v_zero"),
-        floor(lit(alpha) * lit(m.toDouble) * lit(m.toDouble) /
-          (col("s_occ") + (lit(m.toLong) - col("occupied")).cast("double")))
-          .cast("long").as("est_distinct"))
+    val agged =
+      if (groups.isEmpty)
+        registers.agg(count(lit(1)).as("occupied"),
+          sum(pow(lit(2.0d), -col("rho").cast("double"))).as("s_occ"))
+      else
+        registers.groupBy(groups.map(col): _*)
+          .agg(count(lit(1)).as("occupied"),
+            sum(pow(lit(2.0d), -col("rho").cast("double"))).as("s_occ"))
+    agged.select(groups.map(col) ++ Seq(
+      lit(m.toLong).as("m"),
+      (lit(m.toLong) - col("occupied")).as("v_zero"),
+      floor(lit(alpha) * lit(m.toDouble) * lit(m.toDouble) /
+        (col("s_occ") + (lit(m.toLong) - col("occupied")).cast("double")))
+        .cast("long").as("est_distinct")): _*)
   }
 
   /** Count-Min counter table for `keyCol`: (row, slot, cnt), d rows ×

@@ -852,6 +852,28 @@ object Registry {
         .orderBy(col("variant"))
     }),
 
+    // Windowed HLL rollup — the sketch-table payoff: per-day distinct
+    // users from ONE grouped register pass, plus the month total
+    // max-merged from the SAME registers (no second scan of history;
+    // the exact answer would need per-window distinct state)
+    "q_hll_window" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("win_start",
+        unix_timestamp(date_trunc("day", col("ts"))))
+      val regs = Sketches.hllRegistersBy(ev, "user_id", 16, Seq("win_start"))
+        .localCheckpoint(true) // one pass feeds per-window estimates AND the rollup
+      val perWin = Sketches.hllEstimateBy(regs, 16, Seq("win_start"))
+        .join(ev.groupBy(col("win_start"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct")), Seq("win_start"))
+      val rolled = Sketches.hllEstimate(
+          regs.groupBy(col("bucket")).agg(max(col("rho")).as("rho")), 16)
+        .select(lit(-1L).as("win_start"), col("m"), col("v_zero"), col("est_distinct"))
+        .crossJoin(ev.agg(countDistinct(col("user_id")).as("exact_distinct")))
+      perWin.select(col("win_start"), col("m"), col("v_zero"),
+          col("est_distinct"), col("exact_distinct"))
+        .unionAll(rolled)
+        .orderBy(col("win_start"))
+    }),
+
     // Count-Min frequency sketch (Cormode & Muthukrishnan 2005), same
     // portable-hash discipline: estimate the top users' event counts
     // from a 4×256 counter table and audit the one-sided error
@@ -1045,6 +1067,13 @@ object Registry {
         docs.where(col("source") =!= "src0"),
         lmCorpus = docs.where(col("source") === "src0"))
     }),
+
+    // MLM example generation (Devlin et al. 2019): deterministic 15%
+    // position selection + the 80/10/10 mask/random/keep split, all
+    // md5-derived — map-side explode, vocab-plane broadcast for the
+    // random draws
+    "q_mlm_mask" -> ((s, dir) =>
+      CorpusOps.mlmMask(t(s, dir, "documents"))),
 
     // Deterministic weighted source interleaving (temperature-mixing
     // analog): global order by rank/weight, range-sort executed
@@ -3312,6 +3341,79 @@ s"""WITH cent AS (
         |SELECT variant, m, v_zero, est_distinct, exact_distinct,
         |       abs(est_distinct - exact_distinct) * 1000 // exact_distinct AS err_pm
         |FROM est ORDER BY variant""".stripMargin,
+
+    // Windowed-HLL oracle: per-day register tables from the same md5
+    // math, the month rollup max-merged from the daily registers
+    "q_hll_window" ->
+      """WITH ev AS (
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start,
+        |         ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT AS h
+        |  FROM events
+        |), regs AS (
+        |  SELECT win_start, h % 16 AS bucket,
+        |         max(CASE WHEN h // 16 = 0 THEN 29
+        |             ELSE 29 - length(bin(h // 16)) END) AS rho
+        |  FROM ev GROUP BY win_start, bucket
+        |), per_win AS (
+        |  SELECT win_start, CAST(16 AS BIGINT) AS m,
+        |         CAST(16 - count(*) AS BIGINT) AS v_zero,
+        |         CAST(floor(0.673 * 16 * 16 /
+        |           (sum(power(2.0, -rho)) + (16 - count(*)))) AS BIGINT) AS est_distinct
+        |  FROM regs GROUP BY win_start
+        |), exact_win AS (
+        |  SELECT win_start, CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct
+        |  FROM ev GROUP BY win_start
+        |), rolled_regs AS (
+        |  SELECT bucket, max(rho) AS rho FROM regs GROUP BY bucket
+        |), rolled AS (
+        |  SELECT CAST(-1 AS BIGINT) AS win_start, CAST(16 AS BIGINT) AS m,
+        |         CAST(16 - count(*) AS BIGINT) AS v_zero,
+        |         CAST(floor(0.673 * 16 * 16 /
+        |           (sum(power(2.0, -rho)) + (16 - count(*)))) AS BIGINT) AS est_distinct,
+        |         (SELECT CAST(count(DISTINCT h) AS BIGINT) FROM ev) AS exact_distinct
+        |  FROM rolled_regs
+        |)
+        |SELECT p.win_start, p.m, p.v_zero, p.est_distinct, e.exact_distinct
+        |FROM per_win p JOIN exact_win e USING (win_start)
+        |UNION ALL
+        |SELECT * FROM rolled
+        |ORDER BY win_start""".stripMargin,
+
+    // MLM-mask oracle: identical md5 selection/action/vocab-draw
+    // substrings; vocabulary indexed by sorted row_number
+    "q_mlm_mask" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), toks AS (
+        |  SELECT doc_id, u.pos AS pos, u.token AS token FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)+1),
+        |      i -> {'pos': i-1, 'token': toks[i]})) AS u
+        |    FROM tk
+        |  )
+        |), vocab AS (
+        |  SELECT vtok, CAST(row_number() OVER (ORDER BY vtok) - 1 AS BIGINT) AS vidx
+        |  FROM (SELECT DISTINCT token AS vtok FROM toks)
+        |), vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |sel AS (
+        |  SELECT doc_id, pos, token,
+        |         md5('mlm:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)) AS h
+        |  FROM toks
+        |), act AS (
+        |  SELECT doc_id, pos, token,
+        |         CASE WHEN (('0x'||substr(h,9,8))::BIGINT::DOUBLE + 0.5)/4294967296.0 < 0.8 THEN 'mask'
+        |              WHEN (('0x'||substr(h,9,8))::BIGINT::DOUBLE + 0.5)/4294967296.0 < 0.9 THEN 'random'
+        |              ELSE 'keep' END AS action,
+        |         ('0x'||substr(h,17,8))::BIGINT % (SELECT v FROM vsize) AS vidx
+        |  FROM sel
+        |  WHERE (('0x'||substr(h,1,8))::BIGINT::DOUBLE + 0.5)/4294967296.0 < 0.15
+        |)
+        |SELECT a.doc_id, CAST(a.pos AS BIGINT) AS pos, a.token, a.action,
+        |       CASE WHEN a.action = 'mask' THEN '[MASK]'
+        |            WHEN a.action = 'random' THEN v.vtok
+        |            ELSE a.token END AS replacement
+        |FROM act a LEFT JOIN vocab v
+        |  ON a.action = 'random' AND a.vidx = v.vidx
+        |ORDER BY a.doc_id, a.pos""".stripMargin,
 
     // Count-Min oracle: the same 4×256 md5 counter table, min over the
     // four addressed cells for the exact-top-8 candidate users

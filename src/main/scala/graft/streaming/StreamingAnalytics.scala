@@ -308,6 +308,47 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Streaming cardinality sketch — maintain a persisted HyperLogLog
+    * register table over an unbounded key stream: each micro-batch
+    * sketches its keys ([[graft.operators.Sketches.hllRegisters]]) and
+    * max-merges into the stored table, so "distinct keys ever seen" is
+    * answerable at any moment from m rows of state regardless of
+    * stream length — the streaming form of the register-table rollup
+    * primitive. Unlike the index ingest loops, REPLAY IS SAFE EVEN
+    * WITHOUT the marker: max-merge is idempotent (max(a, max(a, b)) =
+    * max(a, b)), so a crash between the overwrite and the marker write
+    * re-applies the batch into an unchanged table; the marker just
+    * skips the work. */
+  def sketchIngestLoop(
+      keyStream: DataFrame,
+      keyCol: String,
+      outDir: String,
+      m: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    keyStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(s"$outDir/_batches/$batchId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker) && !batch.isEmpty) {
+          val regDir = s"$outDir/registers"
+          val batchRegs = graft.operators.Sketches.hllRegisters(batch, keyCol, m)
+          val merged =
+            if (fs.exists(new org.apache.hadoop.fs.Path(regDir)))
+              spark.read.parquet(regDir).unionAll(batchRegs)
+                .groupBy(col("bucket")).agg(max(col("rho")).as("rho"))
+            else batchRegs
+          // read-own-overwrite: pin the merged rows before truncating
+          // the directory they were read from
+          val pinned = merged.localCheckpoint(true)
+          try pinned.write.mode("overwrite").parquet(regDir)
+          finally pinned.unpersist(blocking = false)
+          fs.mkdirs(marker.getParent)
+          fs.create(marker, true).close()
+        }
+      }
+      .start()
+
   /** Stream-stream interval join: pair each event with every anchor of
     * the same key whose window `[anchor.ts, anchor.ts + lenSec)` contains
     * the event's time — the streaming form of

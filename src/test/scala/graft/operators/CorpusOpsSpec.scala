@@ -238,4 +238,31 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
   }
+
+  test("mlmMask: deterministic, ~15% selection, 80/10/10 actions, replacement semantics hold") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = CorpusOps.mlmMask(docs).collect()
+    val b = CorpusOps.mlmMask(docs).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "draw must be reproducible")
+    val totalTokens = docs.select(
+      sum(size(graft.functions.TextFunctions.tokens($"text")))).head().getLong(0)
+    val frac = a.length.toDouble / totalTokens
+    info(f"selected $frac%.4f of tokens (target 0.15)")
+    assert(math.abs(frac - 0.15) < 0.02)
+    val byAction = a.groupBy(_.getString(3)).view.mapValues(_.length.toDouble / a.length).toMap
+    info(s"action mix: $byAction")
+    assert(math.abs(byAction("mask") - 0.8) < 0.05)
+    assert(math.abs(byAction.getOrElse("random", 0.0) - 0.1) < 0.05)
+    assert(math.abs(byAction.getOrElse("keep", 0.0) - 0.1) < 0.05)
+    val vocab = docs.select(explode(graft.functions.TextFunctions.tokens($"text")))
+      .distinct().collect().map(_.getString(0)).toSet
+    a.foreach { r =>
+      val (tok, act, rep) = (r.getString(2), r.getString(3), r.getString(4))
+      act match {
+        case "mask" => assert(rep == "[MASK]")
+        case "keep" => assert(rep == tok)
+        case "random" => assert(vocab.contains(rep))
+      }
+    }
+  }
 }

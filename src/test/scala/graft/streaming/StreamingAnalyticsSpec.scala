@@ -439,4 +439,32 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(redone == Seq(1L, 3L, 5L), s"partial batch must be redone once: $redone")
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batches/1/_commit")))
   }
+
+  test("sketchIngestLoop: streamed registers equal the batch sketch; replay leaves them unchanged") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sketchingest").toString
+    val src = MemoryStream[Long]
+    val q = StreamingAnalytics.sketchIngestLoop(src.toDF().toDF("k"), "k", dir, m = 64)
+    try {
+      src.addData(1L to 500L: _*)
+      q.processAllAvailable()
+      src.addData(300L to 800L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def regMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val streamed = regMap(spark.read.parquet(s"$dir/registers"))
+    val batch = regMap(graft.operators.Sketches.hllRegisters(
+      (1L to 800L).toDF("k"), "k", 64))
+    assert(streamed == batch,
+      "merged per-batch registers must equal the one-shot sketch over all keys")
+    // replay batch 0 on a fresh stream: marker (and max-merge idempotence) => no change
+    val src2 = MemoryStream[Long]
+    val q2 = StreamingAnalytics.sketchIngestLoop(src2.toDF().toDF("k"), "k", dir, m = 64)
+    try {
+      src2.addData(1L to 500L: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(regMap(spark.read.parquet(s"$dir/registers")) == batch)
+  }
 }
