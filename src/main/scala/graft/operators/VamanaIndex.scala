@@ -104,14 +104,25 @@ object VamanaIndex {
     }
 
     /** GreedySearch(medoid, q, k, L) — returns (top-L list, visited set),
-      * deterministic (ties by node id). */
-    private def greedySearch(q: Array[Float], ell: Int): (Seq[(Double, Int)], mutable.BitSet) = {
+      * deterministic (ties by node id). `allow` restricts which nodes
+      * may enter the RESULT list (filtered search, the Qdrant/Weaviate
+      * filtered-HNSW semantics): traversal still walks disallowed nodes
+      * — a filter that pruned the walk itself would disconnect the
+      * graph under selective predicates — and disallowed candidates
+      * keep expanding the beam, so at L ≥ n every reachable node is
+      * still visited and the filtered result is EXACT. */
+    private def greedySearch(
+        q: Array[Float],
+        ell: Int,
+        allow: Int => Boolean = _ => true): (Seq[(Double, Int)], mutable.BitSet) = {
       implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2
       val visited = mutable.BitSet()
       val inList = mutable.BitSet(medoid)
       // result: max-heap (worst of the L best on top); candidates: min-heap via negation
-      val result = mutable.PriorityQueue((dist(q, vecs(medoid)), medoid))
-      val candidates = mutable.PriorityQueue((-result.head._1, medoid))
+      val result = mutable.PriorityQueue.empty[(Double, Int)]
+      val dMedoid = dist(q, vecs(medoid))
+      if (allow(medoid)) result.enqueue((dMedoid, medoid))
+      val candidates = mutable.PriorityQueue((-dMedoid, medoid))
       while (candidates.nonEmpty) {
         val (negD, node) = candidates.dequeue()
         if (!visited.contains(node)) {
@@ -127,9 +138,11 @@ object VamanaIndex {
                 inList += nb
                 val nd = dist(q, vecs(nb))
                 if (result.size < ell || nd < result.head._1) {
-                  result.enqueue((nd, nb))
+                  if (allow(nb)) {
+                    result.enqueue((nd, nb))
+                    if (result.size > ell) result.dequeue()
+                  }
                   candidates.enqueue((-nd, nb))
-                  if (result.size > ell) result.dequeue()
                 }
               }
               i += 1
@@ -219,12 +232,32 @@ object VamanaIndex {
           p += 1
         }
       }
+      // structural exhaustive-walk contract: after pruning, re-attach
+      // any node backedge re-pruning disconnected (no-op on the
+      // already-connected graphs real data produces — outputs of every
+      // pre-existing query are unchanged), so "L ≥ n visits every node"
+      // holds by construction, which the filtered-search exactness
+      // claim (selfSearchFiltered at L ≥ shard size) relies on
+      patchReachability()
     }
 
     /** Top-k search: greedy beam from the medoid with width max(L, k). */
     def search(q: Array[Float], k: Int): Seq[(Double, Int)] = {
       if (medoid < 0) return Nil
       greedySearch(q, math.max(params.l, k))._1.take(k)
+    }
+
+    /** Filtered top-k: only nodes with `allow` may be returned; the
+      * walk still traverses disallowed nodes (see [[greedySearch]]).
+      * `beam` overrides the search width independently of the BUILD
+      * beam params.l (an exact filtered read wants beam ≥ n without
+      * paying an L=n construction); at beam ≥ n the result is the
+      * exact filtered top-k. */
+    def searchFiltered(q: Array[Float], k: Int, allow: Int => Boolean,
+        beam: Int = 0): Seq[(Double, Int)] = {
+      if (medoid < 0) return Nil
+      val ell = math.max(if (beam > 0) beam else params.l, k)
+      greedySearch(q, ell, allow)._1.take(k)
     }
 
     /** Make every node reachable from the medoid, STRUCTURALLY:
@@ -307,6 +340,61 @@ object VamanaIndex {
         graph.build(it.map(t => (t._2, t._3)).toArray)
         bcQueries.value.iterator.flatMap { case (qid, qv) =>
           graph.search(qv, k + 1)
+            .filter { case (_, node) => graph.ids(node) != qid }
+            .take(k)
+            .map { case (d, node) => (qid, graph.ids(node), d) }
+        }
+      }
+      .toDF("query_id", "vec_id", "dist")
+    mergeTopK(partials, k)
+  }
+
+  /** Filtered self-search — predicate-aware graph search (the
+    * filtered-ANN serving mode of Qdrant/Weaviate-class systems): a
+    * boolean predicate column rides WITH each row into its shard task
+    * (no broadcast allowed-set — scales to any predicate selectivity),
+    * the graph builds over ALL rows (traversal must cross disallowed
+    * regions), and the walk admits only passing nodes into results.
+    *
+    * Exactness: [[LocalGraph.build]] ends in `patchReachability`, so at
+    * beam L ≥ shard size every node is visited and each shard emits its
+    * EXACT filtered top-k; the A1 merge of exact shard top-ks is the
+    * exact global answer — which is why q_vamana_filtered_knn shares
+    * the brute-force filtered oracle verbatim. At production scale one
+    * runs L ≪ n and trades recall, same as unfiltered serving. */
+  def selfSearchFiltered(
+      embeddings: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      numQueries: Int,
+      k: Int,
+      numPartitions: Int = 0,
+      params: Params = Params(),
+      searchBeam: Int = 0): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val queries = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    val bcQueries = spark.sparkContext.broadcast(queries)
+    val p = params
+    val partials = embeddings
+      .select(pmod(col("vec_id"), lit(parts)).cast("int").as("part_id"),
+        col("vec_id"), col("embedding"), predicate.cast("boolean").as("keep"))
+      .as[(Int, Long, Array[Float], Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val graph = new LocalGraph(p)
+        graph.build(rows.map(t => (t._2, t._3)))
+        val keepById = rows.map(t => t._2 -> t._4).toMap
+        val allow: Int => Boolean = node => keepById(graph.ids(node))
+        bcQueries.value.iterator.flatMap { case (qid, qv) =>
+          graph.searchFiltered(qv, k + 1, allow, searchBeam)
             .filter { case (_, node) => graph.ids(node) != qid }
             .take(k)
             .map { case (d, node) => (qid, graph.ids(node), d) }

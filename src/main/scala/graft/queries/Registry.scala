@@ -439,6 +439,18 @@ object Registry {
       VamanaIndex.selfSearch(t(s, dir, "embeddings"), numQueries = 8, k = 10,
         numPartitions = 4)),
 
+    // Filtered graph search (the Qdrant/Weaviate filtered-ANN serving
+    // mode): predicate rides with each row into its shard, the walk
+    // crosses disallowed nodes but only admits passing ones. SEARCH
+    // beam 512 ≥ shard size at test scale ⇒ exact (build beam stays the
+    // standard L=64 — exactness needs only the read-side beam plus the
+    // build's reachability patch) — shares q_filtered_knn's brute-force
+    // oracle verbatim; production runs beam ≪ n for recall.
+    "q_vamana_filtered_knn" -> ((s, dir) =>
+      VamanaIndex.selfSearchFiltered(t(s, dir, "embeddings"),
+        predicate = col("label") < 4, numQueries = 8, k = 10,
+        numPartitions = 4, searchBeam = 512)),
+
     // Oracle-checked drift fingerprint for the Vamana paths: every
     // shard's entry point (medoid = argmin distance to the shard
     // centroid, ties on vec_id) + shard size, replayed exactly by a
@@ -1563,6 +1575,24 @@ object Registry {
 
   /** q_cosine_knn oracle — shared with q_ann_recall's ground-truth
     * subquery. */
+  /** q_filtered_knn oracle — shared verbatim with
+    * q_vamana_filtered_knn (exact filtered graph search). */
+  private lazy val filteredKnnSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+       |), j AS (
+       |  SELECT q.query_id, v.vec_id, $l2sq AS dist
+       |  FROM q CROSS JOIN embeddings v
+       |  WHERE v.label < 4 AND v.vec_id <> q.query_id
+       |), r AS (
+       |  SELECT query_id, vec_id, dist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+       |  FROM j
+       |)
+       |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+       |FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   private val cosineKnnSql: String =
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
@@ -2206,21 +2236,13 @@ s"""WITH cent AS (
          |FROM j WHERE dist <= 1.45
          |ORDER BY query_id, vec_id""".stripMargin,
 
-    "q_filtered_knn" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
-         |), j AS (
-         |  SELECT q.query_id, v.vec_id, $l2sq AS dist
-         |  FROM q CROSS JOIN embeddings v
-         |  WHERE v.label < 4 AND v.vec_id <> q.query_id
-         |), r AS (
-         |  SELECT query_id, vec_id, dist,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
-         |  FROM j
-         |)
-         |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
-         |FROM r WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin,
+    "q_filtered_knn" -> filteredKnnSql,
+
+    // Filtered GRAPH search shares the brute-force filtered oracle
+    // VERBATIM: per-shard exact filtered top-k (beam ≥ shard size over
+    // reachability-patched graphs) merged by A1 IS the global exact
+    // filtered answer
+    "q_vamana_filtered_knn" -> filteredKnnSql,
 
     "q_ivf_build" ->
       s"""WITH cent AS (

@@ -143,6 +143,27 @@ class VamanaIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/nodes").count() == emb.count())
   }
 
+  test("filtered search: exact under a selective predicate at L >= n; never returns disallowed nodes") {
+    import graft.operators.KnnSearch
+    val exact = KnnSearch.topK(
+        emb.where($"vec_id" < 8).select($"vec_id".as("query_id"), $"embedding".as("qvec")),
+        emb.where($"label" < 2).select($"vec_id", $"embedding".as("vec")),
+        k = 5, excludeSelf = true)
+      .select($"query_id", $"rank", $"vec_id").collect().map(_.toSeq).toSeq
+    val got = VamanaIndex.selfSearchFiltered(emb, $"label" < 2, numQueries = 8,
+        k = 5, numPartitions = 4, params = VamanaIndex.Params(r = 16, l = 32),
+        searchBeam = 128)
+      .select($"query_id", $"rank", $"vec_id").collect().map(_.toSeq).toSeq
+    assert(got == exact, "beam >= shard size must give the exact filtered top-k")
+    // small beam: approximate, but the predicate is NEVER violated
+    val allowed = emb.where($"label" < 2).select($"vec_id").as[Long].collect().toSet
+    val approx = VamanaIndex.selfSearchFiltered(emb, $"label" < 2, numQueries = 8,
+        k = 5, numPartitions = 4, params = VamanaIndex.Params(r = 8, l = 8),
+        searchBeam = 8)
+      .select($"vec_id").as[Long].collect()
+    assert(approx.forall(allowed.contains), "filtered search must only emit allowed nodes")
+  }
+
   test("patchReachability: a severed node regains medoid reachability; connected graphs untouched") {
     val pts = emb.select($"vec_id", $"embedding")
       .as[(Long, Array[Float])].collect().sortBy(_._1).take(32)
