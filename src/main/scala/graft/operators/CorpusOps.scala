@@ -447,6 +447,7 @@ object CorpusOps {
     val vocab = docs.select(explode(TextFunctions.tokens(col(textCol))).as("vtok"))
       .distinct()
     val vocabSize = vocab.count() // control-plane scalar (Heaps-law bounded)
+    require(vocabSize > 0, "mlmMask: corpus has no tokens — nothing to mask or draw from")
     val indexed = vocab.select(col("vtok"),
       (row_number().over(Window.orderBy(col("vtok"))) - 1).cast("long").as("vidx"))
     val selected = toks
