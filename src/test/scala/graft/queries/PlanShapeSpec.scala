@@ -358,6 +358,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_weighted_sample: selection is TakeOrdered, scoring map-side — no corpus sort or join") {
+    val p = planOf(Registry.queries("q_weighted_sample")(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      "A-ES top-k must plan as TakeOrdered, not a global sort")
+    assert(!p.contains("Join"), "scoring is a pure projection — no join")
+  }
+
+  test("q_stupid_backoff: both LM count tables broadcast; the doc stream never sort-merges") {
+    val p = planOf(Registry.queries("q_stupid_backoff")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab-sized bigram/unigram tables must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_mlm_mask: vocabulary index broadcasts onto the selected positions") {
+    val p = planOf(Registry.queries("q_mlm_mask")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "the sorted vocab index must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_hll_distinct: register aggregation partial-combines map-side") {
+    val p = planOf(Registry.queries("q_hll_distinct")(spark, sf0001))
+    assert(p.contains("partial_max"),
+      "per-bucket max(rho) must partial-aggregate before the shuffle — " +
+        "the exchange carries registers, never keys")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q_vamana_knn: shard-local top-k partial-limits before the final merge") {
     val p = planOf(Registry.queries("q_vamana_knn")(spark, sf0001))
     assert(p.contains("WindowGroupLimit") && p.contains("Partial") && p.contains("Final"),
