@@ -101,9 +101,14 @@ object HnswIndex {
     }
 
     /** Beam search within one layer from `entryPoints`: best `ef` nodes
-      * by distance, deterministic (ties by node index). */
+      * by distance, deterministic (ties by node index). `allow`
+      * restricts RESULT admission only (filtered-HNSW semantics —
+      * traversal still crosses disallowed nodes, disallowed candidates
+      * still widen the beam); with the default always-true predicate
+      * the behavior is bit-identical to the unfiltered form. */
     private def searchLayer(
-        q: Array[Float], entryPoints: Seq[Int], ef: Int, layer: Int): Seq[(Double, Int)] = {
+        q: Array[Float], entryPoints: Seq[Int], ef: Int, layer: Int,
+        allow: Int => Boolean = _ => true): Seq[(Double, Int)] = {
       implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2
       val visited = mutable.BitSet()
       val candidates = mutable.PriorityQueue.empty[(Double, Int)] // max-heap on negated dist
@@ -113,7 +118,7 @@ object HnswIndex {
           visited += ep
           val d = dist(q, vecs(ep))
           candidates.enqueue((-d, ep))
-          result.enqueue((d, ep))
+          if (allow(ep)) result.enqueue((d, ep))
         }
       }
       while (result.size > ef) result.dequeue()
@@ -132,8 +137,10 @@ object HnswIndex {
               val nd = dist(q, vecs(nb))
               if (result.size < ef || nd < result.head._1) {
                 candidates.enqueue((-nd, nb))
-                result.enqueue((nd, nb))
-                if (result.size > ef) result.dequeue()
+                if (allow(nb)) {
+                  result.enqueue((nd, nb))
+                  if (result.size > ef) result.dequeue()
+                }
               }
             }
             i += 1
@@ -150,6 +157,58 @@ object HnswIndex {
       var l = maxLevel
       while (l > 0) { ep = greedyClosest(q, ep, l); l -= 1 }
       searchLayer(q, Seq(ep), ef, 0)
+    }
+
+    /** Filtered top-ef: only `allow` nodes may be returned; traversal
+      * is unrestricted (see [[searchLayer]]). Layer 0 is seeded with
+      * BOTH the descent result and the global entry, so together with
+      * [[patchLayer0Reachability]] "ef ≥ n returns the exact filtered
+      * set" holds structurally: every node is layer-0 reachable from
+      * `entry`, and `entry` is always in the seed set. */
+    def searchFiltered(q: Array[Float], ef: Int, allow: Int => Boolean): Seq[(Double, Int)] = {
+      if (entry < 0) return Nil
+      var ep = entry
+      var l = maxLevel
+      while (l > 0) { ep = greedyClosest(q, ep, l); l -= 1 }
+      searchLayer(q, if (ep == entry) Seq(ep) else Seq(ep, entry), ef, 0, allow)
+    }
+
+    /** Make every node layer-0 reachable from the global entry point,
+      * STRUCTURALLY (the HNSW analog of the Vamana
+      * `patchReachability`): neighbor-list pruning to M/2M does not
+      * guarantee layer-0 connectivity, so exhaustive-walk contracts
+      * ("ef ≥ n visits every node" — the coarse-quantizer exactness
+      * and the filtered-search oracle) would otherwise be
+      * data-dependent. BFS over layer 0 from `entry`; unreachable
+      * nodes gain a direct entry→node layer-0 edge (entry's layer-0
+      * degree may exceed 2M — connectivity patch edges only ADD
+      * reachability). Returns edges added; no-op (0) on the connected
+      * graphs real data produces. */
+    def patchLayer0Reachability(): Int = {
+      val n = ids.length
+      if (n == 0 || entry < 0) return 0
+      val seen = mutable.BitSet(entry)
+      var frontier = List(entry)
+      while (frontier.nonEmpty) {
+        val next = mutable.ListBuffer.empty[Int]
+        frontier.foreach { u =>
+          val nbrs = adj(u)(0)
+          var i = 0
+          while (i < nbrs.length) {
+            val v = nbrs(i)
+            if (!seen.contains(v)) { seen += v; next += v }
+            i += 1
+          }
+        }
+        frontier = next.toList
+      }
+      var added = 0
+      var v = 0
+      while (v < n) {
+        if (!seen.contains(v)) { adj(entry)(0) += v; added += 1 }
+        v += 1
+      }
+      added
     }
 
     /** HNSW insert: descend to the node's top layer, then per-layer beam
@@ -234,6 +293,70 @@ object HnswIndex {
       }
       .toDF("query_id", "vec_id", "dist")
 
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    partials
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Filtered self-search — the HNSW twin of
+    * [[VamanaIndex.selfSearchFiltered]] (filtered-ANN serving on both
+    * graph families): the predicate column rides with each row into its
+    * partition build, the layer-0 walk admits only passing nodes while
+    * traversing everything, and the build ends in
+    * [[LocalGraph.patchLayer0Reachability]] + an entry-seeded layer-0
+    * search, so at ef ≥ partition size each partition emits its EXACT
+    * filtered top-k (merged by the standard window = the exact global
+    * answer — q_hnsw_filtered_knn shares the brute-force filtered
+    * oracle verbatim). `efFiltered` decouples the read-side beam from
+    * params.efSearch; production runs ef ≪ n and trades recall. The
+    * patch + filter live ONLY in this path — every unfiltered
+    * build/search output stays bit-identical. */
+  def selfSearchFiltered(
+      embeddings: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      numQueries: Int,
+      k: Int,
+      numPartitions: Int = 0,
+      params: Params = Params(),
+      efFiltered: Int = 0): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val queries = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    val bcQueries = spark.sparkContext.broadcast(queries)
+    val p = params
+    val efF = efFiltered
+    val partials = embeddings
+      .select(col("vec_id"), col("embedding"), predicate.cast("boolean").as("keep"))
+      .as[(Long, Array[Float], Boolean)]
+      .repartition(parts, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .mapPartitions { rows =>
+        val graph = new LocalGraph(p)
+        // insert assigns node indices sequentially, so the keep flags
+        // align with node indices by construction
+        val keep = mutable.ArrayBuffer.empty[Boolean]
+        rows.foreach { case (id, v, kf) => graph.insert(id, v); keep += kf }
+        graph.patchLayer0Reachability()
+        val allow: Int => Boolean = node => keep(node)
+        val ef = math.max(if (efF > 0) efF else p.efSearch, k + 1)
+        bcQueries.value.iterator.flatMap { case (qid, qv) =>
+          graph.searchFiltered(qv, ef, allow)
+            .filter { case (_, node) => graph.ids(node) != qid }
+            .take(k)
+            .map { case (d, node) => (qid, graph.ids(node), d) }
+        }
+      }
+      .toDF("query_id", "vec_id", "dist")
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
     partials
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -451,6 +451,15 @@ object Registry {
         predicate = col("label") < 4, numQueries = 8, k = 10,
         numPartitions = 4, searchBeam = 512)),
 
+    // The HNSW twin: same filtered-serving semantics on the
+    // hierarchical family (entry-seeded layer-0 walk + layer-0
+    // reachability patch make ef ≥ partition size exact) — same
+    // brute-force oracle
+    "q_hnsw_filtered_knn" -> ((s, dir) =>
+      HnswIndex.selfSearchFiltered(t(s, dir, "embeddings"),
+        predicate = col("label") < 4, numQueries = 8, k = 10,
+        numPartitions = 4, efFiltered = 512)),
+
     // Oracle-checked drift fingerprint for the Vamana paths: every
     // shard's entry point (medoid = argmin distance to the shard
     // centroid, ties on vec_id) + shard size, replayed exactly by a
@@ -2241,8 +2250,9 @@ s"""WITH cent AS (
     // Filtered GRAPH search shares the brute-force filtered oracle
     // VERBATIM: per-shard exact filtered top-k (beam ≥ shard size over
     // reachability-patched graphs) merged by A1 IS the global exact
-    // filtered answer
+    // filtered answer — both graph families
     "q_vamana_filtered_knn" -> filteredKnnSql,
+    "q_hnsw_filtered_knn" -> filteredKnnSql,
 
     "q_ivf_build" ->
       s"""WITH cent AS (

@@ -177,4 +177,22 @@ class HnswIndexSpec extends SparkSpec {
     assert(!a.exists(r => r.getAs[Long]("query_id") == r.getAs[Long]("vec_id")))
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
+
+  test("filtered search: exact under a selective predicate at ef >= n; never returns disallowed nodes") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val exact = KnnSearch.topK(
+        emb.where($"vec_id" < 8).select($"vec_id".as("query_id"), $"embedding".as("qvec")),
+        emb.where($"label" < 2).select($"vec_id", $"embedding".as("vec")),
+        k = 5, excludeSelf = true)
+      .select($"query_id", $"rank", $"vec_id").collect().map(_.toSeq).toSeq
+    val got = HnswIndex.selfSearchFiltered(emb, $"label" < 2, numQueries = 8,
+        k = 5, numPartitions = 4, efFiltered = 256)
+      .select($"query_id", $"rank", $"vec_id").collect().map(_.toSeq).toSeq
+    assert(got == exact, "ef >= partition size must give the exact filtered top-k")
+    val allowed = emb.where($"label" < 2).select($"vec_id").as[Long].collect().toSet
+    val approx = HnswIndex.selfSearchFiltered(emb, $"label" < 2, numQueries = 8,
+        k = 5, numPartitions = 4, efFiltered = 8)
+      .select($"vec_id").as[Long].collect()
+    assert(approx.forall(allowed.contains), "filtered search must only emit allowed nodes")
+  }
 }
