@@ -278,4 +278,76 @@ object CorpusStats {
       .select(col("doc_id"), col("n_bigrams"), col("unseen_bigrams"), col("sbo_ll"))
       .orderBy(col("doc_id"))
   }
+
+  /** Interpolated Kneser-Ney bigram LM scoring — Kneser & Ney 1995 in
+    * Chen & Goodman 1999's interpolated form, the smoothing KenLM (and
+    * hence the CCNet quality pipeline) actually uses; the principled
+    * upgrade of [[stupidBackoff]] (a fixed discount D and CONTINUATION
+    * counts instead of a flat 0.4 backoff):
+    *
+    *   P(w|v)   = max(c(vw)−D, 0)/c(v) + D·N1+(v•)/c(v) · Pcont(w)
+    *   Pcont(w) = (N1+(•w)+1)/(B+V+1)
+    *
+    * where N1+(v•)/N1+(•w) are the distinct right-/left-neighbor counts,
+    * B the distinct-bigram count and V the vocabulary size — Pcont
+    * carries the [[crossNll]] add-1 OOV bucket so unseen continuations
+    * score finitely. A context v that is unseen (or has no LM
+    * continuation at all — a doc-final-only token has no bigram mass to
+    * interpolate) falls back to Pcont(w) outright. Every branch is
+    * strictly positive, so the log never diverges.
+    *
+    * Scale: all four model tables (unigram counts, bigram counts, and
+    * the two continuation-count projections of the bigram table) are
+    * vocabulary-sized (Heaps' law) and broadcast; scoring is map-side
+    * per (doc, bigram) with the fold over the BIGRAM-SORTED contribution
+    * list (the [[unigramNll]] bit-parity discipline). Output: (doc_id,
+    * n_bigrams, unseen_bigrams, kn_ll) for docs with ≥ 1 bigram. */
+  def knBigram(docs: DataFrame, lmCorpus: DataFrame,
+      textCol: String = "text", discount: Double = 0.75): DataFrame = {
+    val uc = lmCorpus.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val bc = lmCorpus.select(explode(TextFunctions.wordBigrams(col(textCol))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .withColumn("w1", element_at(split(col("bigram"), " ", 2), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " ", 2), 2))
+      .localCheckpoint(true) // one evaluation: B scalar + three reads below
+    val nv = uc.agg(count(lit(1))).head().getLong(0)
+    val nb = bc.count()
+    require(nb > 0,
+      "knBigram: lmCorpus has no bigrams — the LM corpus filter matched nothing")
+    val pcontDenom = (nb + nv + 1).toDouble
+    val n1l = bc.groupBy(col("w1")).agg(count(lit(1)).as("n1l"))
+    val n1r = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
+    val tf = docs.select(col("doc_id"),
+        explode(TextFunctions.wordBigrams(col(textCol))).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("tf"))
+      .withColumn("w1", element_at(split(col("bigram"), " ", 2), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " ", 2), 2))
+    val pcont = (coalesce(col("n1r"), lit(0L)).cast("double") + 1.0d) / lit(pcontDenom)
+    val interpolated =
+      greatest(coalesce(col("c2"), lit(0L)).cast("double") - discount, lit(0.0d)) /
+        col("c1").cast("double") +
+        lit(discount) * col("n1l").cast("double") / col("c1").cast("double") * pcont
+    val scored = tf
+      .join(broadcast(bc.select(col("bigram"), col("c2"))), Seq("bigram"), "left")
+      .join(broadcast(uc.select(col("term").as("w1"), col("c1"))), Seq("w1"), "left")
+      .join(broadcast(n1l), Seq("w1"), "left")
+      .join(broadcast(n1r), Seq("w2"), "left")
+      .withColumn("score",
+        when(col("c1").isNotNull && col("n1l").isNotNull, interpolated)
+          .otherwise(pcont))
+      .withColumn("contrib", col("tf").cast("double") * log(col("score")))
+    scored.groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(when(col("c2").isNull, col("tf")).otherwise(0L))
+          .cast("long").as("unseen_bigrams"),
+        sort_array(collect_list(struct(col("bigram"), col("contrib")))).as("lst"))
+      .withColumn("kn_ll",
+        round(
+          aggregate(col("lst"), lit(0.0d), (acc, x) => acc + x.getField("contrib")) /
+            col("n_bigrams").cast("double"), 4))
+      .select(col("doc_id"), col("n_bigrams"), col("unseen_bigrams"), col("kn_ll"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -115,4 +115,33 @@ object EmbeddingQuality {
       .select(col("label").cast("long").as("label"), col("drift"), col("n_vecs"))
       .orderBy(col("label"))
   }
+
+  /** Embedding-space (semantic) decontamination — the fuzzy complement
+    * of [[CorpusOps.decontaminate]]'s exact n-gram rule (the gap the
+    * n-gram matcher misses: paraphrased/translated eval leakage): drop
+    * every corpus row whose max cosine similarity to ANY eval-set
+    * vector is ≥ tau. Output: surviving (vec_id, max_sim) — max_sim is
+    * the contamination margin the curator tunes tau against.
+    *
+    * Scale: eval sets are model-plane-sized (thousands of rows), so the
+    * eval side broadcasts and the corpus streams map-side through ONE
+    * BroadcastNestedLoopJoin; partial aggregation collapses the fan-out
+    * before the shuffle, which then carries one slim (id, max) row per
+    * corpus row — never the vectors, never an all-pairs materialization.
+    * max is fold-order-insensitive (unlike sums), so the
+    * groupBy needs no sorted-fold discipline and the DuckDB replay is
+    * exact. For eval sets too big to broadcast, pre-reduce them with
+    * [[Dedup.semanticDedup]]-style clustering first — the tau test only
+    * needs a tau/2-cover of the eval set to stay sound within tau/2. */
+  def decontaminateSemantic(corpus: DataFrame, evalSet: DataFrame,
+      tau: Double, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val ev = broadcast(
+      evalSet.select(col(idCol).as("_eval_id"), col(vecCol).as("_eval_vec")))
+    corpus.select(col(idCol), col(vecCol)).crossJoin(ev)
+      .groupBy(col(idCol))
+      .agg(max(Distances.cosineSim(col(vecCol), col("_eval_vec"))).as("max_sim"))
+      .where(col("max_sim") < tau)
+      .select(col(idCol), round(col("max_sim"), 6).as("max_sim"))
+      .orderBy(col(idCol))
+  }
 }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Early-terminating exact top-k over an impact-ordered inverted index —
+  * Fagin's Threshold Algorithm (Fagin, Lotem & Naor 2001), the classic
+  * exact alternative to exhaustively scoring every posting (the lexical
+  * analog of the IVF "probe a few cells" idea; WAND/MaxScore are the
+  * document-at-a-time cousins). The reference's lexical side
+  * (README.md:96 hybrid search) scores full posting lists; this is the
+  * index-shaped upgrade that keeps the SAME exact answer.
+  *
+  * Two pieces:
+  *   - [[buildImpactIndex]]: (term, doc_id, impact, impact_rank) where
+  *     impact is the BM25 per-term contribution ([[Bm25]]'s termScore,
+  *     same k1/b) and impact_rank orders each term's postings by impact
+  *     desc (ties by doc_id). This is the one-time index artifact — at
+  *     100 TB it persists as a parquet table partitioned/sorted so a
+  *     `impact_rank <= p` predicate prunes the scan.
+  *   - [[taTopK]]: iterative prefix-deepening. Round with prefix depth p
+  *     reads only rank ≤ p postings of the query terms (sorted access),
+  *     fully scores the candidate docs seen so far (random access, a
+  *     left-semi join), and stops when the k-th candidate score θ
+  *     strictly beats the threshold τ = Σ_t impact(t, rank p): any doc
+  *     outside the prefixes has per-term impact ≤ the rank-p impact for
+  *     every non-exhausted term and no postings at all on exhausted
+  *     terms, so its score ≤ τ < θ — the candidate top-k is EXACT. p
+  *     doubles per round, so termination is ≤ log2(maxlist/k) rounds
+  *     even when τ never separates (fully exhausted lists = exhaustive
+  *     scoring = trivially exact).
+  *
+  * Scale: every round is one pushed-down prefix scan + one semi-joined
+  * aggregate; driver state is ≤ |queryTerms| tail rows and k score rows
+  * (control plane). The per-doc score folds in sorted term order — the
+  * [[Bm25]] bit-parity discipline — so the TA result hash-matches the
+  * exhaustive DuckDB oracle. The final ranking is window-free
+  * ([[HybridSearch.rankBounded]] over ≤ k rows).
+  */
+object SparseTopK {
+
+  /** Per-round trace of the TA loop (audited by `SparseTopKSpec`):
+    * `postingsRead` counts sorted-access postings actually consumed at
+    * the terminating depth; `queryPostings` is what exhaustive scoring
+    * would read. */
+  final case class TaStats(
+      rounds: Int, prefixDepth: Long, postingsRead: Long, queryPostings: Long)
+
+  /** Impact-ordered inverted index over ALL corpus terms. The per-term
+    * rank is a window sort of that term's postings — the cost any
+    * impact-ordered index build pays once; at 100 TB hot terms make the
+    * term partition large, which is a build-time range-sort per posting
+    * list, not a query-time cost. */
+  def buildImpactIndex(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val lens = docs.select(col("doc_id"),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("len"))
+    val n = docs.count() // control-plane scalars, as in Bm25.rank
+    val totalLen = lens.agg(sum(col("len"))).head().getLong(0)
+    val avgdl = totalLen.toDouble / n
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // vocab-sized (Heaps' law) but unbounded at corpus scale — a shuffle
+    // join on term, NOT a broadcast (unlike the per-query df in Bm25)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log((lit(n.toDouble) - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5) + 1.0)
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("len").cast("double") / avgdl)
+    val impact = idf * (col("tf").cast("double") * (k1 + 1.0)) /
+      (col("tf").cast("double") + norm)
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("impact").desc, col("doc_id"))
+    tf.join(lens, Seq("doc_id"))
+      .join(df, Seq("term"))
+      .select(col("term"), col("doc_id"), impact.as("impact"))
+      .withColumn("impact_rank", row_number().over(w).cast("long"))
+  }
+
+  /** Exact top-k for a bag-of-words query: (rank, doc_id, score). */
+  def taTopK(index: DataFrame, queryTerms: Seq[String], k: Int): DataFrame =
+    taTopKWithStats(index, queryTerms, k)._1
+
+  def taTopKWithStats(
+      index: DataFrame, queryTerms: Seq[String], k: Int): (DataFrame, TaStats) = {
+    require(k > 0, "taTopK: k must be positive")
+    val qts = queryTerms.distinct
+    val qPostings = index.where(col("term").isin(qts: _*))
+    var p: Long = k.toLong
+    var rounds = 0
+    var result: DataFrame = null
+    var read: Long = 0L
+    while (result == null) {
+      rounds += 1
+      val prefix = qPostings.where(col("impact_rank") <= p)
+      // sorted-access tail state per term: ≤ |queryTerms| rows
+      val tails = prefix.groupBy(col("term"))
+        .agg(min(col("impact")).as("last_impact"),
+          max(col("impact_rank")).as("deepest"))
+        .collect()
+      read = tails.map(_.getAs[Long]("deepest")).sum
+      val tau = tails.collect {
+        case r if r.getAs[Long]("deepest") == p => r.getAs[Double]("last_impact")
+      }.sum
+      val exhausted = tails.forall(_.getAs[Long]("deepest") < p)
+      // random access: exact scores for the candidate docs only, folded
+      // in sorted term order (Bm25 bit-parity discipline)
+      val scores = qPostings
+        .join(prefix.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("term"), col("impact")))),
+          lit(0.0),
+          (acc, s) => acc + s.getField("impact")).as("score"))
+      val top = scores.orderBy(col("score").desc, col("doc_id")).limit(k)
+      val topRows = top.collect() // ≤ k rows — control plane
+      val theta =
+        if (topRows.length >= k) topRows.last.getAs[Double]("score")
+        else Double.NegativeInfinity
+      if (exhausted || theta > tau) {
+        result = top.join(
+            HybridSearch.rankBounded(top, "doc_id", "score"), Seq("doc_id"))
+          .select(col("rank"), col("doc_id"), round(col("score"), 6).as("score"))
+          .orderBy(col("rank"))
+      } else p *= 2L
+    }
+    (result, TaStats(rounds, p, read, qPostings.count()))
+  }
+}

@@ -333,6 +333,23 @@ object Registry {
     "q_embedding_outliers" -> ((s, dir) =>
       EmbeddingQuality.outliers(t(s, dir, "embeddings"), z = 2.0)),
 
+    // Greedy k-center coreset (Gonzalez 1985 / Sener & Savarese 2018):
+    // diversity-driven selection — k exact farthest-point steps, driver
+    // holds only the k selected vectors
+    "q_kcenter" -> ((s, dir) =>
+      Coreset.kCenterGreedy(t(s, dir, "embeddings"), k = 8)),
+
+    // Semantic decontamination: drop corpus vectors within cosine tau
+    // of any eval vector (the paraphrase leakage n-gram matching
+    // misses) — eval side broadcasts, corpus streams map-side
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      EmbeddingQuality.decontaminateSemantic(
+        corpus = emb.where(col("vec_id") >= 16),
+        evalSet = emb.where(col("vec_id") < 16),
+        tau = 0.30)
+    }),
+
     // cross-source duplication matrix over the LSH near-dup pair graph:
     // the pair set broadcasts, the corpus streams through two hash joins
     "q_source_overlap" -> ((s, dir) => {
@@ -949,6 +966,18 @@ object Registry {
           queryTerms = Seq("join", "hash", "filter", "scan"), topN = 20)
         .select(col("doc_id"), round(col("score"), 6).as("score"))),
 
+    // Fagin's Threshold Algorithm over the impact-ordered inverted
+    // index: reads only impact-rank prefixes + candidate random access,
+    // stops when the k-th score beats the threshold — EXACT top-k, same
+    // oracle shape as exhaustive scoring. The index build checkpoints
+    // once (it is the stored artifact; TA rounds re-read it).
+    "q_ta_topk" -> ((s, dir) => {
+      val idx = SparseTopK.buildImpactIndex(t(s, dir, "documents"))
+        .localCheckpoint(true)
+      SparseTopK.taTopK(idx,
+        queryTerms = Seq("merge", "vector", "batch", "slow", "spark"), k = 15)
+    }),
+
     // Hybrid search: RRF fusion of the BM25 list and the cosine k-NN
     // list for query 0 (vec_id ≡ doc_id in the test corpus). The BM25
     // list is ≤20 rows by construction — checkpoint it once and rank it
@@ -1085,6 +1114,16 @@ object Registry {
     "q_stupid_backoff" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       CorpusStats.stupidBackoff(
+        docs.where(col("source") =!= "src0"),
+        lmCorpus = docs.where(col("source") === "src0"))
+    }),
+
+    // Interpolated Kneser-Ney bigram LM (the KenLM/CCNet smoothing):
+    // continuation-count interpolation with fixed discount — same
+    // corpus split as q_stupid_backoff, same vocab-plane broadcasts
+    "q_kn_bigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusStats.knBigram(
         docs.where(col("source") =!= "src0"),
         lmCorpus = docs.where(col("source") === "src0"))
     }),
@@ -1548,6 +1587,45 @@ object Registry {
     s"(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
       s"(sqrt(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) * " +
       s"sqrt(list_sum(list_transform(range(1, len($b)+1), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))"
+
+  /** q_kcenter oracle: greedy farthest-point traversal unrolled as
+    * chained CTEs — step i folds the running min incrementally with
+    * LEAST (exact — min has no fold-order sensitivity, unlike sums; the
+    * engine recomputes the full least() per step, which is identical),
+    * then takes the (md DESC, vec_id) argmax. Seed = smallest vec_id at
+    * md 0. */
+  private val kcenterSql: String = {
+    val k = 8
+    val sb = new StringBuilder
+    sb.append(
+      """WITH c0 AS (
+        |  SELECT vec_id, embedding, CAST(0.0 AS DOUBLE) AS md FROM embeddings
+        |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+        |)""".stripMargin)
+    for (i <- 1 until k) {
+      if (i == 1)
+        sb.append(
+          s""", d1 AS (
+             |  SELECT e.vec_id, e.embedding, ${l2sqSql("e.embedding", "c.embedding")} AS md
+             |  FROM embeddings e CROSS JOIN c0 c
+             |)""".stripMargin)
+      else
+        sb.append(
+          s""", d$i AS (
+             |  SELECT e.vec_id, e.embedding,
+             |         LEAST(e.md, ${l2sqSql("e.embedding", "c.embedding")}) AS md
+             |  FROM d${i - 1} e CROSS JOIN c${i - 1} c
+             |)""".stripMargin)
+      sb.append(
+        s""", c$i AS (
+           |  SELECT vec_id, embedding, md FROM d$i ORDER BY md DESC, vec_id LIMIT 1
+           |)""".stripMargin)
+    }
+    val selects = (0 until k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS sel_rank, vec_id, round(md, 4) AS dist FROM c$i")
+      .mkString("\nUNION ALL ")
+    sb.append(s"\n$selects\nORDER BY sel_rank").toString
+  }
 
   /** DuckDB 3-word-shingle snippet over a `toks` list column. */
   private val shingles3 =
@@ -3483,6 +3561,63 @@ s"""WITH cent AS (
 
     "q_bm25" -> bm25Sql,
 
+    // q_ta_topk oracle: EXHAUSTIVE scoring under the impact-index
+    // formula (identical to BM25's per-term contribution) — Fagin's TA
+    // is a safe early-termination, so its result must equal this
+    // exactly. df per query term from the postings (= the all-terms
+    // index df for those terms), term-sorted fold, rank by (score DESC,
+    // doc_id).
+    "q_ta_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+        |), lens AS (
+        |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS len
+        |  FROM documents
+        |), consts AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         (SELECT CAST(sum(len) AS DOUBLE) FROM lens) /
+        |           CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+        |  WHERE term IN ('merge', 'vector', 'batch', 'slow', 'spark') GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+        |), ts AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         ln((c.n - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+        |           * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |           / (CAST(tf.tf AS DOUBLE) +
+        |              1.2 * ((1.0 - 0.75) + 0.75 * CAST(l.len AS DOUBLE) / c.avgdl)) AS impact
+        |  FROM tf JOIN df USING (term) JOIN lens l ON l.doc_id = tf.doc_id CROSS JOIN consts c
+        |), agg AS (
+        |  SELECT doc_id, list_sum(list(impact ORDER BY term)) AS score
+        |  FROM ts GROUP BY doc_id
+        |), ranked AS (
+        |  SELECT doc_id, score,
+        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM agg
+        |)
+        |SELECT rank, doc_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 15 ORDER BY rank""".stripMargin,
+
+    "q_kcenter" -> kcenterSql,
+
+    // q_decontaminate_semantic oracle: max cosine to the broadcast eval
+    // slice, tau filter on the UNROUNDED max (as the engine does), round
+    // for output. max is fold-order-exact, so no list-sort discipline.
+    "q_decontaminate_semantic" ->
+      s"""WITH ev AS (
+         |  SELECT embedding AS evec FROM embeddings WHERE vec_id < 16
+         |), c AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16
+         |), s AS (
+         |  SELECT c.vec_id, max(${cosSimSql("c.embedding", "ev.evec")}) AS max_sim
+         |  FROM c CROSS JOIN ev GROUP BY c.vec_id
+         |)
+         |SELECT vec_id, round(max_sim, 6) AS max_sim
+         |FROM s WHERE max_sim < 0.30 ORDER BY vec_id""".stripMargin,
+
     "q_hybrid_search" ->
       s"""WITH bm AS ($bm25Sql),
          |bmr AS (
@@ -4257,6 +4392,69 @@ s"""WITH cent AS (
         |)
         |SELECT doc_id, n_bigrams, unseen_bigrams,
         |       round(ll / CAST(n_bigrams AS DOUBLE), 4) AS sbo_ll
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q_kn_bigram oracle: interpolated Kneser-Ney — continuation counts
+    // n1l/n1r from the distinct-bigram table, Pcont with the add-1 OOV
+    // bucket over B+V+1, discount 0.75, the same bigram-sorted fold.
+    // Expression shapes mirror CorpusStats.knBigram exactly (left-assoc
+    // products, coalesce-before-cast) for bit parity.
+    "q_kn_bigram" ->
+      """WITH lmt AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE source = 'src0'
+        |), uc AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM lmt GROUP BY term
+        |), lmb AS (
+        |  SELECT unnest(CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS bigram
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+        |        FROM documents WHERE source = 'src0')
+        |), bc AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS c2,
+        |         string_split(bigram, ' ')[1] AS w1,
+        |         string_split(bigram, ' ')[2] AS w2
+        |  FROM lmb GROUP BY bigram
+        |), pd AS (
+        |  SELECT CAST((SELECT count(*) FROM bc)
+        |           + (SELECT count(*) FROM uc) + 1 AS DOUBLE) AS denom
+        |), n1l AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS n1l FROM bc GROUP BY w1
+        |), n1r AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM bc GROUP BY w2
+        |), dtf AS (
+        |  SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE CAST([] AS VARCHAR[]) END) AS bigram
+        |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |          FROM documents WHERE source <> 'src0')
+        |  ) GROUP BY doc_id, bigram
+        |), scored AS (
+        |  SELECT dtf.doc_id, dtf.bigram, dtf.tf, bc.c2,
+        |         CAST(dtf.tf AS DOUBLE) * ln(
+        |           CASE WHEN u1.c1 IS NOT NULL AND nl.n1l IS NOT NULL
+        |             THEN greatest(CAST(COALESCE(bc.c2, 0) AS DOUBLE) - 0.75,
+        |                    CAST(0.0 AS DOUBLE)) / CAST(u1.c1 AS DOUBLE)
+        |                  + 0.75 * CAST(nl.n1l AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+        |                    * ((CAST(COALESCE(nr.n1r, 0) AS DOUBLE) + 1.0) / pd.denom)
+        |             ELSE (CAST(COALESCE(nr.n1r, 0) AS DOUBLE) + 1.0) / pd.denom
+        |           END) AS contrib
+        |  FROM dtf
+        |  LEFT JOIN bc ON dtf.bigram = bc.bigram
+        |  LEFT JOIN uc u1 ON u1.term = string_split(dtf.bigram, ' ')[1]
+        |  LEFT JOIN n1l nl ON nl.w1 = string_split(dtf.bigram, ' ')[1]
+        |  LEFT JOIN n1r nr ON nr.w2 = string_split(dtf.bigram, ' ')[2]
+        |  CROSS JOIN pd
+        |), d AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(CASE WHEN c2 IS NULL THEN tf ELSE 0 END) AS BIGINT) AS unseen_bigrams,
+        |         list_sum(list(contrib ORDER BY bigram)) AS ll
+        |  FROM scored GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_bigrams, unseen_bigrams,
+        |       round(ll / CAST(n_bigrams AS DOUBLE), 4) AS kn_ll
         |FROM d ORDER BY doc_id""".stripMargin,
 
     // q_cross_nll oracle: target-LM cf over src0, V+1 add-1 smoothing

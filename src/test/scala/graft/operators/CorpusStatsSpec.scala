@@ -106,4 +106,40 @@ class CorpusStatsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(scores(1L) > scores(2L))
   }
+
+  test("knBigram: hand-derived interpolated KN values on a tiny LM") {
+    // LM "a b b a c": unigrams a:2 b:2 c:1 (V=3); bigrams a b/b b/b a/a c
+    // each once (B=4); Pcont denom = B+V+1 = 8; D = 0.75
+    // n1l: a→2 (b,c), b→2 (b,a); n1r: b→2, a→1, c→1
+    val lm = Seq((100L, "a b b a c")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b z")).toDF("doc_id", "text")
+    val got = CorpusStats.knBigram(docs, lm).head()
+    assert(got.getLong(1) == 2L && got.getLong(2) == 1L)
+    // "a b": max(1-.75,0)/2 + .75*2/2 * (2+1)/8 = 0.40625
+    // "b z": 0/2 + .75*2/2 * (0+1)/8 = 0.09375
+    val expected = BigDecimal((math.log(0.40625) + math.log(0.09375)) / 2.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getDouble(3) == expected)
+  }
+
+  test("knBigram: contexts with no LM continuation fall back to Pcont") {
+    // c appears only LM-final → n1l(c) undefined; q unseen entirely
+    val lm = Seq((100L, "a b b a c")).toDF("doc_id", "text")
+    val docs = Seq((1L, "c q"), (2L, "q r")).toDF("doc_id", "text")
+    val got = CorpusStats.knBigram(docs, lm).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // both score a single bigram at Pcont(unseen) = (0+1)/8
+    val expected = BigDecimal(math.log(1.0 / 8.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == expected && got(2L) == expected)
+  }
+
+  test("knBigram: in-domain text outranks off-domain text") {
+    val lm = Seq((100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the quick brown cat naps under the warm sun")).toDF("doc_id", "text")
+    val docs = Seq((1L, "the quick brown fox"), (2L, "zz yy xx ww")).toDF("doc_id", "text")
+    val scores = CorpusStats.knBigram(docs, lm).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scores(1L) > scores(2L))
+  }
 }

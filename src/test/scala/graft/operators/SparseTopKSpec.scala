@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bm25, SparseTopK}
+
+/** Fagin's TA must be an exact early termination: its top-k equals
+  * exhaustive BM25 scoring for every query, and for selective queries
+  * the sorted access actually stops early (the pruning audit). */
+class SparseTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+  private lazy val index = SparseTopK.buildImpactIndex(docs).localCheckpoint(true)
+
+  private def exhaustive(terms: Seq[String], k: Int): Seq[(Long, Long)] =
+    Bm25.rank(docs, terms, topN = k)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i + 1L, r.getAs[Long]("doc_id")) }
+      .toSeq
+
+  private def ta(terms: Seq[String], k: Int): Seq[(Long, Long)] =
+    SparseTopK.taTopK(index, terms, k)
+      .select(col("rank"), col("doc_id"))
+      .as[(Long, Long)].collect().toSeq
+
+  test("TA equals exhaustive scoring across query shapes") {
+    for ((terms, k) <- Seq(
+        (Seq("merge", "vector", "batch", "slow", "spark"), 15),
+        (Seq("join", "hash", "filter", "scan"), 20),
+        (Seq("vector"), 5),                       // single-term: prefix IS the answer
+        (Seq("join", "zzz_not_in_vocab"), 10))) { // vanished term contributes nothing
+      assert(ta(terms, k) == exhaustive(terms, k), s"terms=$terms k=$k")
+    }
+  }
+
+  test("scores hash-match the exhaustive fold bit-for-bit") {
+    val terms = Seq("merge", "vector", "batch", "slow", "spark")
+    val taScores = SparseTopK.taTopK(index, terms, 15)
+      .select(col("doc_id"), col("score")).as[(Long, Double)].collect().toMap
+    val full = Bm25.rank(docs, terms, topN = 15)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .as[(Long, Double)].collect().toMap
+    assert(taScores == full)
+  }
+
+  test("sorted access terminates early on a selective query (pruning audit)") {
+    val (_, stats) = SparseTopK.taTopKWithStats(index, Seq("vector", "spark"), 5)
+    assert(stats.postingsRead < stats.queryPostings,
+      s"TA read ${stats.postingsRead} of ${stats.queryPostings} query postings — no pruning")
+    assert(stats.prefixDepth < stats.queryPostings)
+  }
+
+  test("exhausted lists degrade to exact exhaustive scoring (k > matches)") {
+    // a term so rare the lists exhaust before theta > tau can separate
+    val rare = index.groupBy(col("term")).count()
+      .orderBy(col("count"), col("term")).select(col("term")).as[String].head()
+    val k = 50
+    assert(ta(Seq(rare), k) == exhaustive(Seq(rare), k))
+  }
+}
