@@ -30,7 +30,15 @@ object SqIndex {
     * vectorized one-pass Summarizer aggregate yields bit-identical bounds
     * to a per-element explode (which would blow every d-dim row into d
     * shuffle-input rows — pure overhead at corpus scale). */
-  def trainMinMax(embeddings: DataFrame, d: Int): (Array[Double], Array[Double]) = {
+  def trainMinMax(embeddings: DataFrame, d: Int): (Array[Double], Array[Double]) =
+    trainBounds(embeddings, d, levels = 255.0)
+
+  /** Shared bounds pass: scale = (vmax − vmin)/levels. Computed directly
+    * from the exact bounds (NOT rescaled from another level count —
+    * (x/255)·255/15 ≠ x/15 in floating point, and the oracle computes
+    * (vmax−vmin)/15 directly). */
+  private def trainBounds(embeddings: DataFrame, d: Int,
+      levels: Double): (Array[Double], Array[Double]) = {
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.stat.Summarizer
     val row = embeddings
@@ -42,7 +50,7 @@ object SqIndex {
     val hi = row.getAs[org.apache.spark.ml.linalg.Vector](1).toArray
     val scale = new Array[Double](d)
     var i = 0
-    while (i < d) { scale(i) = (hi(i) - lo(i)) / 255.0; i += 1 }
+    while (i < d) { scale(i) = (hi(i) - lo(i)) / levels; i += 1 }
     (lo, scale)
   }
 
@@ -88,6 +96,77 @@ object SqIndex {
       val diff = element_at(qvec, idx).cast("double") - recon
       acc + diff * diff
     })
+  }
+
+  /** SQ4 bounds: scale = (vmax − vmin)/15 — FAISS `QT_4bit` semantics,
+    * the 8× rung of the compression ladder (fp32 → SQ8 → SQ4 → binary). */
+  def trainMinMax4(embeddings: DataFrame, d: Int): (Array[Double], Array[Double]) =
+    trainBounds(embeddings, d, levels = 15.0)
+
+  /** PACKED 4-bit codes — the representation IS the point at 100 TB
+    * (two dims per byte, half the array entries of SQ8): element j holds
+    * code_{2j}·16 + code_{2j+1}, codes clamped to [0, 15]. Odd d pads
+    * the final high nibble's partner with code 0 and the distance loop
+    * simply never reads it. */
+  def encode4Expr(vec: Column, vmin: Array[Double], scale: Array[Double]): Column = {
+    val vminL = typedLit(vmin.toSeq)
+    val scaleL = typedLit(scale.toSeq)
+    val d = vmin.length
+    def code(i: Column): Column = { // i is 1-based dim index
+      val x = element_at(vec, i.cast("int"))
+      when(element_at(scaleL, i.cast("int")) === 0.0, lit(0L))
+        .otherwise(least(lit(15L), greatest(lit(0L),
+          round((x.cast("double") - element_at(vminL, i.cast("int"))) /
+            element_at(scaleL, i.cast("int"))).cast("long"))))
+    }
+    transform(sequence(lit(0), lit((d + 1) / 2 - 1)), j => {
+      val hi = code(j * 2 + 1)
+      val lo = if (d % 2 == 0) code(j * 2 + 2)
+        else when(j * 2 + 2 <= d, code(j * 2 + 2)).otherwise(lit(0L))
+      hi * 16L + lo
+    })
+  }
+
+  /** Squared L2 against an SQ4-packed candidate: unpack both nibbles of
+    * each byte (div/mod — exact integer arithmetic), reconstruct, fold
+    * ascending (oracle-mirrored shape). */
+  def sq4Dist(qvec: Column, packed: Column, d: Int,
+      vmin: Array[Double], scale: Array[Double]): Column = {
+    val vminL = typedLit(vmin.toSeq)
+    val scaleL = typedLit(scale.toSeq)
+    aggregate(sequence(lit(0), lit(d - 1)), lit(0.0), (acc, i) => {
+      val byteIdx = (shiftright(i.cast("int"), 1) + 1).cast("int")
+      val b = element_at(packed, byteIdx)
+      // exact integer unpack: high nibble for even dims, low for odd
+      val codeI = when(i % 2 === 0,
+        shiftright(b.cast("int"), 4).cast("long")).otherwise(b % 16L)
+      val idx = (i + 1).cast("int")
+      val recon = element_at(vminL, idx) +
+        codeI.cast("double") * element_at(scaleL, idx)
+      val diff = element_at(qvec, idx).cast("double") - recon
+      acc + diff * diff
+    })
+  }
+
+  /** End-to-end SQ4 self-search — the [[selfSearch]] protocol over the
+    * packed codes. Same scale shape: model literals, shuffle-free
+    * encode+distance projections, broadcast queries, per-query window. */
+  def selfSearch4(embeddings: DataFrame, numQueries: Int, d: Int, k: Int): DataFrame = {
+    val (vmin, scale) = trainMinMax4(embeddings, d)
+    val codes = embeddings
+      .select(col("vec_id"), encode4Expr(col("embedding"), vmin, scale).as("codes4"))
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    codes
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        sq4Dist(col("qvec"), col("codes4"), d, vmin, scale).as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** End-to-end SQ8 self-search: train bounds, encode, rank by decoded

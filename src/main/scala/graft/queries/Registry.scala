@@ -379,6 +379,12 @@ object Registry {
     "q_sq8_knn" -> ((s, dir) =>
       SqIndex.selfSearch(t(s, dir, "embeddings"), numQueries = 8, d = 64, k = 10)),
 
+    // SQ4 nibble-PACKED codes (FAISS QT_4bit, the 8× rung): two dims per
+    // byte, exact integer pack/unpack — deterministic → exact oracle
+    // that replays the packed representation itself
+    "q_sq4_knn" -> ((s, dir) =>
+      SqIndex.selfSearch4(t(s, dir, "embeddings"), numQueries = 8, d = 64, k = 10)),
+
     // IVF + SQ8: partition-pruned cells over 4×-compressed codes
     // (IndexIVFScalarQuantizer composition) — deterministic → exact oracle
     "q_ivfsq_knn" -> ((s, dir) =>
@@ -2676,6 +2682,49 @@ s"""WITH cent AS (
         |  SELECT q.query_id, e.vec_id,
         |    list_sum(list_transform(range(1, 65), i ->
         |      (CAST(q.qvec[i] AS DOUBLE) - (m.vmin[i] + e.codes[i] * m.scale[i]))^2)) AS dist
+        |  FROM qs q CROSS JOIN enc e CROSS JOIN mdl m
+        |  WHERE e.vec_id <> q.query_id
+        |), r AS (
+        |  SELECT query_id, vec_id, dist,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+        |  FROM j
+        |)
+        |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // q_sq4_knn oracle: QT_4bit with the PACKED representation replayed —
+    // codes4[j] = code(2j−1)·16 + code(2j); the distance unpacks with
+    // exact integer div/mod (high nibble = odd 1-based dim)
+    "q_sq4_knn" ->
+      """WITH mm AS (
+        |  SELECT t.i, min(CAST(e.embedding[t.i] AS DOUBLE)) AS vmin,
+        |         max(CAST(e.embedding[t.i] AS DOUBLE)) AS vmax
+        |  FROM range(1, 65) t(i) CROSS JOIN embeddings e GROUP BY t.i
+        |), mdl AS (
+        |  SELECT list(vmin ORDER BY i) AS vmin,
+        |         list((vmax - vmin)/15.0 ORDER BY i) AS scale
+        |  FROM mm
+        |), cd AS (
+        |  SELECT e.vec_id, list_transform(range(1, 65), i ->
+        |    CASE WHEN m.scale[i] = 0 THEN 0
+        |         ELSE least(15, greatest(0, CAST(round(
+        |           (CAST(e.embedding[i] AS DOUBLE) - m.vmin[i]) / m.scale[i]) AS BIGINT))) END) AS c
+        |  FROM embeddings e CROSS JOIN mdl m
+        |), enc AS (
+        |  SELECT vec_id, list_transform(range(1, 33), j ->
+        |    c[2*j - 1] * 16 + c[2*j]) AS codes4
+        |  FROM cd
+        |), qs AS (
+        |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+        |), j AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      (CAST(q.qvec[i] AS DOUBLE) -
+        |       (m.vmin[i] +
+        |        CAST(CASE WHEN i % 2 = 1
+        |               THEN e.codes4[(i + 1) // 2] // 16
+        |               ELSE e.codes4[(i + 1) // 2] % 16 END AS DOUBLE)
+        |          * m.scale[i]))^2)) AS dist
         |  FROM qs q CROSS JOIN enc e CROSS JOIN mdl m
         |  WHERE e.vec_id <> q.query_id
         |), r AS (

@@ -40,6 +40,40 @@ class SqIndexSpec extends SparkSpec {
     }
   }
 
+  test("SQ4 packed codes round-trip: unpack(pack(c)) == c, codes in [0,15]") {
+    val (vmin, scale) = SqIndex.trainMinMax4(emb, 64)
+    val rows = emb
+      .select($"vec_id", $"embedding",
+        SqIndex.encode4Expr($"embedding", vmin, scale).as("codes4"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val packed = r.getSeq[Long](2)
+      assert(packed.length == 32)
+      assert(packed.forall(b => b >= 0 && b <= 255))
+      (0 until 64).foreach { i =>
+        val b = packed(i / 2)
+        val code = if (i % 2 == 0) b >> 4 else b & 15L
+        assert(code >= 0 && code <= 15)
+        // quantization bound with the coarser 4-bit grid
+        val recon = vmin(i) + code * scale(i)
+        assert(math.abs(v(i) - recon) <= scale(i) / 2 + 1e-9,
+          s"vec ${r.getLong(0)} dim $i")
+      }
+    }
+  }
+
+  test("SQ4 search recall@10 vs exact FLAT degrades gracefully at 8x compression") {
+    val exact = KnnSearch.selfTopK(emb, numQueries = 8, k = 10)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq4 = SqIndex.selfSearch4(emb, numQueries = 8, d = 64, k = 10)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect sq4).size.toDouble / exact.size
+    assert(recall >= 0.6, s"SQ4 recall $recall") // coarser grid, lower bar than SQ8
+  }
+
   test("SQ8 search recall@10 vs exact FLAT is near-perfect at 4x compression") {
     val exact = KnnSearch.selfTopK(emb, numQueries = 8, k = 10)
       .select($"query_id", $"vec_id").collect()
