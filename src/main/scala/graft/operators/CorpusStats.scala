@@ -350,4 +350,121 @@ object CorpusStats {
       .select(col("doc_id"), col("n_bigrams"), col("unseen_bigrams"), col("kn_ll"))
       .orderBy(col("doc_id"))
   }
+
+  /** Source-distinctive terms — log-odds ratio with the informative
+    * Dirichlet prior (Monroe, Colaresi & Quinn 2008, "Fightin' Words"),
+    * the standard "what vocabulary marks this source" diagnostic (pure
+    * frequency ranks stopwords; plain log-odds overweights rare terms —
+    * the corpus-wide prior fixes both):
+    *
+    *   δ_sw = ln((y_sw+α_w)/(n_s+α0−y_sw−α_w))
+    *        − ln((y_w−y_sw+α_w)/(n−n_s+α0−(y_w−y_sw)−α_w))
+    *   z_sw = δ_sw / sqrt(1/(y_sw+α_w) + 1/(y_w−y_sw+α_w))
+    *
+    * with α_w = α0·y_w/n (corpus-proportional prior mass). Output: the
+    * top `per` terms per source by z (ties term asc).
+    *
+    * Scale: the (source, term) count table is |sources|×vocab
+    * (Heaps'-law bounded); source totals and corpus totals are
+    * tiny/vocab-sized broadcasts; the z computation is one map-side
+    * scalar expression per (source, term) row and the top-k is one
+    * window per source. Nothing touches the corpus after the first
+    * count aggregate. */
+  def domainTerms(docs: DataFrame, per: Int = 3, alpha0: Double = 100.0,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("source"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val ysw = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("ysw"))
+      .localCheckpoint(true) // one evaluation: yw/ns/n all derive from it
+    val yw = ysw.groupBy(col("term")).agg(sum(col("ysw")).as("yw"))
+    val ns = ysw.groupBy(col("source")).agg(sum(col("ysw")).as("ns"))
+    val n = ysw.agg(sum(col("ysw"))).head().getLong(0).toDouble
+    val aw = lit(alpha0) * col("yw").cast("double") / lit(n)
+    val ysdw = col("ysw").cast("double")
+    val ywd = col("yw").cast("double")
+    val nsd = col("ns").cast("double")
+    val delta =
+      log((ysdw + aw) / (nsd + alpha0 - ysdw - aw)) -
+        log((ywd - ysdw + aw) / (lit(n) - nsd + alpha0 - (ywd - ysdw) - aw))
+    val variance = lit(1.0) / (ysdw + aw) + lit(1.0) / (ywd - ysdw + aw)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("z").desc, col("term"))
+    ysw
+      .join(broadcast(yw), Seq("term"))
+      .join(broadcast(ns), Seq("source"))
+      // rank on the PRE-rounded z so cross-engine ties resolve on the
+      // deterministic (z, term) key, not on last-bit ln noise
+      .withColumn("z", round(delta / sqrt(variance), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= per)
+      .select(col("source"), col("rank"), col("term"), col("z"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** PMI collocations (Church & Hanks 1990): top word pairs by
+    * pointwise mutual information over the corpus bigram stream,
+    *
+    *   pmi(v,w) = ln( (c2(vw)/B) / ((c1(v)/N)·(c1(w)/N)) )
+    *
+    * gated by a minimum bigram count (PMI's known rare-pair pathology).
+    * The phrase-mining primitive behind tokenizer vocab curation and
+    * collocation-aware chunking. Output: top `topN` by (pmi desc,
+    * bigram) with counts.
+    *
+    * Scale: bigram and unigram count tables are vocab-sized; the join
+    * is broadcast; selection is orderBy.limit (per-partition top-N +
+    * k-row merge). The corpus is read twice (unigram + bigram streams),
+    * both map-side-combinable aggregates. */
+  def collocations(docs: DataFrame, minCount: Long = 5, topN: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    val uc = docs.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true) // N scalar + two joins
+    val nTotal = uc.agg(sum(col("c1"))).head().getLong(0).toDouble
+    val bc = docs.select(explode(TextFunctions.wordBigrams(col(textCol))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val bTotal = bc.agg(sum(col("c2"))).head().getLong(0).toDouble
+    val pmi = log(
+      (col("c2").cast("double") / lit(bTotal)) /
+        ((col("c1l").cast("double") / lit(nTotal)) *
+          (col("c1r").cast("double") / lit(nTotal))))
+    bc.where(col("c2") >= minCount)
+      .withColumn("w1", element_at(split(col("bigram"), " ", 2), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " ", 2), 2))
+      .join(broadcast(uc.select(col("term").as("w1"), col("c1").as("c1l"))), Seq("w1"))
+      .join(broadcast(uc.select(col("term").as("w2"), col("c1").as("c1r"))), Seq("w2"))
+      .select(col("bigram"), col("c2"), round(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topN)
+  }
+
+  /** Vocabulary coverage curve — the tokenizer-design question "what
+    * fraction of token occurrences does a top-V vocabulary cover?" for
+    * a ladder of V values (OOV rate = 1 − coverage; where the curve
+    * flattens is where vocab growth stops paying).
+    *
+    * Scale: the cf table is vocab-sized; the rank is ONE vocab-plane
+    * global window (the [[CorpusOps.mlmMask]] precedent — vocabulary ≪
+    * corpus, this never touches corpus rows); the curve is a broadcast-
+    * join of the ladder against cumulative sums, integer-exact until
+    * the final rounded division. Output: (vocab_size, n_covered,
+    * coverage) ordered by vocab_size. */
+  def vocabCoverage(docs: DataFrame, sizes: Seq[Int] = Seq(16, 64, 256, 1024, 4096),
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cf = docs.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      .localCheckpoint(true)
+    val nTotal = cf.agg(sum(col("cf"))).head().getLong(0)
+    val w = Window.orderBy(col("cf").desc, col("term"))
+    val ranked = cf.withColumn("rank", row_number().over(w).cast("long"))
+    val ladder = sizes.map(_.toLong).toDF("vocab_size")
+    ranked.join(broadcast(ladder), col("rank") <= col("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(sum(col("cf")).as("n_covered"))
+      .withColumn("coverage",
+        round(col("n_covered").cast("double") / lit(nTotal.toDouble), 6))
+      .orderBy(col("vocab_size"))
+  }
 }

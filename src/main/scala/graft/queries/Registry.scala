@@ -1124,6 +1124,21 @@ object Registry {
         lmCorpus = docs.where(col("source") === "src0"))
     }),
 
+    // Source-distinctive terms: Monroe et al. 2008 log-odds z with the
+    // corpus-proportional Dirichlet prior — all model tables vocab-sized
+    "q_domain_terms" -> ((s, dir) =>
+      CorpusStats.domainTerms(t(s, dir, "documents"), per = 3)),
+
+    // PMI collocations (Church & Hanks 1990) with the min-count gate —
+    // phrase mining over vocab-sized count tables, orderBy.limit top-N
+    "q_collocations" -> ((s, dir) =>
+      CorpusStats.collocations(t(s, dir, "documents"), minCount = 5, topN = 20)),
+
+    // Vocabulary coverage curve (OOV rate vs vocab size) — the
+    // tokenizer-design diagnostic; one vocab-plane window, exact counts
+    "q_vocab_coverage" -> ((s, dir) =>
+      CorpusStats.vocabCoverage(t(s, dir, "documents"), Seq(4, 8, 16, 32))),
+
     // Interpolated Kneser-Ney bigram LM (the KenLM/CCNet smoothing):
     // continuation-count interpolation with fixed discount — same
     // corpus split as q_stupid_backoff, same vocab-plane broadcasts
@@ -4442,6 +4457,94 @@ s"""WITH cent AS (
         |SELECT doc_id, n_bigrams, unseen_bigrams,
         |       round(ll / CAST(n_bigrams AS DOUBLE), 4) AS sbo_ll
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q_domain_terms oracle: the Fightin' Words z — identical scalar
+    // expression shape (left-assoc denominators, prior aw = 100·yw/n),
+    // rank on the pre-rounded z with the (z DESC, term) tie rule
+    "q_domain_terms" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+        |), ysw AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS ysw FROM toks GROUP BY source, term
+        |), yw AS (
+        |  SELECT term, CAST(sum(ysw) AS BIGINT) AS yw FROM ysw GROUP BY term
+        |), ns AS (
+        |  SELECT source, CAST(sum(ysw) AS BIGINT) AS ns FROM ysw GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(CAST(sum(ysw) AS BIGINT) AS DOUBLE) AS n FROM ysw
+        |), zt AS (
+        |  SELECT s.source, s.term,
+        |    round(
+        |      (ln((CAST(s.ysw AS DOUBLE) + 100.0 * CAST(yw.yw AS DOUBLE) / tot.n)
+        |          / (CAST(ns.ns AS DOUBLE) + 100.0 - CAST(s.ysw AS DOUBLE)
+        |             - 100.0 * CAST(yw.yw AS DOUBLE) / tot.n))
+        |       - ln((CAST(yw.yw AS DOUBLE) - CAST(s.ysw AS DOUBLE)
+        |             + 100.0 * CAST(yw.yw AS DOUBLE) / tot.n)
+        |            / (tot.n - CAST(ns.ns AS DOUBLE) + 100.0
+        |               - (CAST(yw.yw AS DOUBLE) - CAST(s.ysw AS DOUBLE))
+        |               - 100.0 * CAST(yw.yw AS DOUBLE) / tot.n)))
+        |      / sqrt(1.0 / (CAST(s.ysw AS DOUBLE) + 100.0 * CAST(yw.yw AS DOUBLE) / tot.n)
+        |             + 1.0 / (CAST(yw.yw AS DOUBLE) - CAST(s.ysw AS DOUBLE)
+        |                      + 100.0 * CAST(yw.yw AS DOUBLE) / tot.n)), 6) AS z
+        |  FROM ysw s JOIN yw USING (term) JOIN ns USING (source) CROSS JOIN tot
+        |), r AS (
+        |  SELECT source, term, z,
+        |         CAST(row_number() OVER (PARTITION BY source ORDER BY z DESC, term) AS BIGINT) AS rank
+        |  FROM zt
+        |)
+        |SELECT source, rank, term, z FROM r WHERE rank <= 3
+        |ORDER BY source, rank""".stripMargin,
+
+    // q_collocations oracle: PMI over bigram/unigram count tables, the
+    // min-count gate BEFORE the join, rounded-PMI ordering
+    "q_collocations" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+        |), uc AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY term
+        |), nt AS (
+        |  SELECT CAST(CAST(sum(c1) AS BIGINT) AS DOUBLE) AS n FROM uc
+        |), lmb AS (
+        |  SELECT unnest(CASE WHEN len(tk) >= 2
+        |    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS bigram
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS tk FROM documents)
+        |), bc AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS c2 FROM lmb GROUP BY bigram
+        |), bt AS (
+        |  SELECT CAST(CAST(sum(c2) AS BIGINT) AS DOUBLE) AS b FROM bc
+        |), p AS (
+        |  SELECT bc.bigram, bc.c2,
+        |    round(ln((CAST(bc.c2 AS DOUBLE) / bt.b) /
+        |             ((CAST(u1.c1 AS DOUBLE) / nt.n) * (CAST(u2.c1 AS DOUBLE) / nt.n))), 6) AS pmi
+        |  FROM bc
+        |  JOIN uc u1 ON u1.term = string_split(bc.bigram, ' ')[1]
+        |  JOIN uc u2 ON u2.term = string_split(bc.bigram, ' ')[2]
+        |  CROSS JOIN nt CROSS JOIN bt
+        |  WHERE bc.c2 >= 5
+        |)
+        |SELECT bigram, c2, pmi FROM p ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
+
+    // q_vocab_coverage oracle: one vocab-plane rank + a ladder join —
+    // integer-exact until the final rounded division
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+        |), cf AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks GROUP BY term
+        |), nt AS (
+        |  SELECT CAST(sum(cf) AS BIGINT) AS n FROM cf
+        |), r AS (
+        |  SELECT term, cf, CAST(row_number() OVER (ORDER BY cf DESC, term) AS BIGINT) AS rank FROM cf
+        |), l AS (
+        |  SELECT CAST(unnest([4, 8, 16, 32]) AS BIGINT) AS vocab_size
+        |), c AS (
+        |  SELECT l.vocab_size, CAST(sum(r.cf) AS BIGINT) AS n_covered
+        |  FROM r JOIN l ON r.rank <= l.vocab_size GROUP BY l.vocab_size
+        |)
+        |SELECT vocab_size, n_covered,
+        |       round(CAST(n_covered AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM nt), 6) AS coverage
+        |FROM c ORDER BY vocab_size""".stripMargin,
 
     // q_kn_bigram oracle: interpolated Kneser-Ney — continuation counts
     // n1l/n1r from the distinct-bigram table, Pcont with the add-1 OOV

@@ -134,6 +134,45 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(1L) == expected && got(2L) == expected)
   }
 
+  test("domainTerms surfaces the source-exclusive marker term at rank 1") {
+    // src A is marked by "alpha" (frequent there, absent elsewhere);
+    // shared filler dominates raw frequency but not log-odds z
+    val docs = Seq(
+      (0L, "A", "alpha alpha alpha the the the and and"),
+      (1L, "A", "alpha alpha the the and"),
+      (2L, "B", "beta beta beta the the the and and"),
+      (3L, "B", "beta beta the the and")
+    ).toDF("doc_id", "source", "text")
+    val top = CorpusStats.domainTerms(docs, per = 1).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(top == Map("A" -> "alpha", "B" -> "beta"))
+  }
+
+  test("collocations: a glued pair outranks independent co-occurrence") {
+    // "new york" always adjacent; "the" ubiquitous → low PMI
+    val docs = Seq(
+      (0L, "new york new york new york new york new york"),
+      (1L, "the cat the dog the bird the fish the cow"),
+      (2L, "new york the cat new york the dog new york a b")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.collocations(docs, minCount = 3, topN = 5).collect()
+    assert(out.head.getString(0) == "new york")
+    val pmis = out.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    pmis.collect { case (k, v) if k != "new york" => v }.foreach(v =>
+      assert(v < pmis("new york")))
+  }
+
+  test("vocabCoverage: exact cumulative fractions on a known Zipf-ish fixture") {
+    // counts: a:8 b:4 c:2 d:1 → top1 8/15, top2 12/15, top4 = 1.0
+    val docs = Seq((0L, "a a a a a a a a b b b b c c d")).toDF("doc_id", "text")
+    val got = CorpusStats.vocabCoverage(docs, Seq(1, 2, 4))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 8L, BigDecimal(8.0 / 15).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (2L, 12L, 0.8),
+      (4L, 15L, 1.0)))
+  }
+
   test("knBigram: in-domain text outranks off-domain text") {
     val lm = Seq((100L, "the quick brown fox jumps over the lazy dog"),
       (101L, "the quick brown cat naps under the warm sun")).toDF("doc_id", "text")
