@@ -203,6 +203,61 @@ object PqIndex {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** PQ4 packing (the FAISS `PQx4` / fast-scan layout, ksub = 16): two
+    * subspace codes per byte — packed(j) = code_{2j}·16 + code_{2j+1}
+    * (1-based element indexing, even subspaces in the high nibble, the
+    * [[SqIndex.encode4Expr]] convention). FAISS packs 4-bit codes for
+    * SIMD LUT shuffles; relationally the win is the same storage one —
+    * the codes column halves again vs byte codes. Pass the CODES COLUMN
+    * (not a fresh encode expression) so the m-way argmin evaluates once
+    * per row, not once per packed element. */
+  def packCodes4(codes: Column, m: Int): Column =
+    transform(sequence(lit(0), lit(m / 2 - 1)), j =>
+      element_at(codes, (j * 2 + 1).cast("int")) * 16L +
+        element_at(codes, (j * 2 + 2).cast("int")))
+
+  /** ADC over packed 4-bit codes: exact integer nibble unpack
+    * (shiftright/mod), then the same ascending-s LUT fold as
+    * [[adcDistHof]] — value-identical to ADC over the unpacked codes
+    * because unpack(pack(c)) ≡ c for c ∈ [0, 15]. */
+  def adcDist4(lut: Column, packed: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) => {
+      val b = element_at(packed, (shiftright(s.cast("int"), 1) + 1).cast("int"))
+      val code = when(s % 2 === 0,
+        shiftright(b.cast("int"), 4).cast("long")).otherwise(b % 16L)
+      acc + element_at(
+        element_at(lut, (s + 1).cast("int")), (code + 1).cast("int"))
+    })
+
+  /** End-to-end PQ4 self-search with deterministic ksub=16 codebooks —
+    * the [[selfSearchSeeded]] protocol over nibble-packed codes. */
+  def selfSearchSeeded4(
+      embeddings: DataFrame,
+      numQueries: Int,
+      m: Int,
+      subDim: Int,
+      k: Int): DataFrame = {
+    require(m % 2 == 0, "PQ4 packing needs an even subspace count")
+    val cb = seedCodebooks(embeddings, m, subDim, ksub = 16)
+    val codes4 = embeddings
+      .withColumn("_c", encodeExpr(col("embedding"), cb, m, subDim))
+      .select(col("vec_id"), packCodes4(col("_c"), m).as("codes4"))
+    val luts = embeddings
+      .where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"),
+        lutExpr(col("embedding"), cb, m, subDim).as("lut"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    codes4
+      .crossJoin(broadcast(luts))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        adcDist4(col("lut"), col("codes4"), m).as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private[operators] def search(
       embeddings: DataFrame,
       codes: DataFrame,

@@ -87,47 +87,79 @@ object SparseTopK {
 
   def taTopKWithStats(
       index: DataFrame, queryTerms: Seq[String], k: Int): (DataFrame, TaStats) = {
+    val (result, rounds, p, read) = taLoop(index, queryTerms, k)
+    (result, TaStats(rounds, p, read,
+      index.where(col("term").isin(queryTerms.distinct: _*)).count()))
+  }
+
+  /** The TA loop, in THREE Spark jobs regardless of depth. θ from the
+    * depth-k seed round is a LOWER bound of the final θ (candidates
+    * only widen as p grows), so stopping on θ_seed > τ_p is safe: any
+    * doc outside the depth-p prefixes scores ≤ τ_p < θ_seed ≤ θ_final.
+    * And since the candidate depths form a fixed geometric ladder, ALL
+    * the per-depth tail impacts the walk could ever need come from ONE
+    * aggregate (impact at each ladder rank + list length per term) —
+    * the ladder walk itself is driver-side arithmetic over ≤ |terms| ×
+    * log₂(maxlist) values. Jobs: seed scores (depth k), the ladder
+    * tails pass, final scores (terminating depth). The trade vs a
+    * per-round-refreshed θ is a possibly deeper final prefix — sorted
+    * access is the cheap side, the scoring join is the expensive one. */
+  private def taLoop(index: DataFrame, queryTerms: Seq[String], k: Int)
+      : (DataFrame, Int, Long, Long) = {
     require(k > 0, "taTopK: k must be positive")
     val qts = queryTerms.distinct
     val qPostings = index.where(col("term").isin(qts: _*))
-    var p: Long = k.toLong
-    var rounds = 0
-    var result: DataFrame = null
-    var read: Long = 0L
-    while (result == null) {
+
+    // exact scores for the docs seen in the depth-p prefixes, folded in
+    // sorted term order (Bm25 bit-parity discipline)
+    def scoresAt(p: Long): DataFrame = qPostings
+      .join(qPostings.where(col("impact_rank") <= p)
+        .select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("impact")))),
+        lit(0.0),
+        (acc, s) => acc + s.getField("impact")).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+
+    val seedRows = scoresAt(k.toLong).collect() // ≤ k rows — control plane
+    val thetaSeed =
+      if (seedRows.length >= k) seedRows.last.getAs[Double]("score")
+      else Double.NegativeInfinity
+
+    // one pass: per term, the full list length and the impact at every
+    // geometric-ladder rank — ≤ |terms| × ~40 values of driver state
+    val ladder = Iterator.iterate(k.toLong)(d => math.min(d * 2L, Long.MaxValue / 2))
+      .take(42).toSeq.distinct
+    val tailRows = qPostings.groupBy(col("term"))
+      .agg(
+        max(col("impact_rank")).as("len"),
+        collect_list(when(col("impact_rank").isin(ladder: _*),
+          struct(col("impact_rank"), col("impact")))).as("ladder_impacts"))
+      .collect()
+    val lens = tailRows.map(_.getAs[Long]("len"))
+    val atRank: Map[(String, Long), Double] = tailRows.flatMap { r =>
+      val t = r.getAs[String]("term")
+      r.getSeq[org.apache.spark.sql.Row](2)
+        .map(s => (t, s.getAs[Long]("impact_rank")) -> s.getAs[Double]("impact"))
+    }.toMap
+    // driver-side ladder walk — identical stopping rule to the
+    // one-aggregate-per-round form, minus the per-round jobs
+    def tauAt(p: Long): Double = tailRows.collect {
+      case r if r.getAs[Long]("len") >= p =>
+        atRank((r.getAs[String]("term"), p))
+    }.sum
+    var p = k.toLong
+    var rounds = 1
+    while (lens.exists(_ >= p) && thetaSeed <= tauAt(p)) {
+      p *= 2L
       rounds += 1
-      val prefix = qPostings.where(col("impact_rank") <= p)
-      // sorted-access tail state per term: ≤ |queryTerms| rows
-      val tails = prefix.groupBy(col("term"))
-        .agg(min(col("impact")).as("last_impact"),
-          max(col("impact_rank")).as("deepest"))
-        .collect()
-      read = tails.map(_.getAs[Long]("deepest")).sum
-      val tau = tails.collect {
-        case r if r.getAs[Long]("deepest") == p => r.getAs[Double]("last_impact")
-      }.sum
-      val exhausted = tails.forall(_.getAs[Long]("deepest") < p)
-      // random access: exact scores for the candidate docs only, folded
-      // in sorted term order (Bm25 bit-parity discipline)
-      val scores = qPostings
-        .join(prefix.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-        .groupBy(col("doc_id"))
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("term"), col("impact")))),
-          lit(0.0),
-          (acc, s) => acc + s.getField("impact")).as("score"))
-      val top = scores.orderBy(col("score").desc, col("doc_id")).limit(k)
-      val topRows = top.collect() // ≤ k rows — control plane
-      val theta =
-        if (topRows.length >= k) topRows.last.getAs[Double]("score")
-        else Double.NegativeInfinity
-      if (exhausted || theta > tau) {
-        result = top.join(
-            HybridSearch.rankBounded(top, "doc_id", "score"), Seq("doc_id"))
-          .select(col("rank"), col("doc_id"), round(col("score"), 6).as("score"))
-          .orderBy(col("rank"))
-      } else p *= 2L
     }
-    (result, TaStats(rounds, p, read, qPostings.count()))
+    val top = scoresAt(p)
+    val result = top.join(
+        HybridSearch.rankBounded(top, "doc_id", "score"), Seq("doc_id"))
+      .select(col("rank"), col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("rank"))
+    (result, rounds, p, lens.map(math.min(_, p)).sum)
   }
 }

@@ -385,6 +385,13 @@ object Registry {
     "q_sq4_knn" -> ((s, dir) =>
       SqIndex.selfSearch4(t(s, dir, "embeddings"), numQueries = 8, d = 64, k = 10)),
 
+    // PQ4 fast-scan layout (FAISS PQx4, ksub=16): two subspace codes per
+    // byte, ADC unpacks nibbles in the LUT fold — the oracle replays the
+    // packed bytes themselves
+    "q_pq4_knn" -> ((s, dir) =>
+      PqIndex.selfSearchSeeded4(t(s, dir, "embeddings"),
+        numQueries = 8, m = 16, subDim = 4, k = 10)),
+
     // IVF + SQ8: partition-pruned cells over 4×-compressed codes
     // (IndexIVFScalarQuantizer composition) — deterministic → exact oracle
     "q_ivfsq_knn" -> ((s, dir) =>
@@ -2621,6 +2628,51 @@ s"""WITH cent AS (
          |  FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.c
          |  WHERE e.vec_id <> l.query_id
          |  GROUP BY l.query_id, e.vec_id
+         |), r AS (
+         |  SELECT query_id, vec_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |  FROM adc
+         |)
+         |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // q_pq4_knn oracle: seeded ksub=16 codebooks, the PACKED nibble
+    // layout replayed (pack in pk, unpack inside the ADC join's CASE),
+    // same ascending-s LUT fold as q_pq_adc_knn
+    "q_pq4_knn" ->
+      s"""WITH cb AS (
+         |  SELECT t.s, e.vec_id AS c, list_slice(e.embedding, t.s*4+1, t.s*4+4) AS sub
+         |  FROM range(0, 16) t(s) CROSS JOIN embeddings e WHERE e.vec_id < 16
+         |), vs AS (
+         |  SELECT t.s, v.vec_id, list_slice(v.embedding, t.s*4+1, t.s*4+4) AS sub
+         |  FROM range(0, 16) t(s) CROSS JOIN embeddings v
+         |), enc0 AS (
+         |  SELECT vs.vec_id, vs.s, cb.c, ${l2sqSql("vs.sub", "cb.sub")} AS d
+         |  FROM vs JOIN cb ON vs.s = cb.s
+         |), enc AS (
+         |  SELECT vec_id, s, c AS code FROM (
+         |    SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM enc0
+         |  ) WHERE rn = 1
+         |), penc AS (
+         |  SELECT vec_id, list(code ORDER BY s) AS cds FROM enc GROUP BY vec_id
+         |), pk AS (
+         |  SELECT vec_id, list_transform(range(1, 9), j -> cds[2*j - 1] * 16 + cds[2*j]) AS codes4
+         |  FROM penc
+         |), qs AS (
+         |  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8
+         |), qsub AS (
+         |  SELECT t.s, q.query_id, list_slice(q.embedding, t.s*4+1, t.s*4+4) AS sub
+         |  FROM range(0, 16) t(s) CROSS JOIN qs q
+         |), lut AS (
+         |  SELECT qsub.query_id, qsub.s, cb.c, ${l2sqSql("qsub.sub", "cb.sub")} AS pd
+         |  FROM qsub JOIN cb ON qsub.s = cb.s
+         |), adc AS (
+         |  SELECT l.query_id, p.vec_id, list_sum(list(l.pd ORDER BY l.s)) AS dist
+         |  FROM pk p JOIN lut l ON l.c = (CASE WHEN l.s % 2 = 0
+         |      THEN p.codes4[l.s // 2 + 1] // 16
+         |      ELSE p.codes4[l.s // 2 + 1] % 16 END)
+         |  WHERE p.vec_id <> l.query_id
+         |  GROUP BY l.query_id, p.vec_id
          |), r AS (
          |  SELECT query_id, vec_id, dist,
          |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank

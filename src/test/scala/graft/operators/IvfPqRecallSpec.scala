@@ -20,6 +20,33 @@ class IvfPqRecallSpec extends SparkSpec {
     hits.toDouble / exact.count()
   }
 
+  test("PQ4 packed search is bit-identical to unpacked PQ at ksub=16 (pack/unpack transparency)") {
+    val unpacked = PqIndex.selfSearchSeeded(emb, numQueries = 8,
+        m = 16, subDim = 4, ksub = 16, k = 10)
+      .collect().map(_.toSeq).toSeq
+    val packed = PqIndex.selfSearchSeeded4(emb, numQueries = 8,
+        m = 16, subDim = 4, k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(packed == unpacked,
+      "nibble packing must be representation-only — same ranks, same distances")
+  }
+
+  test("PQ4 packed bytes stay in [0, 255] with both nibbles in [0, 15]") {
+    val cb = PqIndex.seedCodebooks(emb, m = 16, subDim = 4, ksub = 16)
+    val rows = emb
+      .withColumn("_c", PqIndex.encodeExpr($"embedding", cb, 16, 4))
+      .select(PqIndex.packCodes4($"_c", 16).as("codes4"))
+      .collect()
+    rows.foreach { r =>
+      val packed = r.getSeq[Long](0)
+      assert(packed.length == 8)
+      packed.foreach { b =>
+        assert(b >= 0 && b <= 255)
+        assert((b >> 4) <= 15 && (b & 15L) <= 15)
+      }
+    }
+  }
+
   test("trained IVF recall@10 >= 0.85 at nprobe=nlist/4") {
     val r = recall(IvfIndex.selfSearchTrained(emb, numQueries = 8, nlist = 32, nprobe = 12, k = 10))
     info(f"IVF trained recall@10 = $r%.3f")

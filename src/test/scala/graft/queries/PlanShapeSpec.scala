@@ -393,4 +393,50 @@ class PlanShapeSpec extends SparkSpec {
       "A1 merge over the per-shard graph results must partial-limit")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q_kn_bigram: all four KN model tables broadcast; the doc stream never sort-merges") {
+    val p = planOf(Registry.queries("q_kn_bigram")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "unigram/bigram/continuation tables must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_decontaminate_semantic: eval side broadcasts, partial max before the shuffle") {
+    val p = planOf(Registry.queries("q_decontaminate_semantic")(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the eval slice must broadcast — the corpus side must not shuffle vectors")
+    assert(p.contains("partial_max"),
+      "per-row max must partial-aggregate map-side — the exchange carries " +
+        "one slim (id, max) row per corpus row, never the fan-out")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("q_collocations: count tables broadcast, selection is TakeOrdered") {
+    val p = planOf(Registry.queries("q_collocations")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "unigram marginals must broadcast onto the bigram table")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-N must be per-partition heap + merge, not a global sort")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("TA random access is an equi semi-join over the candidate prefix (no plan-level blowup)") {
+    val idx = graft.operators.SparseTopK
+      .buildImpactIndex(spark.read.parquet(s"$sf0001/documents.parquet"))
+      .localCheckpoint(true)
+    val p = planOf(graft.operators.SparseTopK.taTopK(idx, Seq("vector", "spark"), 5))
+    // the candidate set is only broadcast-sized when pruning bites (at
+    // exhaustion it is every matching doc), so the static plan keeps an
+    // equi LeftSemi and AQE picks broadcast at runtime — the gate is
+    // that it IS an equi semi-join (never a nested-loop/cartesian pair
+    // generation) and the scoring ends in TakeOrdered
+    assert(p.contains("LeftSemi"), "candidate restriction must be a semi-join")
+    // (rankBounded's final <=k-row ranking is a bounded BNLJ by design,
+    // so only the cartesian form is categorically banned here)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k selection must be per-partition heap + merge")
+    // the final ranking is the window-free rankBounded form
+    assert(!p.contains("WindowExec"), "TA output ranking must stay window-free")
+  }
 }
