@@ -85,6 +85,13 @@ object Registry {
     "q_flat_knn" -> ((s, dir) =>
       KnnSearch.selfTopK(t(s, dir, "embeddings"), numQueries = 8, k = 10)),
 
+    // Rocchio pseudo-relevance feedback (Rocchio 1971): top-5 feedback
+    // centroid shifts the query (alpha=beta=0.5), second FLAT round under
+    // q' — rank-ordered feedback fold keeps both engines bit-identical
+    "q_rocchio_knn" -> ((s, dir) =>
+      Rocchio.selfSearch(t(s, dir, "embeddings"),
+        numQueries = 8, feedback = 5, k = 10)),
+
     // J1 via the typed bounded-heap UDAF (TopKAggregator) — identical
     // result to the window path, same oracle
     "q_flat_knn_agg" -> ((s, dir) =>
@@ -2332,6 +2339,48 @@ s"""WITH cent AS (
 
   val oracleSql: Map[String, String] = Map(
     "q_flat_knn" -> flatKnnSql,
+
+    // q_rocchio_knn oracle: round 1 = the FLAT protocol at k=5; the
+    // feedback per-dim sums fold in round-1 RANK order (list ORDER BY
+    // rank — the engine's sort_array(struct(rank, vec)) fold); q' =
+    // 0.5·q + 0.5·(sum/5); round 2 = FLAT again under q'
+    "q_rocchio_knn" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+         |), j1 AS (
+         |  SELECT q.query_id, v.vec_id, $l2sq AS dist
+         |  FROM q CROSS JOIN embeddings v
+         |  WHERE v.vec_id <> q.query_id
+         |), r1 AS (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |  FROM j1
+         |), topf AS (
+         |  SELECT query_id, vec_id, rank FROM r1 WHERE rank <= 5
+         |), fbd AS (
+         |  SELECT t.query_id, d.i,
+         |         list_sum(list(CAST(e.embedding[d.i] AS DOUBLE) ORDER BY t.rank)) AS s
+         |  FROM topf t JOIN embeddings e ON e.vec_id = t.vec_id
+         |  CROSS JOIN range(1, 65) d(i)
+         |  GROUP BY t.query_id, d.i
+         |), newq AS (
+         |  SELECT f.query_id,
+         |         list(0.5 * CAST(q.qvec[f.i] AS DOUBLE) + 0.5 * (f.s / 5.0) ORDER BY f.i) AS nq
+         |  FROM fbd f JOIN q ON q.query_id = f.query_id
+         |  GROUP BY f.query_id
+         |), j2 AS (
+         |  SELECT n.query_id, v.vec_id,
+         |         list_sum(list_transform(range(1, 65), i ->
+         |           (n.nq[i] - CAST(v.embedding[i] AS DOUBLE))^2)) AS dist
+         |  FROM newq n CROSS JOIN embeddings v
+         |  WHERE v.vec_id <> n.query_id
+         |), r2 AS (
+         |  SELECT query_id, vec_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |  FROM j2
+         |)
+         |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+         |FROM r2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // merge-of-partials must equal the global top-k (A1 invariant)
     "q_topk_merge" -> flatKnnSql,
