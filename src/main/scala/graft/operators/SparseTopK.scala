@@ -85,6 +85,39 @@ object SparseTopK {
   def taTopK(index: DataFrame, queryTerms: Seq[String], k: Int): DataFrame =
     taTopKWithStats(index, queryTerms, k)._1
 
+  /** Persist the impact index as the STORED artifact the TA serve path
+    * reads: partitioned by a term-hash bucket (vocab-safe — never one
+    * directory per term) and sorted within files by (term, impact_rank),
+    * so a query's scan prunes to its terms' bucket DIRECTORIES
+    * (PartitionFilters) and its `impact_rank <= p` prefix prunes row
+    * groups via parquet min/max stats on the sorted column
+    * (PushedFilters). The lexical twin of [[IvfIndex.writeIndex]]. */
+  def writeIndex(index: DataFrame, path: String, numBuckets: Int = 16): Unit =
+    index
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(numBuckets.toLong)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("impact_rank"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** TA over a persisted index: bucket the query terms driver-side and
+    * read only those partitions — result identical to the in-memory
+    * form (same oracle). */
+  def taTopKPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryTerms: Seq[String], k: Int, numBuckets: Int = 16): DataFrame = {
+    // rather than duplicating xxhash64's internals driver-side, evaluate
+    // the same bucket expression over the |terms|-row query set (one
+    // local job — control plane)
+    val bucketOf = {
+      import spark.implicits._
+      queryTerms.distinct.toDF("term")
+        .select(pmod(xxhash64(col("term")), lit(numBuckets.toLong)).as("bucket"))
+        .collect().map(_.getLong(0)).distinct.toSeq
+    }
+    val idx = spark.read.parquet(path)
+      .where(col("bucket").isin(bucketOf: _*))
+    taTopK(idx, queryTerms, k)
+  }
+
   def taTopKWithStats(
       index: DataFrame, queryTerms: Seq[String], k: Int): (DataFrame, TaStats) = {
     val (result, rounds, p, read) = taLoop(index, queryTerms, k)

@@ -998,6 +998,18 @@ object Registry {
         queryTerms = Seq("merge", "vector", "batch", "slow", "spark"), k = 15)
     }),
 
+    // TA over the PERSISTED index artifact (term-hash-bucket partitions,
+    // impact-sorted files): the scan prunes to the query terms' bucket
+    // directories and the rank prefix prunes row groups — result
+    // identical, SAME oracle (PlanShapeSpec gates the pruned read)
+    "q_ta_persisted" -> ((s, dir) => {
+      val idxDir = tmpIndexDir("graft_ta_idx", dir)
+      SparseTopK.writeIndex(
+        SparseTopK.buildImpactIndex(t(s, dir, "documents")), idxDir)
+      SparseTopK.taTopKPersisted(s, idxDir,
+        queryTerms = Seq("merge", "vector", "batch", "slow", "spark"), k = 15)
+    }),
+
     // Hybrid search: RRF fusion of the BM25 list and the cosine k-NN
     // list for query 0 (vec_id ≡ doc_id in the test corpus). The BM25
     // list is ≤20 rows by construction — checkpoint it once and rank it
@@ -1661,6 +1673,44 @@ object Registry {
       .mkString("\nUNION ALL ")
     sb.append(s"\n$selects\nORDER BY sel_rank").toString
   }
+
+  /** q_ta_topk / q_ta_persisted oracle: EXHAUSTIVE scoring under the
+    * impact-index formula (identical to BM25's per-term contribution) —
+    * Fagin's TA is a safe early termination, and the persisted
+    * bucket-pruned read must search identically. */
+  private val taTopkSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+      |), lens AS (
+      |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS len
+      |  FROM documents
+      |), consts AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |         (SELECT CAST(sum(len) AS DOUBLE) FROM lens) /
+      |           CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+      |  WHERE term IN ('merge', 'vector', 'batch', 'slow', 'spark') GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+      |), ts AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         ln((c.n - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+      |           * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+      |           / (CAST(tf.tf AS DOUBLE) +
+      |              1.2 * ((1.0 - 0.75) + 0.75 * CAST(l.len AS DOUBLE) / c.avgdl)) AS impact
+      |  FROM tf JOIN df USING (term) JOIN lens l ON l.doc_id = tf.doc_id CROSS JOIN consts c
+      |), agg AS (
+      |  SELECT doc_id, list_sum(list(impact ORDER BY term)) AS score
+      |  FROM ts GROUP BY doc_id
+      |), ranked AS (
+      |  SELECT doc_id, score,
+      |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |  FROM agg
+      |)
+      |SELECT rank, doc_id, round(score, 6) AS score
+      |FROM ranked WHERE rank <= 15 ORDER BY rank""".stripMargin
 
   /** DuckDB 3-word-shingle snippet over a `toks` list column. */
   private val shingles3 =
@@ -3731,40 +3781,11 @@ s"""WITH cent AS (
     // is a safe early-termination, so its result must equal this
     // exactly. df per query term from the postings (= the all-terms
     // index df for those terms), term-sorted fold, rank by (score DESC,
-    // doc_id).
-    "q_ta_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
-        |), lens AS (
-        |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS len
-        |  FROM documents
-        |), consts AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n,
-        |         (SELECT CAST(sum(len) AS DOUBLE) FROM lens) /
-        |           CAST(count(*) AS DOUBLE) AS avgdl
-        |  FROM documents
-        |), tf AS (
-        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
-        |  WHERE term IN ('merge', 'vector', 'batch', 'slow', 'spark') GROUP BY doc_id, term
-        |), df AS (
-        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
-        |), ts AS (
-        |  SELECT tf.doc_id, tf.term,
-        |         ln((c.n - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
-        |           * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
-        |           / (CAST(tf.tf AS DOUBLE) +
-        |              1.2 * ((1.0 - 0.75) + 0.75 * CAST(l.len AS DOUBLE) / c.avgdl)) AS impact
-        |  FROM tf JOIN df USING (term) JOIN lens l ON l.doc_id = tf.doc_id CROSS JOIN consts c
-        |), agg AS (
-        |  SELECT doc_id, list_sum(list(impact ORDER BY term)) AS score
-        |  FROM ts GROUP BY doc_id
-        |), ranked AS (
-        |  SELECT doc_id, score,
-        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-        |  FROM agg
-        |)
-        |SELECT rank, doc_id, round(score, 6) AS score
-        |FROM ranked WHERE rank <= 15 ORDER BY rank""".stripMargin,
+    // doc_id). q_ta_persisted: identical — the bucket-partitioned
+    // pruned read must search identically to the in-memory index.
+    "q_ta_topk" -> taTopkSql,
+
+    "q_ta_persisted" -> taTopkSql,
 
     "q_kcenter" -> kcenterSql,
 

@@ -53,6 +53,16 @@ class SparseTopKSpec extends SparkSpec {
     assert(stats.prefixDepth < stats.queryPostings)
   }
 
+  test("persisted bucket-pruned index searches identically to the in-memory form") {
+    val dir = java.nio.file.Files.createTempDirectory("taidx").toString
+    SparseTopK.writeIndex(index, dir, numBuckets = 8)
+    val terms = Seq("merge", "vector", "batch", "slow", "spark")
+    val mem = SparseTopK.taTopK(index, terms, 15).collect().map(_.toSeq).toSeq
+    val per = SparseTopK.taTopKPersisted(spark, dir, terms, 15, numBuckets = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(per == mem)
+  }
+
   test("exhausted lists degrade to exact exhaustive scoring (k > matches)") {
     // a term so rare the lists exhaust before theta > tau can separate
     val rare = index.groupBy(col("term")).count()

@@ -439,4 +439,12 @@ class PlanShapeSpec extends SparkSpec {
     // the final ranking is the window-free rankBounded form
     assert(!p.contains("WindowExec"), "TA output ranking must stay window-free")
   }
+
+  test("q_ta_persisted: bucket partitions prune, term filter pushes into the parquet scan") {
+    val p = planOf(Registry.queries("q_ta_persisted")(spark, sf0001))
+    assert(p.contains("PartitionFilters") && p.contains("bucket"),
+      "query terms' hash buckets must prune the partitioned index read")
+    assert(p.contains("PushedFilters") && p.contains("In(term"),
+      "the term predicate must reach the parquet scan")
+  }
 }
