@@ -77,13 +77,18 @@ object Bench {
       // (stderr renders as `[error]` under sbt, making healthy queries read
       // as failures in the driver's captured tail; "errors" is the truth)
       println(s"[bench] $name")
-      // untimed: drain cross-query debris (see scaladoc) before measuring.
-      // SPARK_GRAFT_NOGC=1 disables it — a local A/B knob for separating
-      // GC-discipline cost from machine noise; the driver never sets it.
-      if (!sys.env.contains("SPARK_GRAFT_NOGC")) System.gc()
       val gcs = scala.collection.mutable.ArrayBuffer.empty[Long]
       val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
       val times = (1 to iters).map { _ =>
+        // untimed: drain debris (see scaladoc) before EVERY iteration,
+        // not just query-entry — a composite query's own earlier
+        // iterations leave broadcast/checkpoint referents that only a
+        // collection releases (r7: q_recall_report's 6 pipelines ran
+        // 10/69/76 s in-suite on a pre-loaded heap vs 7.7 s isolated;
+        // iteration-scoped GC is the same discipline that fixed the r5
+        // q_binary_knn cross-query version of this). SPARK_GRAFT_NOGC=1
+        // disables it — a local A/B knob; the driver never sets it.
+        if (!sys.env.contains("SPARK_GRAFT_NOGC")) System.gc()
         val g0 = gcMillis()
         val t0 = System.nanoTime()
         try {

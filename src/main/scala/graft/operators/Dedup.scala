@@ -563,4 +563,39 @@ object Dedup {
         col("quality").as("kept_quality"))
       .orderBy(col("cluster_id"))
   }
+
+  /** Dedup candidate-quality evaluation — the tuning dashboard for any
+    * approximate pair generator (MinHash/LSH, SimHash, winnowing)
+    * against an exact Jaccard ground truth ([[ngramJaccardDups]] with a
+    * constant block = global PPJoin): one row of
+    * (n_candidates, n_exact, n_hit, precision_pm, recall_pm) with
+    * per-mille integer division (the [[AnnEval.recallReportRow]]
+    * discipline — engine-exact, no decimal-tie trap). This is how the
+    * band/hash-count knobs get chosen before a 100 TB run.
+    *
+    * Scale: both pair sets are candidate-bounded (LSH-banded / prefix-
+    * filtered — tiny relative to the corpus); canonicalize + one
+    * grouped union and a global fold. Nothing touches the corpus. */
+  def pairQualityReport(candidates: DataFrame, exact: DataFrame): DataFrame = {
+    def canon(df: DataFrame) = df.select(
+      least(col("doc_a"), col("doc_b")).as("a"),
+      greatest(col("doc_a"), col("doc_b")).as("b")).distinct()
+    canon(candidates)
+      .withColumn("in_c", lit(1L)).withColumn("in_e", lit(0L))
+      .unionAll(canon(exact)
+        .withColumn("in_c", lit(0L)).withColumn("in_e", lit(1L)))
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("in_c")).as("c"), max(col("in_e")).as("e"))
+      .agg(sum(col("c")).as("nc"), sum(col("e")).as("ne"),
+        sum(col("c") * col("e")).as("nh"))
+      .select(
+        col("nc").cast("long").as("n_candidates"),
+        col("ne").cast("long").as("n_exact"),
+        col("nh").cast("long").as("n_hit"),
+        // an empty side reports 0, not an ANSI divide-by-zero
+        when(col("nc") > 0, expr("nh * 1000 div nc")).otherwise(lit(0L))
+          .cast("long").as("precision_pm"),
+        when(col("ne") > 0, expr("nh * 1000 div ne")).otherwise(lit(0L))
+          .cast("long").as("recall_pm"))
+  }
 }

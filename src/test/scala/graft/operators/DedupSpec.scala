@@ -152,4 +152,27 @@ class DedupSpec extends SparkSpec {
     // density: selected positions are a strict subset of gram positions
     assert(byDoc(1L).size < 10)
   }
+
+  test("pairQualityReport: exact identity pair is a hit; per-mille math is integer-exact") {
+    val cand = Dedup.simhashDups(docs, maxHamming = 2)
+      .select($"doc_a", $"doc_b")
+    val exact = Dedup.ngramJaccardDups(docs, blockCol = "source",
+        shingleN = 3, threshold = 0.5)
+      .select($"doc_a", $"doc_b")
+    val r = Dedup.pairQualityReport(cand, exact).head()
+    val (nc, ne, nh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // the exact dup (1,2) must be in both sets
+    assert(nh >= 1 && nc >= nh && ne >= nh)
+    assert(r.getLong(3) == nh * 1000 / nc, "precision_pm = floor(1000*hit/cand)")
+    assert(r.getLong(4) == nh * 1000 / ne, "recall_pm = floor(1000*hit/exact)")
+  }
+
+  test("pairQualityReport counts candidate-only and truth-only pairs separately") {
+    import spark.implicits._
+    val cand = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")     // one hit, one false positive
+    val exact = Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")    // one hit, one miss
+    val r = Dedup.pairQualityReport(cand, exact).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 1L)))
+    assert(r.getLong(3) == 500L && r.getLong(4) == 500L)
+  }
 }
