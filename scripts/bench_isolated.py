@@ -93,6 +93,14 @@ def main():
     hist = in_suite_history(queries)
     for q in results:
         results[q]["in_suite_by_round"] = hist.get(q, {})
+    # MERGE into the existing artifact: earlier rounds' exoneration
+    # records must survive a refresh that targets different queries
+    prior = {}
+    if os.path.exists("bench_isolated.json"):
+        try:
+            prior = json.load(open("bench_isolated.json")).get("queries", {})
+        except Exception:
+            prior = {}
     out = {
         "harness": {
             "mode": "fresh JVM per query (java -cp, no sbt), "
@@ -103,7 +111,7 @@ def main():
                     "only, letting Catalyst prune the projected columns); "
                     "r3+ numbers are the comparable series",
         },
-        "queries": results,
+        "queries": {**prior, **results},
     }
     with open("bench_isolated.json", "w") as f:
         json.dump(out, f, indent=1)

@@ -413,6 +413,12 @@ object Registry {
       IvfSqIndex.selfSearchSeeded(t(s, dir, "embeddings"),
         numQueries = 8, nlist = 16, d = 64, nprobe = 4, k = 10)),
 
+    // IVF + PACKED SQ4 (QT_4bit): the 8× rung inside probed cells —
+    // the oracle replays the nibble packing itself
+    "q_ivfsq4_knn" -> ((s, dir) =>
+      IvfSqIndex.selfSearchSeeded4(t(s, dir, "embeddings"),
+        numQueries = 8, nlist = 16, d = 64, nprobe = 4, k = 10)),
+
     // J3 full fidelity: IVF+PQ with residual encoding (IndexIVFPQ,
     // vector_search_cluster.py:1033-1041) — coarse assign, PQ codes over
     // residuals, probe-local ADC
@@ -2855,6 +2861,65 @@ s"""WITH cent AS (
          |  SELECT p.query_id, e.vec_id,
          |    list_sum(list_transform(range(1, 65), i ->
          |      (CAST(p.qvec[i] AS DOUBLE) - (m.vmin[i] + e.codes[i] * m.scale[i]))^2)) AS dist
+         |  FROM probes p JOIN enc e ON e.cid = p.cid CROSS JOIN mdl m
+         |  WHERE e.vec_id <> p.query_id
+         |), r AS (
+         |  SELECT query_id, vec_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |  FROM cand
+         |)
+         |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // q_ivfsq4_knn oracle: the IVF-SQ composition at QT_4bit with the
+    // PACKED bytes replayed — /15 bounds, pack in pk, integer unpack
+    // inside the probed-candidate distance
+    "q_ivfsq4_knn" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+         |), d0 AS (
+         |  SELECT v.vec_id, v.embedding, c.cid, ${l2sqSql("v.embedding", "c.cvec")} AS d
+         |  FROM embeddings v CROSS JOIN cent c
+         |), assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT vec_id, embedding, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0
+         |  ) WHERE rn = 1
+         |), mm AS (
+         |  SELECT t.i, min(CAST(e.embedding[t.i] AS DOUBLE)) AS vmin,
+         |         max(CAST(e.embedding[t.i] AS DOUBLE)) AS vmax
+         |  FROM range(1, 65) t(i) CROSS JOIN embeddings e GROUP BY t.i
+         |), mdl AS (
+         |  SELECT list(vmin ORDER BY i) AS vmin,
+         |         list((vmax - vmin)/15.0 ORDER BY i) AS scale
+         |  FROM mm
+         |), cd AS (
+         |  SELECT a.vec_id, a.cid, list_transform(range(1, 65), i ->
+         |    CASE WHEN m.scale[i] = 0 THEN 0
+         |         ELSE least(15, greatest(0, CAST(round(
+         |           (CAST(a.embedding[i] AS DOUBLE) - m.vmin[i]) / m.scale[i]) AS BIGINT))) END) AS c
+         |  FROM assign a CROSS JOIN mdl m
+         |), enc AS (
+         |  SELECT vec_id, cid, list_transform(range(1, 33), j ->
+         |    c[2*j - 1] * 16 + c[2*j]) AS codes4
+         |  FROM cd
+         |), q AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+         |), p0 AS (
+         |  SELECT q.query_id, q.qvec, c.cid, ${l2sqSql("q.qvec", "c.cvec")} AS d
+         |  FROM q CROSS JOIN cent c
+         |), probes AS (
+         |  SELECT query_id, qvec, cid FROM (
+         |    SELECT query_id, qvec, cid, row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn FROM p0
+         |  ) WHERE rn <= 4
+         |), cand AS (
+         |  SELECT p.query_id, e.vec_id,
+         |    list_sum(list_transform(range(1, 65), i ->
+         |      (CAST(p.qvec[i] AS DOUBLE) -
+         |       (m.vmin[i] +
+         |        CAST(CASE WHEN i % 2 = 1
+         |               THEN e.codes4[(i + 1) // 2] // 16
+         |               ELSE e.codes4[(i + 1) // 2] % 16 END AS DOUBLE)
+         |          * m.scale[i]))^2)) AS dist
          |  FROM probes p JOIN enc e ON e.cid = p.cid CROSS JOIN mdl m
          |  WHERE e.vec_id <> p.query_id
          |), r AS (

@@ -28,6 +28,18 @@ class IvfSqIndexSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("IVF-SQ4 probes the same cells as IVF-SQ8; packed recall degrades gracefully") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val sq8 = IvfSqIndex.selfSearchSeeded(emb, numQueries = 4, nlist = 8,
+        d = 64, nprobe = 8, k = 10)
+      .select($"query_id", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq4 = IvfSqIndex.selfSearchSeeded4(emb, numQueries = 4, nlist = 8,
+        d = 64, nprobe = 8, k = 10)
+      .select($"query_id", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val agree = (sq8 intersect sq4).size.toDouble / sq8.size
+    assert(agree >= 0.5, s"full-probe SQ4 vs SQ8 top-10 agreement $agree")
+  }
+
   test("compressed inverted lists carry codes, not embeddings") {
     val cents = IvfIndex.seedCentroids(emb, 8)
     val (vmin, scale) = SqIndex.trainMinMax(emb, 64)
