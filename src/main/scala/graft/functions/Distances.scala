@@ -58,7 +58,10 @@ object Distances {
   /** L2 norm of a single vector. */
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1, 1]. */
+  /** Cosine similarity in [-1, 1]. Zero-norm inputs follow ANSI Divide
+    * semantics (throw under ANSI, NULL otherwise) — the fused
+    * [[cosineSimFast]] matches BOTH modes by design
+    * (`L2SqDistanceSpec`'s zero-norm contract). */
   def cosineSim(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
 

@@ -102,16 +102,23 @@ object GraftProps extends Properties("graft") {
 
   property("cosineSimFusedParity") = forAll(vecsGen) { vecs =>
     // one-pass fused CosineSim must be bit-identical to the three-pass
-    // HOF ratio on arbitrary float vectors (incl. NaN via zero norms)
-    val df = toDF(vecs)
-    val a = df.where(col("vec_id") === 0).select(col("embedding").as("va"))
-    val rows = df.crossJoin(a).select(
-      Distances.cosineSim(col("va"), col("embedding")).as("hof"),
-      Distances.cosineSimFast(col("va"), col("embedding")).as("fused"))
-      .collect()
-    rows.forall { r =>
-      val (h, f) = (r.getDouble(0), r.getDouble(1))
-      (h.isNaN && f.isNaN) || h == f
+    // HOF ratio on arbitrary NONZERO float vectors. Zero-norm inputs
+    // follow ANSI Divide semantics in BOTH forms (throw under ANSI,
+    // NULL otherwise) — that contract is pinned by L2SqDistanceSpec's
+    // zero-norm test, so the property excludes them (one throwing row
+    // would abort the whole collected batch here, not test parity).
+    val nonzero = vecs.filter(_.exists(_ != 0.0f))
+    (nonzero.size < 2) || {
+      val df = toDF(nonzero)
+      val a = df.where(col("vec_id") === 0).select(col("embedding").as("va"))
+      val rows = df.crossJoin(a).select(
+        Distances.cosineSim(col("va"), col("embedding")).as("hof"),
+        Distances.cosineSimFast(col("va"), col("embedding")).as("fused"))
+        .collect()
+      rows.forall { r =>
+        val (h, f) = (r.getDouble(0), r.getDouble(1))
+        (h.isNaN && f.isNaN) || h == f
+      }
     }
   }
 
@@ -308,5 +315,76 @@ object GraftProps extends Properties("graft") {
       CorpusStats.wordNgrams(col("text"), n).as("fast"),
       CorpusStats.wordNgramsHof(col("text"), n).as("hof"))
       .collect().forall(r => r.getSeq[String](0) == r.getSeq[String](1))
+  }
+
+  /** Fagin's TA is a SAFE early termination: on every random corpus and
+    * query-term set, its top-k must equal exhaustive BM25 scoring —
+    * ranks and doc ids both (the θ/τ bound theorem, checked
+    * empirically). */
+  property("taTopKEqualsExhaustiveScoring") = forAll(
+    docsGen, Gen.chooseNum(1, 3), Gen.chooseNum(1, 6)) { (texts, nTerms, k) =>
+    import graft.operators.{Bm25, SparseTopK}
+    val docs = docsDF(texts)
+    val terms = (0 until nTerms).map(i => s"w$i")
+    val idx = SparseTopK.buildImpactIndex(docs).localCheckpoint(true)
+    val ta = SparseTopK.taTopK(idx, terms, k)
+      .select(col("rank"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = Bm25.rank(docs, terms, topN = k).select(col("doc_id")).collect()
+      .zipWithIndex.map { case (r, i) => (i + 1L, r.getLong(0)) }.toSeq
+    ta == full
+  }
+
+  /** Greedy k-center equals the brute-force farthest-point replay —
+    * selection order, ids, and the non-increasing radius law. */
+  property("kCenterGreedyMatchesBruteForce") = forAll(
+    vecsGen, Gen.chooseNum(1, 5)) { (vecs, k0) =>
+    import graft.operators.Coreset
+    val k = math.min(k0, vecs.size)
+    val df = toDF(vecs)
+    def l2sq(a: List[Float], b: List[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val all = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    var sel = Vector(all.head)
+    var i = 1
+    while (i < k) {
+      val best = all.map { case (id, v) => ((id, v), sel.map(s => l2sq(v, s._2)).min) }
+        .reduceLeft((a, b) =>
+          if (b._2 > a._2 || (b._2 == a._2 && b._1._1 < a._1._1)) b else a)
+      sel :+= best._1
+      i += 1
+    }
+    val got = Coreset.kCenterGreedy(df, k)
+      .select(col("sel_rank"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dists = Coreset.kCenterGreedy(df, k)
+      .orderBy(col("sel_rank")).select(col("dist")).collect().map(_.getDouble(0)).drop(1)
+    got == sel.zipWithIndex.map { case ((id, _), r) => (r.toLong, id) } &&
+      dists.sliding(2).forall(w => w.length < 2 || w(0) >= w(1))
+  }
+
+  /** SQ4 nibble packing is representation-only: unpack(pack(codes))
+    * equals the direct clamp formula on every random vector set. */
+  property("sq4PackUnpackRoundTrip") = forAll(vecsGen) { vecs =>
+    import graft.operators.SqIndex
+    val df = toDF(vecs)
+    val d = vecs.head.size
+    val (vmin, scale) = SqIndex.trainMinMax4(df, d)
+    val packed = df.select(col("vec_id"),
+        SqIndex.encode4Expr(col("embedding"), vmin, scale).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    vecs.zipWithIndex.forall { case (v, id) =>
+      val p = packed(id.toLong)
+      (0 until d).forall { i =>
+        val expect =
+          if (scale(i) == 0.0) 0L
+          else math.min(15L, math.max(0L,
+            BigDecimal((v(i).toDouble - vmin(i)) / scale(i))
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+        val b = p(i / 2)
+        val code = if (i % 2 == 0) b >> 4 else b & 15L
+        code == expect
+      }
+    }
   }
 }
