@@ -492,4 +492,35 @@ object CorpusOps {
       .select(col("doc_id"), col("status"))
       .orderBy(col("doc_id"))
   }
+
+  /** 2-D Pareto frontier / skyline (Börzsönyi, Kossmann & Stocker 2001)
+    * with both dimensions MAXIMIZED — the data-selection question "which
+    * documents are not beaten on BOTH axes" (e.g. longest-and-cleanest:
+    * no other doc is at least as long AND at least as clean, with one
+    * strictly better). A point survives iff its y equals its x-group's
+    * max AND strictly beats the running max-y over all strictly larger
+    * x.
+    *
+    * Scale: the corpus collapses to one (x, maxY) row per DISTINCT x
+    * value first — the only ordered scan runs over that VALUE PLANE
+    * (bounded by the x domain: token counts, rounded scores — the
+    * [[CorpusOps.mlmMask]] vocab-plane precedent), never corpus rows;
+    * the surviving frontier broadcasts back onto the corpus as one hash
+    * join. */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val perX = df.groupBy(col(xCol)).agg(max(col(yCol)).as("_my"))
+    // value-plane window: distinct x values only
+    val wv = org.apache.spark.sql.expressions.Window
+      .orderBy(col(xCol).desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val frontier = perX
+      .withColumn("_rm", max(col("_my")).over(wv))
+      .where(col("_rm").isNull || col("_my") > col("_rm"))
+      .select(col(xCol), col("_my"))
+    df.join(broadcast(frontier), Seq(xCol))
+      .where(col(yCol) === col("_my"))
+      .select(col(idCol), col(xCol), col(yCol))
+      .orderBy(col(idCol))
+  }
 }

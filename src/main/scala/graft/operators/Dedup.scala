@@ -564,6 +564,67 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995, the merge/
+    * purge method) — the third candidate-generation family next to LSH
+    * bands and SimHash bands: globally ORDER the corpus by a similarity-
+    * preserving key (here the SimHash bitstring — near-dups sort near
+    * each other) and compare only rows within a sliding window of `w`
+    * positions. Output: (doc_a, doc_b, hamming) for window pairs within
+    * `maxHamming`, doc_a < doc_b. Candidate volume is exactly n·(w−1) —
+    * the method's defining bound.
+    *
+    * Scale: the global position comes from the
+    * [[Sharding.evenSplitScalable]] technique (range-partitioned sort +
+    * per-partition monotonic ids + a partition-count offset fixup), so
+    * there is NO single-task global window anywhere; the sliding window
+    * itself is a (w−1)-fold offset explode equi-joined on position —
+    * all hash joins over (id, key, pos) triples, never the texts. */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int,
+      maxHamming: Int, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val localIdxMask = (1L << 33) - 1
+    val keyed = docs.select(col("doc_id"),
+      simhashExpr(col(textCol)).as("simhash"))
+    val sorted = keyed.repartitionByRange(parts, col("simhash"), col("doc_id"))
+      .sortWithinPartitions(col("simhash"), col("doc_id"))
+      .withColumn("_mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val countByPid = sorted
+      .groupBy(shiftright(col("_mid"), 33).as("_pid"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1))).toMap
+    val offsets = new Array[Long](parts)
+    var running = 0L
+    var pid = 0
+    while (pid < parts) {
+      offsets(pid) = running
+      running += countByPid.getOrElse(pid, 0L)
+      pid += 1
+    }
+    val pos = element_at(typedLit(offsets.toSeq),
+      shiftright(col("_mid"), 33).cast("int") + 1) +
+      (col("_mid").bitwiseAND(lit(localIdxMask)))
+    val ranked = sorted.withColumn("pos", pos).drop("_mid")
+      .localCheckpoint(true) // both join sides read it; one evaluation
+    sorted.unpersist(blocking = false)
+    // each row pairs with the next `window-1` positions: explode the
+    // offsets on one side, equi-join on position
+    val left = ranked.select(col("doc_id").as("id_l"),
+        col("simhash").as("sh_l"), col("pos"),
+        explode(sequence(lit(1), lit(window - 1))).as("off"))
+      .withColumn("pos_r", col("pos") + col("off"))
+    left.join(ranked.select(col("doc_id").as("id_r"),
+        col("simhash").as("sh_r"), col("pos").as("pos_r")), Seq("pos_r"))
+      .select(
+        least(col("id_l"), col("id_r")).as("doc_a"),
+        greatest(col("id_l"), col("id_r")).as("doc_b"),
+        hammingDist(col("sh_l"), col("sh_r")).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Dedup candidate-quality evaluation — the tuning dashboard for any
     * approximate pair generator (MinHash/LSH, SimHash, winnowing)
     * against an exact Jaccard ground truth ([[ngramJaccardDups]] with a

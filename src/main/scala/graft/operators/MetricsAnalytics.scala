@@ -146,4 +146,32 @@ object MetricsAnalytics {
         unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
+
+  /** Exponentially time-decayed counters — the "decayed popularity"
+    * metric of ops dashboards and caches (Cormode et al. 2009 forward-
+    * decay framing): each event contributes 2^(−Δt/halfLife) at the
+    * reference instant, so a key's decayed count is its recency-weighted
+    * activity. Reference time = the corpus max timestamp (deterministic
+    * from the data — no wall clock, which would break replay).
+    *
+    * Scale: one map-side contribution per event; the per-key sum folds
+    * over the TIMESTAMP-SORTED contribution list (the [[unigramNll]]
+    * bit-parity discipline — equal-timestamp ties carry equal
+    * contributions, which commute exactly). Output: (event_type,
+    * n_events, decayed) ordered. */
+  def decayedCounts(events: DataFrame, halfLifeSeconds: Double): DataFrame = {
+    val refUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val lambda = math.log(2.0) / halfLifeSeconds
+    val dtSec = (lit(refUs) - unix_micros(col("ts"))).cast("double") / 1e6
+    val contrib = exp(lit(-lambda) * dtSec)
+    events
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), contrib.as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("us"), col("c")))).as("lst"))
+      .select(col("event_type"), col("n_events"),
+        round(aggregate(col("lst"), lit(0.0d),
+          (acc, x) => acc + x.getField("c")), 6).as("decayed"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -586,6 +586,14 @@ object Registry {
 
     "q_event_counters" -> ((s, dir) => MetricsAnalytics.counters(events(s, dir))),
 
+    // Exponentially time-decayed counters (forward-decay framing):
+    // recency-weighted activity per event type at the corpus max ts —
+    // map-side contributions, ts-sorted bit-parity folds. The decay
+    // constant is ONE Scala double embedded in both engines' plans
+    // (ln(2) itself is not guaranteed correctly-rounded across libms).
+    "q_decayed_counts" -> ((s, dir) =>
+      MetricsAnalytics.decayedCounts(events(s, dir), halfLifeSeconds = 3600.0)),
+
     "q_event_percentiles" -> ((s, dir) => MetricsAnalytics.percentiles(events(s, dir))),
 
     "q_event_hit_rate" -> ((s, dir) =>
@@ -1250,6 +1258,25 @@ object Registry {
       Dedup.simhashDups(t(s, dir, "documents"), maxHamming = 2)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Sorted-neighborhood blocking (Hernández & Stolfo): window pairs
+    // over the SimHash-sorted order — the third candidate family next
+    // to LSH/SimHash bands; scalable-rank machinery, no global window
+    "q_snm_pairs" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"),
+        window = 8, maxHamming = 6)),
+
+    // 2-D Pareto skyline over (n_tokens, quality) — "not beaten on both
+    // axes" data selection; the ordered scan runs on the value plane
+    "q_skyline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusOps.skyline2D(
+        docs.select(col("doc_id"),
+          TextFunctions.tokenCountWs(col("text")).as("n_tokens"),
+          TextFunctions.qualityScoreFromStats(
+            TextFunctions.textStats(col("text"))).as("quality")),
+        xCol = "n_tokens", yCol = "quality")
+    }),
 
     // Dedup candidate-quality dashboard: SimHash pairs (Hamming rule —
     // genuinely approximate, so precision AND recall are non-trivial)
@@ -3059,6 +3086,23 @@ s"""WITH cent AS (
         |       count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // q_decayed_counts oracle: forward-decay at the corpus max ts; the
+    // decay constant is the engine's Scala double embedded verbatim
+    // (full-precision round-trip literal), ts-sorted fold
+    "q_decayed_counts" -> {
+      val lambda = math.log(2.0) / 3600.0
+      s"""WITH ref AS (
+         |  SELECT max(epoch_us(ts)) AS r FROM events
+         |), c AS (
+         |  SELECT event_type, epoch_us(ts) AS us,
+         |         exp((-$lambda) * (CAST(ref.r - epoch_us(ts) AS DOUBLE) / 1000000.0)) AS c
+         |  FROM events CROSS JOIN ref
+         |)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |       round(list_sum(list(c ORDER BY us)), 6) AS decayed
+         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+
     "q_event_percentiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 4) AS p50,
@@ -4160,6 +4204,58 @@ s"""WITH cent AS (
         |)
         |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q_snm_pairs oracle: sorted-neighborhood — rank by (simhash,
+    // doc_id) (the engine's range-sort total order), pair within the
+    // next window−1 positions, Hamming gate, canonicalized DISTINCT
+    "q_snm_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), hxs AS (
+        |  SELECT doc_id, list_transform(toks, t -> md5(t)) AS hx FROM t
+        |), sim AS (
+        |  SELECT doc_id, array_to_string(list_transform(range(0, 64), j ->
+        |    CASE WHEN list_sum(list_transform(hx, h ->
+        |      ((((strpos('0123456789abcdef', substr(h, CAST(j//4 AS INT)+1, 1)) - 1)
+        |         // ([1,2,4,8][CAST(j%4 AS INT)+1])) % 2) * 2 - 1))) > 0
+        |    THEN '1' ELSE '0' END), '') AS simhash
+        |  FROM hxs
+        |), r AS (
+        |  SELECT doc_id, simhash,
+        |         CAST(row_number() OVER (ORDER BY simhash, doc_id) AS BIGINT) AS pos
+        |  FROM sim
+        |), p AS (
+        |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+        |         greatest(a.doc_id, b.doc_id) AS doc_b,
+        |         CAST(list_sum(list_transform(range(1, 65), i ->
+        |           CASE WHEN substr(a.simhash, CAST(i AS INT), 1) <> substr(b.simhash, CAST(i AS INT), 1)
+        |                THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM r a JOIN r b ON b.pos > a.pos AND b.pos <= a.pos + 7
+        |)
+        |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q_skyline oracle: the INDEPENDENT dominance formulation (NOT
+    // EXISTS a point at-least-as-good on both axes and strictly better
+    // on one) — a different algorithm than the engine's value-plane
+    // running-max, same set by the skyline definition
+    "q_skyline" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         |          (CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / len(text)) * 0.3 +
+         |          least((CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / len(toks)) * 5.0, 1.0) * 0.3, 4) AS quality
+         |  FROM t
+         |)
+         |SELECT r.doc_id, r.n_tokens, r.quality FROM s r
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM s o
+         |  WHERE o.n_tokens >= r.n_tokens AND o.quality >= r.quality
+         |    AND (o.n_tokens > r.n_tokens OR o.quality > r.quality))
+         |ORDER BY r.doc_id""".stripMargin,
 
     // q_dedup_eval oracle: the SimHash pair pipeline (verbatim from
     // q_simhash_pairs) unioned against the exact GLOBAL Jaccard pairs
