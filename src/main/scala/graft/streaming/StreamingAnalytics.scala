@@ -402,6 +402,55 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Per-key decayed-counter state: decayed value AT the anchor instant
+    * plus the raw event count. */
+  case class DecayState(anchorUs: Long, decayed: Double, nEvents: Long)
+  case class DecaySnapshot(eventType: String, nEvents: Long, decayed: Double,
+      anchorUs: Long)
+
+  /** Streaming forward-decay counters — the continuous form of
+    * [[graft.operators.MetricsAnalytics.decayedCounts]]: per event
+    * type, keep (anchor instant, decayed value at that anchor); each
+    * micro-batch advances the anchor to its max event time (decaying
+    * the carried value by 2^(−Δ/halfLife)) and adds the batch's
+    * contributions decayed to the new anchor. Exponential decay is
+    * SHIFT-ASSOCIATIVE — decay(decay(v, δ₁) + c, δ₂) =
+    * decay(v, δ₁+δ₂) + decay(c, δ₂) — so the state after any batch
+    * split equals the batch operator at the same reference instant
+    * (equality is numeric, not bitwise: regrouping reassociates the
+    * double sums; the spec checks 1e-9).
+    *
+    * Scale: state is ONE small row per event type (key cardinality,
+    * not event count); each batch is one map-side pass + the keyed
+    * state update. Late events older than the anchor still fold in
+    * correctly (their contribution is decayed by their full age —
+    * negative Δ to the anchor never occurs for the CARRIED value, and
+    * per-event contributions use the event's own age). */
+  def decayedCountsLoop(
+      events: Dataset[(String, Long)], // (event_type, epoch micros)
+      halfLifeSeconds: Double): Dataset[DecaySnapshot] = {
+    import events.sparkSession.implicits._
+    val lambda = math.log(2.0) / halfLifeSeconds
+    def decay(v: Double, fromUs: Long, toUs: Long): Double =
+      v * math.exp(-lambda * ((toUs - fromUs).toDouble / 1e6))
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long)], state: GroupState[DecayState]) =>
+          val batch = it.map(_._2).toArray
+          val prev = state.getOption.getOrElse(DecayState(Long.MinValue, 0.0, 0L))
+          val anchor = math.max(prev.anchorUs, if (batch.isEmpty) Long.MinValue else batch.max)
+          val carried =
+            if (prev.nEvents == 0L) 0.0 else decay(prev.decayed, prev.anchorUs, anchor)
+          // fold the batch in ascending-timestamp order (the batch
+          // operator's sorted-fold discipline, minimizing spread)
+          val added = batch.sorted.foldLeft(0.0)((acc, us) => acc + decay(1.0, us, anchor))
+          val next = DecayState(anchor, carried + added, prev.nEvents + batch.length)
+          state.update(next)
+          DecaySnapshot(key, next.nEvents, next.decayed, next.anchorUs)
+      }
+  }
+
   /** Convenience: run a streaming DataFrame to a named in-memory table and
     * block until the source drains (local smoke; spark_guide.md pattern). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

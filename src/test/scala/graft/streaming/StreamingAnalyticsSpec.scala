@@ -92,6 +92,50 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decayedCountsLoop: streaming state equals the batch operator at the same reference") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(String, Long)]
+    val out = StreamingAnalytics.decayedCountsLoop(src.toDS(), halfLifeSeconds = 3600.0)
+    val q = out.toDF().writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("decay_loop").start()
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    try {
+      // two batches split mid-key: the decay fold must re-associate cleanly
+      src.addData(("click", base), ("click", base + 1800L * 1000000L), ("view", base))
+      q.processAllAvailable()
+      src.addData(("click", base + 3600L * 1000000L), ("view", base + 7200L * 1000000L))
+      q.processAllAvailable()
+      val snaps = spark.table("decay_loop")
+        .orderBy($"anchorUs".desc)
+        .collect()
+        .groupBy(_.getAs[String]("eventType"))
+        .map { case (k, rows) => k -> rows.head } // latest snapshot per key
+      // batch reference: the GLOBAL max ts; re-decay each key's snapshot
+      // from its own anchor to the global reference before comparing
+      val refUs = snaps.values.map(_.getAs[Long]("anchorUs")).max
+      val lambda = math.log(2.0) / 3600.0
+      val streamed = snaps.map { case (k, r) =>
+        k -> (r.getAs[Long]("nEvents"),
+          r.getAs[Double]("decayed") *
+            math.exp(-lambda * ((refUs - r.getAs[Long]("anchorUs")).toDouble / 1e6)))
+      }
+      val batchDf = Seq(
+        ("click", base), ("click", base + 1800L * 1000000L), ("view", base),
+        ("click", base + 3600L * 1000000L), ("view", base + 7200L * 1000000L))
+        .toDF("event_type", "us")
+        .select($"event_type",
+          org.apache.spark.sql.functions.timestamp_micros($"us").as("ts"))
+      val batch = graft.operators.MetricsAnalytics.decayedCounts(batchDf, 3600.0)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, (n, d)) =>
+        assert(n == batch(k)._1, s"$k event count")
+        assert(math.abs(d - batch(k)._2) < 1e-6,
+          s"$k decayed: streaming $d vs batch ${batch(k)._2}")
+      }
+    } finally q.stop()
+  }
+
   test("knnServeLoop: streamed queries get the same top-k as the batch engine") {
     implicit val sc = spark.sqlContext
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
