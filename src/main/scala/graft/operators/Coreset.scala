@@ -43,6 +43,10 @@ object Coreset {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val proj = embeddings.select(col(idCol), col(vecCol))
+    // beyond n points every remaining min-distance is 0 and the argmax
+    // would re-pick an already-selected id — fail loudly instead
+    require(k <= proj.count(),
+      s"kCenterGreedy: k=$k exceeds the corpus size")
     val seed = proj.orderBy(col(idCol)).as[(Long, Array[Float])].head()
     // (sel_rank, id, minDistToPriorSet, vec) — k rows of driver state
     val selected = mutable.ArrayBuffer[(Long, Long, Double, Array[Float])](

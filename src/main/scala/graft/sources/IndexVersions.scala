@@ -35,10 +35,10 @@ object IndexVersions {
       .sorted
   }
 
-  /** The version `_LATEST` points at, if published. Falls back to the
-    * highest complete on-disk version when the pointer is missing
-    * (first publish crashed between directory and pointer — the
-    * directory without a pointer is NOT served). */
+  /** The version `_LATEST` points at, if published. No pointer → None:
+    * a version directory without a pointer (publish crashed between
+    * directory write and pointer flip) is deliberately NOT served —
+    * re-publishing simply claims the next version number. */
   def latest(spark: SparkSession, dir: String): Option[Long] = {
     val f = fs(spark, dir)
     val ptr = new Path(s"$dir/_LATEST")
