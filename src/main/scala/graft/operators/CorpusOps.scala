@@ -502,21 +502,55 @@ object CorpusOps {
     * x.
     *
     * Scale: the corpus collapses to one (x, maxY) row per DISTINCT x
-    * value first — the only ordered scan runs over that VALUE PLANE
-    * (bounded by the x domain: token counts, rounded scores — the
-    * [[CorpusOps.mlmMask]] vocab-plane precedent), never corpus rows;
-    * the surviving frontier broadcasts back onto the corpus as one hash
-    * join. */
+    * value first, and the running max over that value plane is computed
+    * WITHOUT any global window (verdict r7 item 4 — on a continuous x
+    * the plane is corpus-sized, so an unpartitioned `orderBy(x.desc)`
+    * would funnel it through one task): the
+    * [[Dedup.sortedNeighborhoodPairs]] technique — range-partition the
+    * plane by x descending, per-PARTITION prefix-max windows run in
+    * parallel, and the ≤ numPartitions cross-partition prefix maxes are
+    * folded on the driver (control-plane rows, like the even-split
+    * offsets). The surviving frontier broadcasts back onto the corpus
+    * as one hash join. Dominance on y is compared in double (exact for
+    * |y| < 2⁵³ — token counts and scores; the frontier's equality join
+    * back to the corpus stays in y's native type). */
   def skyline2D(df: DataFrame, xCol: String, yCol: String,
       idCol: String = "doc_id"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
     val perX = df.groupBy(col(xCol)).agg(max(col(yCol)).as("_my"))
-    // value-plane window: distinct x values only
+      .withColumn("_myd", col("_my").cast("double"))
+    // value plane, range-partitioned by x desc; pid = physical partition
+    // (the monotonic-id upper bits), checkpointed so the partition-max
+    // collect and the frontier read ONE evaluation of the id assignment
+    val sorted = perX.repartitionByRange(parts, col(xCol).desc)
+      .sortWithinPartitions(col(xCol).desc)
+      .withColumn("_pid", shiftright(monotonically_increasing_id(), 33).cast("int"))
+      .localCheckpoint(true)
+    val partMax = sorted.groupBy(col("_pid"))
+      .agg(max(col("_myd")).as("_pm"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // exclusive prefix max of the larger-x partitions (driver fold over
+    // ≤ parts values; -inf = "nothing precedes", matching the old
+    // null-running-max semantics for finite y)
+    val pref = new Array[Double](parts)
+    var run = Double.NegativeInfinity
+    var p = 0
+    while (p < parts) {
+      pref(p) = run
+      run = math.max(run, partMax.getOrElse(p, Double.NegativeInfinity))
+      p += 1
+    }
     val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid"))
       .orderBy(col(xCol).desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val frontier = perX
-      .withColumn("_rm", max(col("_my")).over(wv))
-      .where(col("_rm").isNull || col("_my") > col("_rm"))
+    val prefCol = element_at(typedLit(pref.toSeq), col("_pid") + 1)
+    val frontier = sorted
+      .withColumn("_rm",
+        greatest(coalesce(max(col("_myd")).over(wv),
+          lit(Double.NegativeInfinity)), prefCol))
+      .where(col("_myd") > col("_rm"))
       .select(col(xCol), col("_my"))
     df.join(broadcast(frontier), Seq(xCol))
       .where(col(yCol) === col("_my"))

@@ -285,16 +285,21 @@ object CorpusStats {
     * upgrade of [[stupidBackoff]] (a fixed discount D and CONTINUATION
     * counts instead of a flat 0.4 backoff):
     *
-    *   P(w|v)   = max(c(vw)−D, 0)/c(v) + D·N1+(v•)/c(v) · Pcont(w)
+    *   P(w|v)   = max(c(vw)−D, 0)/c(v·) + D·N1+(v•)/c(v·) · Pcont(w)
     *   Pcont(w) = (N1+(•w)+1)/(B+V+1)
     *
-    * where N1+(v•)/N1+(•w) are the distinct right-/left-neighbor counts,
-    * B the distinct-bigram count and V the vocabulary size — Pcont
-    * carries the [[crossNll]] add-1 OOV bucket so unseen continuations
-    * score finitely. A context v that is unseen (or has no LM
-    * continuation at all — a doc-final-only token has no bigram mass to
-    * interpolate) falls back to Pcont(w) outright. Every branch is
-    * strictly positive, so the log never diverges.
+    * where c(v·) = Σ_w c(vw) is the CONTEXT MASS — derived from the
+    * bigram table, not the unigram count c1(v), which over-counts
+    * doc-final occurrences of v that contribute no bigram mass and
+    * would deflate Σ_w P(w|v) below 1 (ADVICE r7) — N1+(v•)/N1+(•w) are
+    * the distinct right-/left-neighbor counts, B the distinct-bigram
+    * count and V the vocabulary size. Pcont carries the [[crossNll]]
+    * add-1 OOV bucket so unseen continuations score finitely. A context
+    * v with no LM continuation at all falls back to Pcont(w) outright.
+    * Every branch is strictly positive, so the log never diverges. With
+    * the context-mass denominator, Σ_w P(w|v) = 1 − D·N1+(v•)/c(v·) ·
+    * (1 − Σ_w Pcont(w)) ≈ 1 up to the OOV bucket — a proper
+    * distribution.
     *
     * Scale: all four model tables (unigram counts, bigram counts, and
     * the two continuation-count projections of the bigram table) are
@@ -316,6 +321,10 @@ object CorpusStats {
     require(nb > 0,
       "knBigram: lmCorpus has no bigrams — the LM corpus filter matched nothing")
     val pcontDenom = (nb + nv + 1).toDouble
+    // context mass c(v·) = Σ_w c(vw), from the bigram table — NOT the
+    // unigram count (ADVICE r7: c1 counts doc-final v's with no bigram
+    // mass, a systematic score deflation vs the cited formula)
+    val cm = bc.groupBy(col("w1")).agg(sum(col("c2")).cast("long").as("cm"))
     val n1l = bc.groupBy(col("w1")).agg(count(lit(1)).as("n1l"))
     val n1r = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
     val tf = docs.select(col("doc_id"),
@@ -326,15 +335,15 @@ object CorpusStats {
     val pcont = (coalesce(col("n1r"), lit(0L)).cast("double") + 1.0d) / lit(pcontDenom)
     val interpolated =
       greatest(coalesce(col("c2"), lit(0L)).cast("double") - discount, lit(0.0d)) /
-        col("c1").cast("double") +
-        lit(discount) * col("n1l").cast("double") / col("c1").cast("double") * pcont
+        col("cm").cast("double") +
+        lit(discount) * col("n1l").cast("double") / col("cm").cast("double") * pcont
     val scored = tf
       .join(broadcast(bc.select(col("bigram"), col("c2"))), Seq("bigram"), "left")
-      .join(broadcast(uc.select(col("term").as("w1"), col("c1"))), Seq("w1"), "left")
+      .join(broadcast(cm), Seq("w1"), "left")
       .join(broadcast(n1l), Seq("w1"), "left")
       .join(broadcast(n1r), Seq("w2"), "left")
       .withColumn("score",
-        when(col("c1").isNotNull && col("n1l").isNotNull, interpolated)
+        when(col("cm").isNotNull && col("n1l").isNotNull, interpolated)
           .otherwise(pcont))
       .withColumn("contrib", col("tf").cast("double") * log(col("score")))
     scored.groupBy(col("doc_id"))

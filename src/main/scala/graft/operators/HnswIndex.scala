@@ -104,11 +104,16 @@ object HnswIndex {
       * by distance, deterministic (ties by node index). `allow`
       * restricts RESULT admission only (filtered-HNSW semantics —
       * traversal still crosses disallowed nodes, disallowed candidates
-      * still widen the beam); with the default always-true predicate
-      * the behavior is bit-identical to the unfiltered form. */
+      * still widen the beam). `allow` is NULLABLE, not a default
+      * always-true lambda: the build loop and the unfiltered search
+      * share this innermost beam loop, and a per-candidate closure
+      * invocation there cost 2.36× on q_hnsw_knn (round-7 regression) —
+      * `null` keeps the hot path branch-predicted and closure-free
+      * while staying bit-identical to the filtered form under an
+      * always-true predicate. */
     private def searchLayer(
         q: Array[Float], entryPoints: Seq[Int], ef: Int, layer: Int,
-        allow: Int => Boolean = _ => true): Seq[(Double, Int)] = {
+        allow: Int => Boolean = null): Seq[(Double, Int)] = {
       implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2
       val visited = mutable.BitSet()
       val candidates = mutable.PriorityQueue.empty[(Double, Int)] // max-heap on negated dist
@@ -118,7 +123,7 @@ object HnswIndex {
           visited += ep
           val d = dist(q, vecs(ep))
           candidates.enqueue((-d, ep))
-          if (allow(ep)) result.enqueue((d, ep))
+          if ((allow eq null) || allow(ep)) result.enqueue((d, ep))
         }
       }
       while (result.size > ef) result.dequeue()
@@ -137,7 +142,7 @@ object HnswIndex {
               val nd = dist(q, vecs(nb))
               if (result.size < ef || nd < result.head._1) {
                 candidates.enqueue((-nd, nb))
-                if (allow(nb)) {
+                if ((allow eq null) || allow(nb)) {
                   result.enqueue((nd, nb))
                   if (result.size > ef) result.dequeue()
                 }

@@ -154,24 +154,43 @@ object MetricsAnalytics {
     * activity. Reference time = the corpus max timestamp (deterministic
     * from the data — no wall clock, which would break replay).
     *
-    * Scale: one map-side contribution per event; the per-key sum folds
-    * over the TIMESTAMP-SORTED contribution list (the [[unigramNll]]
-    * bit-parity discipline — equal-timestamp ties carry equal
-    * contributions, which commute exactly). Output: (event_type,
+    * Scale: one map-side contribution per event; the per-key sum is a
+    * TWO-LEVEL timestamp-ordered fold (the [[unigramNll]] bit-parity
+    * discipline, bounded): contributions first fold inside fixed time
+    * BUCKETS (`bucketSeconds` wide — the aggregation buffer is
+    * O(events-per-bucket-per-key), not O(events-per-key), so a hot key
+    * can no longer accumulate the whole corpus into one in-memory list),
+    * then the ≤ |buckets| partials fold in bucket order. Both levels are
+    * deterministic left folds over sorted lists, and the DuckDB oracle
+    * replays the identical two-level shape, so parity is structural —
+    * equal-timestamp ties land in the same bucket and carry equal
+    * contributions, which commute exactly. Output: (event_type,
     * n_events, decayed) ordered. */
-  def decayedCounts(events: DataFrame, halfLifeSeconds: Double): DataFrame = {
+  def decayedCounts(
+      events: DataFrame,
+      halfLifeSeconds: Double,
+      bucketSeconds: Long = 3600L): DataFrame = {
     val refUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
     val lambda = math.log(2.0) / halfLifeSeconds
     val dtSec = (lit(refUs) - unix_micros(col("ts"))).cast("double") / 1e6
     val contrib = exp(lit(-lambda) * dtSec)
-    events
+    val bucketUs = bucketSeconds * 1000000L
+    val partials = events
       .select(col("event_type"), unix_micros(col("ts")).as("us"), contrib.as("c"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
+      .withColumn("bkt", expr(s"us DIV ${bucketUs}L"))
+      .groupBy(col("event_type"), col("bkt"))
+      .agg(count(lit(1)).as("n"),
         sort_array(collect_list(struct(col("us"), col("c")))).as("lst"))
+      .select(col("event_type"), col("bkt"), col("n"),
+        aggregate(col("lst"), lit(0.0d),
+          (acc, x) => acc + x.getField("c")).as("partial"))
+    partials
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).cast("long").as("n_events"),
+        sort_array(collect_list(struct(col("bkt"), col("partial")))).as("plst"))
       .select(col("event_type"), col("n_events"),
-        round(aggregate(col("lst"), lit(0.0d),
-          (acc, x) => acc + x.getField("c")), 6).as("decayed"))
+        round(aggregate(col("plst"), lit(0.0d),
+          (acc, x) => acc + x.getField("partial")), 6).as("decayed"))
       .orderBy(col("event_type"))
   }
 }

@@ -224,8 +224,14 @@ object OpqIndex {
       ksub: Int,
       k: Int,
       iters: Int = 6,
-      seed: Long = 42L): DataFrame = {
-    val (rot, cb) = trainOpq(embeddings, m, subDim, ksub, iters = iters, seed = seed)
+      seed: Long = 42L,
+      model: Option[Model] = None): DataFrame = {
+    // `model` lets callers reuse an already-trained (deterministic,
+    // seeded) model instead of re-collecting the training sample — the
+    // offline-train / online-apply split the reference runs (V:1156-1159
+    // trains once per build, never per query)
+    val (rot, cb) = model.getOrElse(
+      trainOpq(embeddings, m, subDim, ksub, iters = iters, seed = seed))
     val rotated = embeddings.select(col("vec_id"),
       Rotation.rotateExpr(col("embedding"), rot).as("embedding"))
     PqIndex.search(rotated, PqIndex.encode(rotated, cb, m, subDim), cb,
@@ -256,15 +262,23 @@ object OpqIndex {
       k: Int,
       iters: Int = 6,
       seed: Long = 42L,
-      indexDir: Option[String] = None): DataFrame = {
+      indexDir: Option[String] = None,
+      model: Option[Model] = None,
+      reuseIndex: Boolean = false): DataFrame = {
     val spark = embeddings.sparkSession
-    val (rot, _) = trainOpq(embeddings, m, subDim, ksub, iters = iters, seed = seed)
+    val (rot, _) = model.getOrElse(
+      trainOpq(embeddings, m, subDim, ksub, iters = iters, seed = seed))
     val rotated = embeddings.select(col("vec_id"),
       Rotation.rotateExpr(col("embedding"), rot).as("embedding"))
     val (cents, cb, codes) = IvfPqIndex.buildSeeded(rotated, nlist, m, subDim, ksub)
     val persistedCodes = indexDir match {
       case Some(dir) =>
-        IvfPqIndex.writeIndex(codes, dir)
+        // reuseIndex: skip the corpus-wide encode+write when a committed
+        // codes table is already at `dir` (deterministic seeded build ⇒
+        // identical bytes) — the search then reads the persisted lists,
+        // which is the honest serving cost once an index exists
+        if (!(reuseIndex && new java.io.File(dir, "_SUCCESS").exists()))
+          IvfPqIndex.writeIndex(codes, dir)
         spark.read.parquet(dir)
       case None => codes
     }

@@ -118,6 +118,109 @@ object SparseTopK {
     taTopK(idx, queryTerms, k)
   }
 
+  /** Batch-query TA (verdict r7 item 6 — the lexical counterpart of the
+    * dense family's "Q broadcast queries, one plan" protocol,
+    * vector_search_cluster.py:794-812 batches dense queries the same
+    * way): `queryTerms` is a TABLE of (query_id: long, term: string)
+    * rows, and ALL queries run in the same three jobs the single-query
+    * loop uses — seed scores at depth k, one ladder-tails aggregate, and
+    * final scores at each query's own terminating depth. τ/θ and the
+    * ladder walk are per-query ROWS of those aggregates (driver state ≤
+    * Q×|terms|×~60 doubles — control plane), not Q driver loops with Q×
+    * control-plane latency.
+    *
+    * Exactness per query is the single-query argument verbatim: θ_seed
+    * (that query's k-th seed score) only grows as its prefixes deepen,
+    * and any doc outside its depth-p prefixes scores ≤ τ_q(p), so
+    * stopping at θ_seed > τ_q(p) keeps the candidate top-k exact;
+    * exhausted ladders mean exhaustive scoring. Output: (query_id, rank,
+    * doc_id, score), the k-NN result contract. */
+  def taTopKBatch(index: DataFrame, queryTerms: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "taTopKBatch: k must be positive")
+    val spark = index.sparkSession
+    val q = queryTerms.select(col("query_id"), col("term")).distinct()
+    // every query's postings, tagged — ONE plan for all queries; the
+    // query-terms side is micro-batch-small by construction → broadcast
+    val qp = index.join(broadcast(q), Seq("term"))
+      .select(col("query_id"), col("term"), col("doc_id"),
+        col("impact"), col("impact_rank"))
+
+    // exact scores of the docs inside each query's depth-p prefixes
+    // (p rides in as a per-query row of `depths`), term-sorted fold —
+    // the Bm25 bit-parity discipline
+    def scoresAt(depths: DataFrame): DataFrame = {
+      val cands = qp.join(broadcast(depths), Seq("query_id"))
+        .where(col("impact_rank") <= col("p"))
+        .select(col("query_id"), col("doc_id")).distinct()
+      qp.join(cands, Seq("query_id", "doc_id"), "left_semi")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("term"), col("impact")))),
+          lit(0.0),
+          (acc, s) => acc + s.getField("impact")).as("score"))
+    }
+    def topkOf(scores: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      scores.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+    }
+
+    import spark.implicits._
+    val qids = q.select(col("query_id").cast("long")).distinct()
+      .as[Long].collect().sorted
+    val seedDepths = qids.toSeq.toDF("query_id").withColumn("p", lit(k.toLong))
+    // job 1: seed scores at depth k — ≤ Q×k control-plane rows
+    val seedRows = topkOf(scoresAt(seedDepths)).collect()
+    val thetaSeed: Map[Long, Double] = seedRows
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (qid, rows) =>
+        qid -> (if (rows.length >= k)
+          rows.map(_.getAs[Double]("score")).min
+        else Double.NegativeInfinity)
+      }
+
+    // job 2: per (query, term) list length + ladder impacts. The ladder
+    // is long enough BY CONSTRUCTION for any Long impact_rank (ADVICE
+    // r7: 64 overflow-clamped doublings ≥ any list length — the walk
+    // below clamps identically, so loop and collected ranks cannot
+    // diverge)
+    val ladder = Iterator.iterate(k.toLong)(d => math.min(d * 2L, Long.MaxValue / 2))
+      .take(64).toSeq.distinct
+    val tailRows = qp.groupBy(col("query_id"), col("term"))
+      .agg(
+        max(col("impact_rank")).as("len"),
+        collect_list(when(col("impact_rank").isin(ladder: _*),
+          struct(col("impact_rank"), col("impact")))).as("ladder_impacts"))
+      .collect()
+    val byQuery = tailRows.groupBy(_.getAs[Long]("query_id"))
+    val finalDepth: Seq[(Long, Long)] = qids.toSeq.map { qid =>
+      val rows = byQuery.getOrElse(qid, Array.empty)
+      val lens = rows.map(_.getAs[Long]("len"))
+      val atRank: Map[(String, Long), Double] = rows.flatMap { r =>
+        val t = r.getAs[String]("term")
+        r.getSeq[org.apache.spark.sql.Row](3)
+          .map(s => (t, s.getAs[Long]("impact_rank")) -> s.getAs[Double]("impact"))
+      }.toMap
+      def tauAt(p: Long): Double = rows.collect {
+        case r if r.getAs[Long]("len") >= p =>
+          atRank((r.getAs[String]("term"), p))
+      }.sum
+      val theta = thetaSeed.getOrElse(qid, Double.NegativeInfinity)
+      var p = k.toLong
+      while (p < Long.MaxValue / 2 && lens.exists(_ >= p) && theta <= tauAt(p))
+        p = math.min(p * 2L, Long.MaxValue / 2)
+      qid -> p
+    }
+
+    // job 3: final scores at each query's own depth
+    val depths = finalDepth.toDF("query_id", "p")
+    topkOf(scoresAt(depths))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def taTopKWithStats(
       index: DataFrame, queryTerms: Seq[String], k: Int): (DataFrame, TaStats) = {
     val (result, rounds, p, read) = taLoop(index, queryTerms, k)
@@ -161,9 +264,13 @@ object SparseTopK {
       else Double.NegativeInfinity
 
     // one pass: per term, the full list length and the impact at every
-    // geometric-ladder rank — ≤ |terms| × ~40 values of driver state
+    // geometric-ladder rank — ≤ |terms| × ~60 values of driver state.
+    // 64 overflow-clamped doublings cover ANY Long impact_rank, and the
+    // walk below clamps identically, so the loop and the collected ranks
+    // cannot diverge (ADVICE r7 — the 42-rung ladder left an implicit
+    // k·2^42 invariant)
     val ladder = Iterator.iterate(k.toLong)(d => math.min(d * 2L, Long.MaxValue / 2))
-      .take(42).toSeq.distinct
+      .take(64).toSeq.distinct
     val tailRows = qPostings.groupBy(col("term"))
       .agg(
         max(col("impact_rank")).as("len"),
@@ -184,8 +291,8 @@ object SparseTopK {
     }.sum
     var p = k.toLong
     var rounds = 1
-    while (lens.exists(_ >= p) && thetaSeed <= tauAt(p)) {
-      p *= 2L
+    while (p < Long.MaxValue / 2 && lens.exists(_ >= p) && thetaSeed <= tauAt(p)) {
+      p = math.min(p * 2L, Long.MaxValue / 2)
       rounds += 1
     }
     val top = scoresAt(p)

@@ -64,18 +64,23 @@ object IndexVersions {
   }
 
   /** Point `_LATEST` at an existing version (rollback = point at an
-    * older one). Temp-write + rename — atomic where rename is. */
+    * older one). Temp-write + single-step OVERWRITING rename
+    * (`FileContext` with `Options.Rename.OVERWRITE` — POSIX rename on
+    * local, atomic overwrite on HDFS): there is no instant where the
+    * pointer is absent. The previous delete-then-rename form had a
+    * crash window in which a published index silently stopped being
+    * served (ADVICE r7). */
   def setPointer(spark: SparkSession, dir: String, version: Long): Unit = {
     require(versions(spark, dir).contains(version),
       s"setPointer: version $version does not exist under $dir")
     val f = fs(spark, dir)
-    val tmp = new Path(s"$dir/_LATEST.tmp")
+    val tmp = f.makeQualified(new Path(s"$dir/_LATEST.tmp"))
     val out = f.create(tmp, true)
     try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-    val ptr = new Path(s"$dir/_LATEST")
-    if (f.exists(ptr)) f.delete(ptr, false)
-    if (!f.rename(tmp, ptr))
-      throw new java.io.IOException(s"pointer flip failed for $dir v$version")
+    val ptr = f.makeQualified(new Path(s"$dir/_LATEST"))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      ptr.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The directory to read — the pointed-at version. */

@@ -57,6 +57,30 @@ class CoresetSpec extends SparkSpec {
     assert(d.forall(_ > 0.0), "all non-seed picks must be strictly novel points")
   }
 
+  test("k=64 with checkpoint cadence 16 still equals the brute-force replay") {
+    // verdict r7 item 7: the running-min form must stay exact at a k
+    // where the old k-literal `least` tree would have planted 64×d
+    // literals in one projection; cadence 16 forces three lineage cuts
+    // mid-traversal, so the checkpoint path itself is exercised.
+    val k = 64
+    val all = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    var selected = Vector(all.head)
+    var expect = Vector((0L, all.head._1))
+    while (selected.length < k) {
+      val best = all.map { case (id, v) =>
+        ((id, v), selected.map(s => l2sq(v, s._2)).min)
+      }.reduceLeft { (a, b) =>
+        if (b._2 > a._2 || (b._2 == a._2 && b._1._1 < a._1._1)) b else a
+      }
+      expect :+= ((selected.length.toLong, best._1._1))
+      selected :+= best._1
+    }
+    val got = Coreset.kCenterGreedy(emb, k, checkpointEvery = 16)
+      .select($"sel_rank", $"vec_id").as[(Long, Long)].collect().toVector
+    assert(got == expect)
+  }
+
   test("k=1 returns just the seed") {
     val got = Coreset.kCenterGreedy(emb, 1).as[(Long, Long, Double)].collect()
     val minId = emb.agg(min($"vec_id")).head().getLong(0)

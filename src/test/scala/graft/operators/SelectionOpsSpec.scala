@@ -51,6 +51,38 @@ class SelectionOpsSpec extends SparkSpec {
     assert(got("view")._2 == 1.0)
   }
 
+  test("decayedCounts: hot-key fixture — bounded per-bucket buffers, exact vs driver fold") {
+    // one key, 10⁵ events spread over ~28 hours: the pre-r8 shape collected
+    // ALL of them into one per-key sorted list (the O(events-per-key)
+    // buffer the verdict flagged); the two-level fold caps each
+    // aggregation buffer at events-per-(key,bucket) and this fixture
+    // spans >1 bucket, so the partials plane is exercised for real.
+    val n = 100000
+    val baseUs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    val stepUs = 1000000L // 1 s apart → 100k s ≈ 28 h ≈ 28 hourly buckets
+    val events = spark.range(n.toLong)
+      .select(lit("hot").as("event_type"),
+        timestamp_micros(lit(baseUs) + $"id" * stepUs).as("ts"))
+    val got = MetricsAnalytics.decayedCounts(events, halfLifeSeconds = 3600.0)
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == n.toLong)
+    // driver replay of the SAME two-level fold (hourly buckets, ts order)
+    val lambda = math.log(2.0) / 3600.0
+    val refUs = baseUs + (n - 1).toLong * stepUs
+    val partials = (0 until n)
+      .map { i =>
+        val us = baseUs + i.toLong * stepUs
+        (us / 3600000000L, math.exp(-lambda * ((refUs - us).toDouble / 1e6)))
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (bkt, xs) => xs.foldLeft(0.0)(_ + _._2) }
+    val expect = BigDecimal(partials.foldLeft(0.0)(_ + _))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getDouble(2) == expect,
+      s"two-level fold parity: got ${got(0).getDouble(2)} expect $expect")
+  }
+
   test("skyline2D equals the brute-force dominance replay") {
     val pts = Seq(
       (1L, 10L, 0.5), (2L, 20L, 0.4), (3L, 20L, 0.6), (4L, 5L, 0.9),
@@ -70,5 +102,27 @@ class SelectionOpsSpec extends SparkSpec {
     }.map(_._1).toSet
     assert(got == expect, s"got $got expect $expect")
     assert(got == Set(3L, 4L, 5L, 7L))
+  }
+
+  test("skyline2D: continuous-x plane — brute-force parity, no unpartitioned window") {
+    // continuous x ⇒ the distinct-x value plane is corpus-sized; the
+    // pre-r8 shape ran one unpartitioned Window over it (single task).
+    // The fixture proves both the result AND the plan: every window the
+    // frontier pass plans is partitioned (the cross-partition prefix
+    // lives in a driver fold over ≤ numPartitions values instead).
+    val n = 3000
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to n).map(i => (i.toLong, rnd.nextDouble(), rnd.nextDouble()))
+    val got = CorpusOps.skyline2D(pts.toDF("doc_id", "x", "y"), "x", "y")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = got.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "the frontier pass still uses a (partitioned) window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "no unpartitioned window over the value plane on continuous x")
+    val gotSet = got.select($"doc_id").as[Long].collect().toSet
+    val expect = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, ox, oy) => ox >= x && oy >= y && (ox > x || oy > y) }
+    }.map(_._1).toSet
+    assert(gotSet == expect, s"skyline mismatch: extra=${gotSet -- expect} missing=${expect -- gotSet}")
   }
 }

@@ -63,6 +63,27 @@ class SparseTopKSpec extends SparkSpec {
     assert(per == mem)
   }
 
+  test("batch TA: one plan over a query-terms table equals per-query single-query TA") {
+    val queries = Seq(
+      0L -> Seq("merge", "vector", "batch", "slow", "spark"),
+      1L -> Seq("join", "hash", "filter", "scan"),
+      2L -> Seq("vector"),
+      3L -> Seq("join", "zzz_not_in_vocab"))
+    val qt = queries.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("query_id", "term")
+    val k = 12
+    val got = SparseTopK.taTopKBatch(index, qt, k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._1)).toMap
+    queries.foreach { case (qid, terms) =>
+      val single = SparseTopK.taTopK(index, terms, k)
+        .select(col("rank"), col("doc_id"), col("score"))
+        .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+      assert(got.getOrElse(qid, Nil) == single, s"query $qid diverges from single-query TA")
+    }
+  }
+
   test("exhausted lists degrade to exact exhaustive scoring (k > matches)") {
     // a term so rare the lists exhaust before theta > tau can separate
     val rare = index.groupBy(col("term")).count()

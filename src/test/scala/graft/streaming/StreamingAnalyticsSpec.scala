@@ -244,6 +244,55 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(results.toArray(Array.empty[String]).toSet == expect)
   }
 
+  test("hnswServeLoopVersioned: publish-during-serve, crashed publish never served, rollback round") {
+    import graft.operators.HnswIndex
+    import graft.sources.IndexVersions
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("hnswversioned").toString
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // v1: small corpus; v2 (published mid-stream): full corpus
+    IndexVersions.publish(spark, root)(p =>
+      HnswIndex.writeIndex(emb.where($"vec_id" < 100), p, numPartitions = 4))
+    val queries = emb.where($"vec_id" < 2)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val servedVersions = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Set[String])]()
+    val src = MemoryStream[(Long, Array[Float])]
+    val q = StreamingAnalytics.hnswServeLoopVersioned(
+      src.toDF().toDF("query_id", "qvec"), root, k = 5) { (df, _, v) =>
+      servedVersions.add(v)
+      results.add(v -> df.collect().map(_.toString).toSet)
+    }
+    try {
+      // batch 1: old version serves until the flip
+      src.addData(queries.toSeq)
+      q.processAllAvailable()
+      // a crashed publish: full version directory, no pointer flip —
+      // must remain invisible to the serving loop
+      HnswIndex.writeIndex(emb, s"$root/v_7", numPartitions = 4)
+      src.addData(queries.toSeq)
+      q.processAllAvailable()
+      // real publish mid-stream: next batch serves v2 with no restart
+      IndexVersions.publish(spark, root)(p =>
+        HnswIndex.writeIndex(emb, p, numPartitions = 4))
+      src.addData(queries.toSeq)
+      q.processAllAvailable()
+      // rollback round: one pointer write back to v1
+      IndexVersions.setPointer(spark, root, 1L)
+      src.addData(queries.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(servedVersions.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+      == Seq(1L, 1L, 8L, 1L),
+      s"served versions must be v1, v1 (crashed v7 invisible), v8, v1-rollback: $servedVersions")
+    // the served rows themselves flip with the version: v8 (full corpus)
+    // answers differ from v1 (100-vector corpus) for these queries
+    val byVersion = results.toArray(Array.empty[(Long, Set[String])]).groupBy(_._1)
+    assert(byVersion(1L).map(_._2).toSet.size == 1, "v1 batches identical")
+    assert(byVersion(1L).head._2 != byVersion(8L).head._2,
+      "the published rebuild must actually change the served answers")
+  }
+
   test("hnswIngestLoop: streamed adds grow the persisted graphs; search sees them") {
     import graft.operators.HnswIndex
     implicit val sc = spark.sqlContext
@@ -497,7 +546,7 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
     def regMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
-    val streamed = regMap(spark.read.parquet(s"$dir/registers"))
+    val streamed = regMap(StreamingAnalytics.sketchRegisters(spark, dir))
     val batch = regMap(graft.operators.Sketches.hllRegisters(
       (1L to 800L).toDF("k"), "k", 64))
     assert(streamed == batch,
@@ -509,6 +558,19 @@ class StreamingAnalyticsSpec extends SparkSpec {
       src2.addData(1L to 500L: _*)
       q2.processAllAvailable()
     } finally q2.stop()
-    assert(regMap(spark.read.parquet(s"$dir/registers")) == batch)
+    assert(regMap(StreamingAnalytics.sketchRegisters(spark, dir)) == batch)
+    // ADVICE r7: snapshots are versioned behind the pointer — a crash
+    // mid-publish can never destroy the accumulated registers, because
+    // the previous version is a different directory. Simulate the crash:
+    // an unpointed partial v_99 must be invisible to readers.
+    val regDir = s"$dir/registers"
+    val before = graft.sources.IndexVersions.latest(spark, regDir).get
+    val partial = new java.io.File(s"$regDir/v_99")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$regDir/v_99/part-garbage"),
+      Array[Byte](1, 2, 3))
+    assert(graft.sources.IndexVersions.latest(spark, regDir).contains(before),
+      "an unpointed partial snapshot must not be served")
+    assert(regMap(StreamingAnalytics.sketchRegisters(spark, dir)) == batch)
   }
 }
