@@ -359,15 +359,19 @@ object IvfIndex {
   }
 
   /** End-to-end self-search with k-means-trained centroids — the quality
-    * path, recall-tested against FLAT (SURVEY §5.2). */
+    * path, recall-tested against FLAT (SURVEY §5.2). `model` lets
+    * callers reuse already-trained centroids (the reference trains once
+    * per index build, vector_search_cluster.py:1030/1156-1159 — never
+    * per query). */
   def selfSearchTrained(
       embeddings: DataFrame,
       numQueries: Int,
       nlist: Int,
       nprobe: Int,
       k: Int,
-      seed: Long = 42L): DataFrame = {
-    val cents = trainCentroids(embeddings, nlist, seed)
+      seed: Long = 42L,
+      model: Option[Array[Centroid]] = None): DataFrame = {
+    val cents = model.getOrElse(trainCentroids(embeddings, nlist, seed))
     val assignments = assign(embeddings, cents)
     val q = embeddings.where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

@@ -27,6 +27,37 @@ class Bm25Spec extends SparkSpec {
     assert(got(1L) > got(2L))
   }
 
+  test("rankBatch: one plan over a query-terms table equals per-query rank calls") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val queries = Seq(
+      0L -> Seq("join", "hash", "filter", "scan"),
+      1L -> Seq("merge", "vector"),
+      2L -> Seq("zzz_not_in_vocab", "batch"))
+    val qt = queries.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("query_id", "term")
+    val got = Bm25.rankBatch(docs, qt, topN = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    queries.foreach { case (qid, terms) =>
+      val single = Bm25.rank(docs, terms, topN = 8).collect()
+        .zipWithIndex
+        .map { case (r, i) => (qid, i + 1L, r.getLong(0), r.getDouble(1)) }
+      assert(got.getOrElse(qid, Array.empty).toSeq.sortBy(_._2) == single.toSeq,
+        s"query $qid diverges from the single-query ranking")
+    }
+  }
+
+  test("rankBatchFromIndex on the impact index is bit-identical to rankBatch on the corpus") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val qt = Seq(0L -> "join", 0L -> "merge", 1L -> "vector", 1L -> "scan")
+      .toDF("query_id", "term")
+    val idx = SparseTopK.buildImpactIndex(docs)
+    val fromIdx = Bm25.rankBatchFromIndex(idx, qt, topN = 10).collect().map(_.toSeq).toSeq
+    val direct = Bm25.rankBatch(docs, qt, topN = 10).collect().map(_.toSeq).toSeq
+    assert(fromIdx == direct)
+  }
+
   test("topN truncates globally by (score desc, doc_id)") {
     val docs = (1L to 30L).map(i => (i, if (i <= 5) "join join" else "join x"))
       .toDF("doc_id", "text")
