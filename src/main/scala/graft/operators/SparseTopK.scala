@@ -135,7 +135,16 @@ object SparseTopK {
     * stopping at θ_seed > τ_q(p) keeps the candidate top-k exact;
     * exhausted ladders mean exhaustive scoring. Output: (query_id, rank,
     * doc_id, score), the k-NN result contract. */
-  def taTopKBatch(index: DataFrame, queryTerms: DataFrame, k: Int): DataFrame = {
+  def taTopKBatch(index: DataFrame, queryTerms: DataFrame, k: Int): DataFrame =
+    taTopKBatchWithStats(index, queryTerms, k)._1
+
+  /** Per-query pruning trace of the batch walk (the [[TaStats]] audit,
+    * batched): terminating prefix depth, sorted-access postings consumed
+    * at that depth, and what exhaustive scoring would have read. */
+  final case class TaBatchStats(depth: Long, postingsRead: Long, queryPostings: Long)
+
+  def taTopKBatchWithStats(index: DataFrame, queryTerms: DataFrame,
+      k: Int): (DataFrame, Map[Long, TaBatchStats]) = {
     require(k > 0, "taTopKBatch: k must be positive")
     val spark = index.sparkSession
     val q = queryTerms.select(col("query_id"), col("term")).distinct()
@@ -215,10 +224,15 @@ object SparseTopK {
 
     // job 3: final scores at each query's own depth
     val depths = finalDepth.toDF("query_id", "p")
-    topkOf(scoresAt(depths))
+    val result = topkOf(scoresAt(depths))
       .select(col("query_id"), col("rank"), col("doc_id"),
         round(col("score"), 6).as("score"))
       .orderBy(col("query_id"), col("rank"))
+    val stats = finalDepth.map { case (qid, p) =>
+      val lens = byQuery.getOrElse(qid, Array.empty).map(_.getAs[Long]("len"))
+      qid -> TaBatchStats(p, lens.map(math.min(_, p)).sum, lens.sum)
+    }.toMap
+    (result, stats)
   }
 
   def taTopKWithStats(

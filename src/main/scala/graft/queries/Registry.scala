@@ -60,7 +60,16 @@ object Registry {
   private val builtOnceDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def buildOnce(prefix: String, dataDir: String)(build: String => Unit): String = {
     val d = tmpIndexDir(prefix, dataDir)
-    if (builtOnceDirs.add(d)) build(d)
+    if (builtOnceDirs.add(d)) {
+      // a failed build must not leave the flag set — the next caller
+      // would read a partial directory; unmark and surface the error
+      try build(d)
+      catch {
+        case e: Throwable =>
+          builtOnceDirs.remove(d)
+          throw e
+      }
+    }
     d
   }
 

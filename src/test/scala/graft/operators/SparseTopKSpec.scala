@@ -84,6 +84,23 @@ class SparseTopKSpec extends SparkSpec {
     }
   }
 
+  test("batch TA: per-query depths diverge and pruning holds per query (batch audit)") {
+    val qt = Seq(
+      0L -> "merge", 0L -> "vector", 0L -> "batch", 0L -> "slow", 0L -> "spark",
+      1L -> "vector", 1L -> "spark").toDF("query_id", "term")
+    val (df, stats) = SparseTopK.taTopKBatchWithStats(index, qt, k = 5)
+    df.collect() // materialize once
+    // the selective two-term query must terminate before exhausting its
+    // sorted access — the same guarantee the single-query audit pins
+    val s1 = stats(1L)
+    assert(s1.postingsRead < s1.queryPostings,
+      s"query 1 read ${s1.postingsRead} of ${s1.queryPostings} — no pruning")
+    // and its stopping rule is the single-query walk verbatim
+    val (_, single) = SparseTopK.taTopKWithStats(index, Seq("vector", "spark"), 5)
+    assert(s1.depth == single.prefixDepth && s1.postingsRead == single.postingsRead,
+      s"batch walk for query 1 (${s1}) diverges from the single-query walk ($single)")
+  }
+
   test("exhausted lists degrade to exact exhaustive scoring (k > matches)") {
     // a term so rare the lists exhaust before theta > tau can separate
     val rare = index.groupBy(col("term")).count()
