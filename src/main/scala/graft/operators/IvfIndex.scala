@@ -379,4 +379,152 @@ object IvfIndex {
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Predicate-filtered IVF search — the FAISS `IDSelector` / Milvus
+    * bitset semantics (search restricted to rows passing a metadata
+    * predicate), IVF counterpart of the graph families'
+    * `selfSearchFiltered`: the predicate is applied to the inverted
+    * lists BEFORE candidate ranking, so ranks are computed over
+    * survivors only (pre-filtering — never "top-k then filter", which
+    * under-fills k).
+    *
+    * Scale: the predicate composes with the probe join's partition
+    * pruning — on a `partitionBy("cluster_id")` table the scan reads
+    * only the probed cells AND pushes the row predicate into parquet
+    * (PushedFilters); everything else is the standard IVF phase (b).
+    * Within the probed cells the result is EXACT over survivors, so the
+    * seeded path shares the ivf oracle shape with one added WHERE. */
+  def searchFiltered(
+      queries: DataFrame,
+      centroids: Array[Centroid],
+      assignments: DataFrame,
+      predicate: Column,
+      nprobe: Int,
+      k: Int,
+      excludeSelf: Boolean = false): DataFrame =
+    searchWithProbes(probes(queries, centroids, nprobe),
+      assignments.where(predicate), k, excludeSelf)
+
+  /** End-to-end filtered self-search with seed centroids — the
+    * oracle-able filtered-IVF path (q_ivf_filtered_knn). */
+  def selfSearchFilteredSeeded(
+      embeddings: DataFrame,
+      predicate: Column,
+      numQueries: Int,
+      nlist: Int,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val cents = seedCentroids(embeddings, nlist)
+    val assignments = assign(embeddings, cents)
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    searchFiltered(q, cents, assignments, predicate, nprobe, k, excludeSelf = true)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** SPANN-style multi-assignment (closure assignment, Chen et al.
+    * NeurIPS 2021 §4.2; FAISS quantizer multi-assignment): every vector
+    * joins its `r` nearest inverted lists instead of only the argmin
+    * one, replicating boundary vectors into each neighboring cell so a
+    * small-nprobe search still sees them — recall at the cell boundary
+    * is bought with r× list storage instead of more probes.
+    *
+    * Scale: identical map-side shape to [[assign]] — the centroid
+    * matrix rides as a literal/broadcast, each row emits its r cells
+    * from one argsort inside codegen; no shuffle. Output rows carry the
+    * same (vec_id, embedding, cluster_id) protocol, so persist /
+    * prune / merge / remove all compose unchanged (r× row count). */
+  def assignMulti(
+      embeddings: DataFrame,
+      centroids: Array[Centroid],
+      r: Int,
+      litMax: Int = LiteralCentroidMax): DataFrame =
+    embeddings
+      .select(col("*"),
+        explode(slice(array_sort(scored(col("embedding"), centroids, litMax)), 1, r))
+          .as("p"))
+      .withColumn("cluster_id", col("p").getField("cid"))
+      .drop("p")
+
+  /** Phase (b) over a multi-assigned table: a vector replicated into
+    * several probed cells would otherwise be ranked twice, so candidates
+    * are collapsed per (query_id, vec_id) first — the distance is
+    * identical across replicas, making the collapse value-deterministic.
+    * The extra exchange is bounded by the candidate set (Q × probed-list
+    * sizes), never the corpus. */
+  def searchMulti(
+      queries: DataFrame,
+      centroids: Array[Centroid],
+      assignments: DataFrame,
+      nprobe: Int,
+      k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val p = probes(queries, centroids, nprobe)
+    val cand = assignments.join(broadcast(p), Seq("cluster_id"))
+    val filtered =
+      if (excludeSelf) cand.where(col("vec_id") =!= col("query_id")) else cand
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    filtered
+      .select(col("query_id"), col("vec_id"),
+        Distances.l2SqFast(col("qvec"), col("embedding")).as("dist"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(min(col("dist")).as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** End-to-end multi-assignment self-search with seed centroids — the
+    * oracle-able SPANN-closure path (q_ivf_multi_knn). With r = 1 this
+    * is row-identical to [[selfSearchSeeded]] (spec-pinned). */
+  def selfSearchMultiSeeded(
+      embeddings: DataFrame,
+      numQueries: Int,
+      nlist: Int,
+      nprobe: Int,
+      k: Int,
+      r: Int): DataFrame = {
+    val cents = seedCentroids(embeddings, nlist)
+    val assignments = assignMulti(embeddings, cents, r)
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    searchMulti(q, cents, assignments, nprobe, k, excludeSelf = true)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** [[searchPruned]] over a PERSISTED closure index — the SPANN on-disk
+    * layout (Chen et al. 2021 §4.3: replicated postings on SSD, a probe
+    * reads whole lists): [[assignMulti]]'s replicated inverted lists are
+    * persisted `partitionBy("cluster_id")` via the unchanged
+    * [[writeIndex]], the probe set prunes the scan to the probed cell
+    * DIRECTORIES (static `cluster_id IN (...)` partition filter), and
+    * [[searchMulti]]'s per-(query, vec) replica collapse runs over the
+    * surviving candidates only. The disk cost of the closure (r× list
+    * storage) buys boundary recall at small nprobe — exactly the trade
+    * SPANN ships; everything else (add/remove/merge/stats/versioning)
+    * composes unchanged because the row protocol is the same. */
+  def searchMultiPruned(
+      queries: DataFrame,
+      centroids: Array[Centroid],
+      assignments: DataFrame,
+      nprobe: Int,
+      k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val p = probes(queries, centroids, nprobe)
+    val probedClusters = p.select(col("cluster_id")).distinct()
+      .collect().map(_.getLong(0))
+    val pruned = assignments.where(col("cluster_id").isin(probedClusters: _*))
+    val cand = pruned.join(broadcast(p), Seq("cluster_id"))
+    val filtered =
+      if (excludeSelf) cand.where(col("vec_id") =!= col("query_id")) else cand
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    filtered
+      .select(col("query_id"), col("vec_id"),
+        Distances.l2SqFast(col("qvec"), col("embedding")).as("dist"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(min(col("dist")).as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
 }

@@ -86,4 +86,40 @@ object Mining {
         (col("label") === col("qlabel")).as("correct"))
       .orderBy(col("query_id"))
   }
+
+  /** Reciprocal (mutual) k-NN pairs from ANY (query_id, vec_id, dist)
+    * top-k edge table: the unordered pairs {a, b} where b is in a's
+    * top-k AND a is in b's — the standard high-precision near-duplicate
+    * / matching criterion (reciprocal-NN matching; also the edge rule
+    * for mutual-kNN graphs in clustering). One row per surviving pair,
+    * canonicalized a < b, carrying the (symmetric-metric) distance.
+    *
+    * Deliberately list-agnostic: feed it FLAT top-k for the exact form
+    * (oracle-able), or any ANN family's output at 100 TB — the operator
+    * itself is a self-equi-join of a Q×k-row edge set on the reversed
+    * key, control-plane sized next to whatever produced the lists. */
+  def mutualPairs(topk: DataFrame): DataFrame = {
+    val fwd = topk.select(col("query_id").as("a"), col("vec_id").as("b"),
+      col("dist"))
+    val rev = topk.select(col("vec_id").as("a"), col("query_id").as("b"))
+    fwd.join(rev, Seq("a", "b"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Exact mutual-kNN self-search over the first `n` vectors: FLAT
+    * top-k restricted to the slice (queries AND candidates — both
+    * directions of every edge exist in the table, so reciprocity is
+    * decidable), then [[mutualPairs]]. */
+  def mutualKnn(
+      embeddings: DataFrame,
+      n: Int,
+      k: Int,
+      dist: (Column, Column) => Column = Distances.l2SqFast): DataFrame = {
+    val slice = embeddings.where(col("vec_id") < n)
+    val q = slice.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val v = slice.select(col("vec_id"), col("embedding").as("vec"))
+    mutualPairs(KnnSearch.topK(q, v, k = k, excludeSelf = true))
+  }
 }

@@ -290,6 +290,52 @@ object Registry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // FAISS IDSelector / Milvus-bitset filtered IVF: the label
+    // predicate applies to the inverted lists BEFORE ranking — ranks
+    // run over survivors within the probed cells (pre-filter, never
+    // top-k-then-filter). Oracle = the IVF replay with one added WHERE.
+    "q_ivf_filtered_knn" -> ((s, dir) =>
+      IvfIndex.selfSearchFilteredSeeded(t(s, dir, "embeddings"),
+        predicate = col("label") < 4, numQueries = 8, nlist = 16, nprobe = 4,
+        k = 10)),
+
+    // SPANN closure multi-assignment (Chen et al. 2021): every vector
+    // joins its r=2 nearest cells, so an nprobe=2 search still sees
+    // boundary vectors — recall bought with 2x list storage instead of
+    // more probes. Candidates collapse per (query, vec) before ranking.
+    "q_ivf_multi_knn" -> ((s, dir) =>
+      IvfIndex.selfSearchMultiSeeded(t(s, dir, "embeddings"),
+        numQueries = 8, nlist = 16, nprobe = 2, k = 10, r = 2)),
+
+    // Reciprocal k-NN pairs (mutual-NN matching — the high-precision
+    // near-dup criterion): unordered pairs where each is in the other's
+    // top-5, from an exact FLAT edge table over the first 64 vectors;
+    // at scale the same join runs over any ANN family's edge table
+    "q_mutual_knn" -> ((s, dir) =>
+      Mining.mutualKnn(t(s, dir, "embeddings"), n = 64, k = 5)),
+
+    // SPANN on-disk closure index (Chen et al. 2021): r=2 replicated
+    // inverted lists persisted partitionBy(cluster_id), reloaded, then
+    // searched with static partition pruning + per-(query,vec) replica
+    // collapse — an nprobe=2 read sees boundary vectors from disk.
+    // Build+persist+reload+search is the timed identity (like
+    // q_ivf_pruned_knn); same oracle as q_ivf_multi_knn: neither the
+    // disk round-trip nor the pruning may change results.
+    "q_spann_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = IvfIndex.seedCentroids(emb, 16)
+      val idxDir = tmpIndexDir("graft_spann_idx", dir)
+      IvfIndex.writeIndex(IvfIndex.assignMulti(emb, cents, r = 2), cents, idxDir)
+      val (loadedCents, assignments) = IvfIndex.loadIndex(s, idxDir)
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      IvfIndex.searchMultiPruned(q, loadedCents, assignments, nprobe = 2,
+          k = 10, excludeSelf = true)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // J3/A3: PQ encode + ADC search with deterministic codebooks
     "q_pq_adc_knn" -> ((s, dir) =>
       PqIndex.selfSearchSeeded(t(s, dir, "embeddings"),
@@ -1182,6 +1228,16 @@ object Registry {
     "q_quality_filter" -> ((s, dir) =>
       CorpusOps.qualityFilter(t(s, dir, "documents"), pct = 0.25, exact = true)
         .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))),
+
+    // fastText-style hashed-linear classifier inference (CCNet/LLaMA
+    // quality gate): mean logit over hashed unigram features (fastText's
+    // wordNgrams=1 default) with a broadcast 256-bucket weight table —
+    // pure map-side, no shuffle; md5-derived weights make the whole
+    // inference path oracle-replayed
+    "q_classifier_filter" -> ((s, dir) =>
+      QualityClassifier.score(t(s, dir, "documents"),
+          weights = QualityClassifier.syntheticWeights(256), b = 256)
         .orderBy(col("doc_id"))),
 
     // Benchmark decontamination: 8-gram collision vs a held-out eval
@@ -2306,6 +2362,64 @@ object Registry {
        |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Parameterized IVF replay shared by the filtered (IDSelector) and
+    * multi-assignment (SPANN closure) variants: `assignR` inverted lists
+    * per vector (rn <= assignR), `nprobe` probes, an optional extra
+    * candidate predicate; DISTINCT collapses the replicated candidate
+    * rows (replicas compute the identical double, engine-side min() is
+    * the same collapse). */
+  private def ivfVariantSql(assignR: Int, nprobe: Int, candWhere: String): String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+       |), d0 AS (
+       |  SELECT v.vec_id, v.embedding, v.label, c.cid, ${l2sqSql("v.embedding", "c.cvec")} AS d
+       |  FROM embeddings v CROSS JOIN cent c
+       |), assign AS (
+       |  SELECT vec_id, embedding, label, cid FROM (
+       |    SELECT vec_id, embedding, label, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0
+       |  ) WHERE rn <= $assignR
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+       |), p0 AS (
+       |  SELECT q.query_id, q.qvec, c.cid, ${l2sqSql("q.qvec", "c.cvec")} AS d
+       |  FROM q CROSS JOIN cent c
+       |), probes AS (
+       |  SELECT query_id, qvec, cid FROM (
+       |    SELECT query_id, qvec, cid, row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn FROM p0
+       |  ) WHERE rn <= $nprobe
+       |), cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id, ${l2sqSql("p.qvec", "a.embedding")} AS dist
+       |  FROM probes p JOIN assign a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.query_id$candWhere
+       |), r AS (
+       |  SELECT query_id, vec_id, dist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+       |  FROM cand
+       |)
+       |SELECT query_id, rank, vec_id, round(dist, 4) AS dist
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** q_mutual_knn oracle: exact FLAT top-5 edges over the vec_id < 64
+    * slice both directions, reciprocal join, canonical a < b. */
+  private val mutualKnnSql: String =
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 64
+       |), d AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS vid,
+       |         ${l2sqSql("a.embedding", "b.embedding")} AS dist
+       |  FROM s a CROSS JOIN s b WHERE a.vec_id <> b.vec_id
+       |), e AS (
+       |  SELECT query_id, vid, dist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vid) AS rank
+       |  FROM d
+       |), topk AS (
+       |  SELECT * FROM e WHERE rank <= 5
+       |)
+       |SELECT f.query_id AS a, f.vid AS b, round(f.dist, 4) AS dist
+       |FROM topk f JOIN topk r ON r.query_id = f.vid AND r.vid = f.query_id
+       |WHERE f.query_id < f.vid
+       |ORDER BY a, b""".stripMargin
+
   /** q_ivf_medoid_knn oracle: replay [[IvfIndex.medoidCentroids]]'s Lloyd
     * rounds as chained CTEs — assign (argmin, cid ties), per-dimension
     * double mean, medoid snap (member argmin to mean, vec_id ties; empty
@@ -2837,6 +2951,19 @@ s"""WITH cent AS (
          |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "q_ivf_knn" -> ivfKnnSql,
+
+    // the IVF replay with one added candidate predicate (pre-filter
+    // inside the probed cells — FAISS IDSelector semantics)
+    "q_ivf_filtered_knn" -> ivfVariantSql(1, 4, " AND a.label < 4"),
+
+    // r=2 closure assignment, nprobe=2; DISTINCT collapses replicas
+    "q_ivf_multi_knn" -> ivfVariantSql(2, 2, ""),
+
+    // identical oracle: the persisted/pruned closure index must return
+    // exactly what the in-memory closure search returns
+    "q_spann_knn" -> ivfVariantSql(2, 2, ""),
+
+    "q_mutual_knn" -> mutualKnnSql,
 
     // identical oracle: searching the merge of two disjoint half-indexes
     // (same centroids) must equal searching the single full index
@@ -4216,6 +4343,31 @@ s"""WITH cent AS (
          |SELECT doc_id, quality FROM q
          |WHERE quality >= (SELECT quantile_cont(quality, 0.25) FROM q)
          |ORDER BY doc_id""".stripMargin,
+
+    // q_classifier_filter oracle: the full inference replay — unigram
+    // bag (fastText's wordNgrams=1 default), md5-derived weight table,
+    // list_sort+list_sum reproducing the engine's sorted double fold,
+    // raw-mean threshold
+    "q_classifier_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS grams FROM documents
+        |), gx AS (
+        |  SELECT doc_id, ('0x' || substr(md5(unnest(grams)), 1, 8))::BIGINT % 256 AS bucket
+        |  FROM d
+        |), w AS (
+        |  SELECT bucket,
+        |         2.0 * ((('0x' || substr(md5('qc:' || CAST(bucket AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+        |           / 4294967296.0) - 1.0 AS wt
+        |  FROM (SELECT unnest(range(0, 256)) AS bucket)
+        |), sc AS (
+        |  SELECT gx.doc_id, list_sort(list(w.wt)) AS ws
+        |  FROM gx JOIN w ON gx.bucket = w.bucket
+        |  GROUP BY gx.doc_id
+        |)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_grams,
+        |       round(list_sum(ws) / len(ws), 4) AS score,
+        |       (list_sum(ws) / len(ws)) > 0.0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" -> decontaminateSql,
 

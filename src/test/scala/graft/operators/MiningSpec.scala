@@ -75,6 +75,36 @@ class MiningSpec extends SparkSpec {
     assert(overlap >= 0.3, "IVF shortlist must surface a real fraction of the full top-k")
   }
 
+  test("mutualPairs keeps exactly the reciprocal edges, canonicalized a < b") {
+    // hand fixture: 1↔2 reciprocal, 3→1 unreciprocated, 4↔5 reciprocal
+    val topk = Seq(
+      (1L, 2L, 0.5), (2L, 1L, 0.5),
+      (3L, 1L, 0.9),
+      (5L, 4L, 0.2), (4L, 5L, 0.2)
+    ).toDF("query_id", "vec_id", "dist")
+    val pairs = Mining.mutualPairs(topk)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (4L, 5L)))
+  }
+
+  test("mutualKnn pairs are symmetric members of each other's exact top-k") {
+    val n = 64; val k = 5
+    val pairs = Mining.mutualKnn(emb, n = n, k = k).cache()
+    assert(pairs.count() > 0)
+    assert(pairs.where($"a" >= $"b").count() === 0)
+    // reciprocity against the exact edge table both directions
+    val slice = emb.where($"vec_id" < n)
+    val topk = KnnSearch.topK(
+      slice.select($"vec_id".as("query_id"), $"embedding".as("qvec")),
+      slice.select($"vec_id", $"embedding".as("vec")),
+      k = k, excludeSelf = true)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    pairs.select($"a", $"b").as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(topk((a, b)) && topk((b, a)), s"pair ($a,$b) not reciprocal")
+    }
+    pairs.unpersist()
+  }
+
   test("maxSim degenerates to plain dot product at m = 1") {
     val ms = LateInteraction.selfSearch(emb.where($"vec_id" < 300),
       numQueries = 3, m = 1, subDim = 64, k = 5)

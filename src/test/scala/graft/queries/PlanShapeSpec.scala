@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.operators.IvfIndex
+import graft.operators.{IvfIndex, QualityClassifier}
 
 /** Plan-shape regression gates for the scale-critical invariants SCALE.md
   * claims: broadcasts where a side is small by construction, partial+final
@@ -85,6 +85,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [cluster_id"),
       "the OPQ→IVFPQ composition must keep the pruned read path")
     assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_spann_knn: persisted closure index prunes to the probed cells") {
+    val p = planOf(Registry.queries("q_spann_knn")(spark, sf0001))
+    assert(p.contains("PartitionFilters: [cluster_id"),
+      "the SPANN closure read must prune to the probed cell directories — " +
+        "replication buys boundary recall, pruning keeps the read small")
+    assert(p.contains("BroadcastHashJoin"),
+      "the probe set must broadcast against the pruned closure scan")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("filtered IVF on a persisted index: partition-pruned AND predicate pushed to parquet") {
+    val dir = Files.createTempDirectory("ivffilt").toString
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cents = IvfIndex.seedCentroids(emb, 8)
+    IvfIndex.writeIndex(IvfIndex.assign(emb, cents), cents, dir)
+    val (loaded, assignments) = IvfIndex.loadIndex(spark, dir)
+    val q = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val p = planOf(IvfIndex.searchFiltered(q, loaded, assignments,
+      predicate = col("label") < 4, nprobe = 2, k = 5))
+    assert(p.contains("LessThan(label,4)"),
+      "the IDSelector predicate must push into the inverted-list parquet scan")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_classifier_filter: inference is one map-side projection — no join, no corpus shuffle") {
+    val emb = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = planOf(QualityClassifier.score(emb,
+      QualityClassifier.syntheticWeights(256), b = 256))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "classifier scoring must stay inside the scan's stage — the broadcast " +
+        "weight table is a literal, the fold is per-row")
   }
 
   test("q_routed_knn: routed shard ids prune the sharded-index scan") {
