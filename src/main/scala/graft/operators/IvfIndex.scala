@@ -121,6 +121,18 @@ object IvfIndex {
       explode(slice(array_sort(scored(col("qvec"), centroids, litMax)), 1, nprobe)).as("p"))
       .select(col("query_id"), col("qvec"), col("p.cid").as("cluster_id"))
 
+  /** [[probes]] with the probe's rank attached (probe_rank 1..nprobe).
+    * Probe sets at smaller nprobe are PREFIXES of larger ones, so one
+    * ranked ladder serves a whole nprobe sweep from a single corpus
+    * pass: filter probe_rank <= np instead of re-probing per setting. */
+  def probesRanked(queries: DataFrame, centroids: Array[Centroid], nprobe: Int,
+      litMax: Int = LiteralCentroidMax): DataFrame =
+    queries.select(
+      col("query_id"), col("qvec"),
+      posexplode(slice(array_sort(scored(col("qvec"), centroids, litMax)), 1, nprobe)))
+      .select(col("query_id"), col("qvec"), col("col.cid").as("cluster_id"),
+        (col("pos") + 1).as("probe_rank"))
+
   /** Phase (b) — scan only the probed inverted lists and take the global
     * top-k per query (dist, vec_id order). `assignments` must carry
     * (vec_id, embedding, cluster_id) — e.g. [[assign]]'s output, or a

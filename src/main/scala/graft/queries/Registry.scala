@@ -336,6 +336,60 @@ object Registry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Milvus search-group_by / Vespa grouping: per query, at most 2 hits
+    // per label then global top-10 — group diversity at serving time.
+    // The group cap is one extra WindowGroupLimit keyed (query, group);
+    // the shuffle stays candidate-bounded.
+    "q_grouped_knn" -> ((s, dir) =>
+      ResultShaping.selfSearchGrouped(t(s, dir, "embeddings"),
+        numQueries = 8, k = 10, perGroup = 2)),
+
+    // Elastic-style search facets: label histogram of each query's
+    // exact top-20 (count, best rank, best distance per label) — the
+    // Q×k edge table broadcasts, the corpus-sized label side streams
+    "q_facet_counts" -> ((s, dir) =>
+      ResultShaping.selfFacetCounts(t(s, dir, "embeddings"),
+        numQueries = 8, k = 20)),
+
+    // IVF tuning sweep: recall@10 at nprobe ∈ {1,2,4,8} in ONE query —
+    // the measure-don't-guess knob dashboard (companion of
+    // q_dedup_eval_families). Integer per-mille recall (floor div) vs
+    // the persisted exact baseline; all four searches are the oracled
+    // seeded-IVF path, so the whole sweep is hash-checked.
+    "q_ivf_sweep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = s.read.parquet(buildOnce("graft_recall_exact_flat", dir)(p =>
+        queries("q_flat_knn")(s, dir).write.parquet(p)))
+      val settings = Seq(1, 2, 4, 8)
+      val cents = IvfIndex.seedCentroids(emb, 16)
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      // one corpus pass: candidates scored once under the FULL ladder
+      // (probe_rank attached); every smaller nprobe is a prefix filter
+      // over this candidate-bounded checkpoint
+      val cand = IvfIndex.assign(emb, cents)
+        .join(broadcast(IvfIndex.probesRanked(q, cents, settings.max)),
+          Seq("cluster_id"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("probe_rank"),
+          graft.functions.Distances.l2SqFast(col("qvec"), col("embedding"))
+            .as("dist"))
+        .localCheckpoint()
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("vec_id"))
+      settings.map { np =>
+        val topk = cand.where(col("probe_rank") <= np)
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 10)
+        AnnEval.recallCounts(topk, exact)
+          .agg(sum(col("n_hit")).as("h"), sum(col("n_exact")).as("e"))
+          .select(lit(np.toLong).as("nprobe"),
+            col("h").cast("long").as("n_hit"),
+            col("e").cast("long").as("n_exact"),
+            expr("h * 1000 div e").cast("long").as("recall_pm"))
+      }.reduce(_ unionByName _).orderBy(col("nprobe"))
+    }),
+
     // J3/A3: PQ encode + ADC search with deterministic codebooks
     "q_pq_adc_knn" -> ((s, dir) =>
       PqIndex.selfSearchSeeded(t(s, dir, "embeddings"),
@@ -1122,9 +1176,30 @@ object Registry {
     // mixing budgets consume). Map-side merge-chain re-encode per word,
     // zero corpus shuffle; oracle replays the training rounds, then
     // joins the final word→symbol-count dictionary back onto the docs.
+    // encode under a learned merge table; the TRAIN is owned (and timed)
+    // by q_bpe_merges — the deterministic merges memoize per process
     "q_bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      BpeTrain.tokenCounts(docs, BpeTrain.train(docs, numMerges = 8))
+      BpeTrain.tokenCounts(docs, memoModel[Seq[BpeTrain.Merge]](
+        s"bpe_merges_8_$dir")(BpeTrain.train(docs, numMerges = 8)))
+    }),
+
+    // Tokenizer fertility report (the tokenizer-eval statistic: BPE
+    // tokens per word, per source) — the real-tokenizer token budget
+    // rolled up to the mixing plane; integer sums + one division
+    "q_token_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = memoModel[Seq[BpeTrain.Merge]](
+        s"bpe_merges_8_$dir")(BpeTrain.train(docs, numMerges = 8))
+      BpeTrain.tokenCounts(docs, merges)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+        .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+          round(col("n_bpe_tokens").cast("double") /
+            col("n_words").cast("double"), 4).as("fertility"))
+        .orderBy(col("source"))
     }),
 
     // BM25 ranked retrieval for a fixed bag-of-words query — lexical
@@ -2965,6 +3040,90 @@ s"""WITH cent AS (
 
     "q_mutual_knn" -> mutualKnnSql,
 
+    // group-capped ranking replayed with the same two-window shape
+    "q_grouped_knn" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+         |), d AS (
+         |  SELECT q.query_id, v.vec_id, CAST(v.label AS BIGINT) AS "group",
+         |         ${l2sqSql("q.qvec", "v.embedding")} AS dist
+         |  FROM q CROSS JOIN embeddings v WHERE v.vec_id <> q.query_id
+         |), g AS (
+         |  SELECT query_id, vec_id, "group", dist,
+         |         row_number() OVER (PARTITION BY query_id, "group" ORDER BY dist, vec_id) AS grank
+         |  FROM d
+         |), r AS (
+         |  SELECT query_id, vec_id, "group", dist,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS BIGINT) AS rank
+         |  FROM g WHERE grank <= 2
+         |)
+         |SELECT query_id, rank, vec_id, "group", round(dist, 4) AS dist
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // nprobe sweep: one probe ladder, per-nprobe prefixes, per-mille
+    // floor-div recall vs the exact FLAT replay
+    "q_ivf_sweep" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+         |), d0 AS (
+         |  SELECT v.vec_id, v.embedding, c.cid, ${l2sqSql("v.embedding", "c.cvec")} AS d
+         |  FROM embeddings v CROSS JOIN cent c
+         |), assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT vec_id, embedding, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0
+         |  ) WHERE rn = 1
+         |), q AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+         |), p0 AS (
+         |  SELECT q.query_id, q.qvec, c.cid, ${l2sqSql("q.qvec", "c.cvec")} AS d
+         |  FROM q CROSS JOIN cent c
+         |), pr AS (
+         |  SELECT query_id, qvec, cid,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn
+         |  FROM p0
+         |), np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+         |cand AS (
+         |  SELECT n.nprobe, p.query_id, a.vec_id, ${l2sqSql("p.qvec", "a.embedding")} AS dist
+         |  FROM np n JOIN pr p ON p.rn <= n.nprobe JOIN assign a ON a.cid = p.cid
+         |  WHERE a.vec_id <> p.query_id
+         |), r AS (
+         |  SELECT nprobe, query_id, vec_id,
+         |         row_number() OVER (PARTITION BY nprobe, query_id ORDER BY dist, vec_id) AS rank
+         |  FROM cand
+         |), ivf AS (SELECT nprobe, query_id, vec_id FROM r WHERE rank <= 10),
+         |ex AS (SELECT query_id, vec_id FROM ($flatKnnSql) t),
+         |hits AS (
+         |  SELECT i.nprobe, count(*) AS c
+         |  FROM ivf i JOIN ex ON ex.query_id = i.query_id AND ex.vec_id = i.vec_id
+         |  GROUP BY i.nprobe
+         |), tot AS (SELECT CAST(count(*) AS BIGINT) AS e FROM ex)
+         |SELECT CAST(n.nprobe AS BIGINT) AS nprobe,
+         |       CAST(COALESCE(h.c, 0) AS BIGINT) AS n_hit,
+         |       tot.e AS n_exact,
+         |       (CAST(COALESCE(h.c, 0) AS BIGINT) * 1000) // tot.e AS recall_pm
+         |FROM np n LEFT JOIN hits h ON h.nprobe = n.nprobe CROSS JOIN tot
+         |ORDER BY nprobe""".stripMargin,
+
+    // facet histogram of the exact top-20 per query
+    "q_facet_counts" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+         |), d AS (
+         |  SELECT q.query_id, v.vec_id, ${l2sqSql("q.qvec", "v.embedding")} AS dist
+         |  FROM q CROSS JOIN embeddings v WHERE v.vec_id <> q.query_id
+         |), e AS (
+         |  SELECT query_id, vec_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+         |  FROM d
+         |), topk AS (SELECT * FROM e WHERE rank <= 20)
+         |SELECT t.query_id, CAST(v.label AS BIGINT) AS "group",
+         |       CAST(count(*) AS BIGINT) AS n_hits,
+         |       CAST(min(t.rank) AS BIGINT) AS best_rank,
+         |       round(min(t.dist), 4) AS best_dist
+         |FROM topk t JOIN embeddings v ON v.vec_id = t.vec_id
+         |GROUP BY t.query_id, "group"
+         |ORDER BY t.query_id, "group"""".stripMargin,
+
     // identical oracle: searching the merge of two disjoint half-indexes
     // (same centroids) must equal searching the single full index
     "q_ivf_merge" -> ivfKnnSql,
@@ -3009,6 +3168,17 @@ s"""WITH cent AS (
     "q_bpe_merges" -> bpeMergesSql(numMerges = 8),
 
     "q_bpe_encode" -> bpeEncodeSql(numMerges = 8),
+
+    // fertility = Σ bpe_tokens / Σ words per source, over the encode replay
+    "q_token_fertility" ->
+      s"""SELECT d.source,
+         |       CAST(sum(e.n_words) AS BIGINT) AS n_words,
+         |       CAST(sum(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         |       round(CAST(sum(e.n_bpe_tokens) AS DOUBLE) /
+         |             CAST(sum(e.n_words) AS DOUBLE), 4) AS fertility
+         |FROM (${bpeEncodeSql(numMerges = 8)}) e
+         |JOIN documents d ON d.doc_id = e.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "q_pca_norms" ->
       """SELECT vec_id,
