@@ -57,4 +57,51 @@ object AnnEval {
         col("e").cast("long").as("n_exact"),
         col("h").cast("long").as("n_hit"),
         expr("h * 1000 div e").cast("long").as("recall_pm"))
+
+  /** Per-vector reconstruction error for the compression ladder — the
+    * FAISS sa_encode/sa_decode quantization-error diagnostic: a vector's
+    * distance to its OWN code IS the reconstruction SSE, so each family
+    * row reuses that family's oracled distance kernel (SQ8/SQ4
+    * reconstruct-and-fold, PQ ADC against its own code — the ADC sum of
+    * per-subspace argmin distances). One row per (family, vec_id) over
+    * a fixed slice: per-vector folds are order-pinned (ascending dim /
+    * subspace), so every value replays exactly in the oracle, whereas a
+    * corpus-level MSE would break double-sum order parity — and the
+    * per-vector form is the more useful artifact anyway (it ranks which
+    * vectors quantize worst, the outlier check run before committing to
+    * a compression rung). Bounds/codebooks come from the FULL corpus
+    * (same training plane as the search queries); only the reported
+    * slice is scored — map-side, no shuffle beyond the union. */
+  def quantErrorReport(
+      embeddings: DataFrame,
+      fromVec: Int,
+      numVecs: Int,
+      d: Int,
+      m: Int,
+      subDim: Int,
+      ksub: Int): DataFrame = {
+    // score a slice DISJOINT from the PQ seed codewords (vec_id < ksub)
+    // — a codeword reconstructs itself with zero error, which would make
+    // the pq rows a degenerate diagnostic
+    val slice = embeddings.where(
+      col("vec_id") >= fromVec && col("vec_id") < fromVec + numVecs)
+    val (v8, s8) = SqIndex.trainMinMax(embeddings, d)
+    val sq8 = SqIndex.encode(slice, v8, s8)
+      .select(lit("sq8").as("family"), col("vec_id"),
+        round(SqIndex.sqDist(col("embedding"), col("codes"), d, v8, s8), 4)
+          .as("sse"))
+    val (v4, s4) = SqIndex.trainMinMax4(embeddings, d)
+    val sq4 = slice
+      .withColumn("packed", SqIndex.encode4Expr(col("embedding"), v4, s4))
+      .select(lit("sq4").as("family"), col("vec_id"),
+        round(SqIndex.sq4Dist(col("embedding"), col("packed"), d, v4, s4), 4)
+          .as("sse"))
+    val cb = PqIndex.seedCodebooks(embeddings, m, subDim, ksub)
+    val pq = PqIndex.encode(slice, cb, m, subDim)
+      .select(lit("pq").as("family"), col("vec_id"),
+        round(PqIndex.adcDist(
+          PqIndex.lutExpr(col("embedding"), cb, m, subDim), col("codes"), m), 4)
+          .as("sse"))
+    sq8.unionByName(sq4).unionByName(pq)
+  }
 }

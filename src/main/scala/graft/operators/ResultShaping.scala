@@ -66,6 +66,60 @@ object ResultShaping {
         min(col("rank")).as("best_rank"),
         min(col("dist")).as("best_dist"))
 
+  /** Keyset pagination (Elastic `search_after` / the reference's batch
+    * protocol continued past k): page N+1 of a ranked result WITHOUT
+    * re-materializing page N — candidates strictly after the cursor
+    * (dist, vec_id) in lexicographic order, then the usual top-k. The
+    * cursor rides a broadcast Q-row table; deep pagination costs the
+    * same one corpus pass per page instead of rank > N·k over an
+    * ever-larger window, and the strict keyset compare makes page
+    * N+1-by-cursor provably identical to ranks N·k+1..(N+1)·k of the
+    * full ranking (tie order is (dist, vec_id) everywhere). */
+  def searchAfter(
+      queries: DataFrame,
+      candidates: DataFrame,
+      cursors: DataFrame,
+      k: Int,
+      dist: (Column, Column) => Column = Distances.l2SqFast,
+      excludeSelf: Boolean = false): DataFrame = {
+    val withCursor = queries.join(cursors, Seq("query_id"))
+    val joined = candidates.crossJoin(broadcast(withCursor))
+    val filtered =
+      if (excludeSelf) joined.where(col("vec_id") =!= col("query_id"))
+      else joined
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    filtered
+      .select(col("query_id"), col("vec_id"),
+        dist(col("qvec"), col("vec")).as("dist"),
+        col("after_dist"), col("after_vec_id"))
+      .where(col("dist") > col("after_dist") ||
+        (col("dist") === col("after_dist") && col("vec_id") > col("after_vec_id")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("dist"))
+  }
+
+  /** Page 2 of the exact self-search via [[searchAfter]] — the cursor is
+    * page 1's last (raw-precision) hit; the oracle replays ranks
+    * k+1..2k of the full ranking, pinning the keyset equivalence. */
+  def selfSearchPage2(
+      embeddings: DataFrame,
+      numQueries: Int,
+      k: Int): DataFrame = {
+    val q = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cands = embeddings.select(col("vec_id"), col("embedding").as("vec"))
+    val cursors = KnnSearch.topK(q, cands, k = k, excludeSelf = true)
+      .where(col("rank") === k)
+      .select(col("query_id"), col("dist").as("after_dist"),
+        col("vec_id").as("after_vec_id"))
+    searchAfter(q, cands, cursors, k, excludeSelf = true)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** End-to-end grouped self-search over an embeddings table, grouping
     * by `label` — the oracle-able q_grouped_knn path. */
   def selfSearchGrouped(

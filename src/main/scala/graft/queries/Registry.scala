@@ -351,6 +351,23 @@ object Registry {
       ResultShaping.selfFacetCounts(t(s, dir, "embeddings"),
         numQueries = 8, k = 20)),
 
+    // Quantization-error report: per-vector reconstruction SSE for the
+    // SQ8/SQ4/PQ rungs (a vector's distance to its own code) over the
+    // first 32 vectors — the outlier diagnostic run before choosing a
+    // compression rung; every value oracle-replayed
+    "q_quant_error" -> ((s, dir) =>
+      AnnEval.quantErrorReport(t(s, dir, "embeddings"),
+          fromVec = 64, numVecs = 32, d = 64, m = 16, subDim = 4, ksub = 32)
+        .orderBy(col("family"), col("vec_id"))),
+
+    // Keyset pagination (Elastic search_after): page 2 fetched by
+    // cursor — strictly-after (dist, vec_id) filter then top-k — must
+    // equal ranks 11..20 of the full ranking (the oracle computes the
+    // latter; the engine never materializes a 2k window)
+    "q_search_after" -> ((s, dir) =>
+      ResultShaping.selfSearchPage2(t(s, dir, "embeddings"),
+        numQueries = 8, k = 10)),
+
     // IVF tuning sweep: recall@10 at nprobe ∈ {1,2,4,8} in ONE query —
     // the measure-don't-guess knob dashboard (companion of
     // q_dedup_eval_families). Integer per-mille recall (floor div) vs
@@ -1875,7 +1892,12 @@ object Registry {
     // text pins content without dumping full bodies
     "q_cut_spans" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      Dedup.cutSpans(docs, Dedup.duplicateSpans(docs, minTokens = 5))
+      // the spans table is the shared ARTIFACT (generation owned + timed
+      // by q_dup_spans); the cut consumes it — same artifact discipline
+      // as the LSH pair table
+      val spans = s.read.parquet(buildOnce("graft_dup_spans", dir)(p =>
+        Dedup.duplicateSpans(docs, minTokens = 5).write.parquet(p)))
+      Dedup.cutSpans(docs, spans)
         .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
           col("removed_tokens"))
         .orderBy(col("doc_id"))
@@ -3059,6 +3081,72 @@ s"""WITH cent AS (
          |)
          |SELECT query_id, rank, vec_id, "group", round(dist, 4) AS dist
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // quant-error oracle: full-corpus bounds/codebooks replayed, then
+    // each slice vector's reconstruct-and-fold against its own code
+    "q_quant_error" ->
+      s"""WITH mm AS (
+         |  SELECT t.i, min(CAST(e.embedding[t.i] AS DOUBLE)) AS vmin,
+         |         max(CAST(e.embedding[t.i] AS DOUBLE)) AS vmax
+         |  FROM range(1, 65) t(i) CROSS JOIN embeddings e GROUP BY t.i
+         |), mdl8 AS (
+         |  SELECT list(vmin ORDER BY i) AS vmin,
+         |         list((vmax - vmin)/255.0 ORDER BY i) AS scale FROM mm
+         |), mdl4 AS (
+         |  SELECT list(vmin ORDER BY i) AS vmin,
+         |         list((vmax - vmin)/15.0 ORDER BY i) AS scale FROM mm
+         |), s AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 64 AND vec_id < 96
+         |), sq8 AS (
+         |  SELECT 'sq8' AS family, s.vec_id,
+         |    list_sum(list_transform(range(1, 65), i ->
+         |      (CAST(s.embedding[i] AS DOUBLE) - (m.vmin[i] +
+         |        (CASE WHEN m.scale[i] = 0 THEN 0 ELSE least(255, greatest(0,
+         |          CAST(round((CAST(s.embedding[i] AS DOUBLE) - m.vmin[i]) / m.scale[i]) AS BIGINT))) END)
+         |        * m.scale[i]))^2)) AS sse
+         |  FROM s CROSS JOIN mdl8 m
+         |), sq4 AS (
+         |  SELECT 'sq4' AS family, s.vec_id,
+         |    list_sum(list_transform(range(1, 65), i ->
+         |      (CAST(s.embedding[i] AS DOUBLE) - (m.vmin[i] +
+         |        (CASE WHEN m.scale[i] = 0 THEN 0 ELSE least(15, greatest(0,
+         |          CAST(round((CAST(s.embedding[i] AS DOUBLE) - m.vmin[i]) / m.scale[i]) AS BIGINT))) END)
+         |        * m.scale[i]))^2)) AS sse
+         |  FROM s CROSS JOIN mdl4 m
+         |), cb AS (
+         |  SELECT t.s, e.vec_id AS c, list_slice(e.embedding, t.s*4+1, t.s*4+4) AS sub
+         |  FROM range(0, 16) t(s) CROSS JOIN embeddings e WHERE e.vec_id < 32
+         |), vs AS (
+         |  SELECT t.s, v.vec_id, list_slice(v.embedding, t.s*4+1, t.s*4+4) AS sub
+         |  FROM range(0, 16) t(s) CROSS JOIN s v
+         |), enc0 AS (
+         |  SELECT vs.vec_id, vs.s, ${l2sqSql("vs.sub", "cb.sub")} AS d
+         |  FROM vs JOIN cb ON vs.s = cb.s
+         |), pqe AS (SELECT vec_id, s, min(d) AS pd FROM enc0 GROUP BY vec_id, s),
+         |pq AS (
+         |  SELECT 'pq' AS family, vec_id, list_sum(list(pd ORDER BY s)) AS sse
+         |  FROM pqe GROUP BY vec_id
+         |), allr AS (
+         |  SELECT * FROM sq8 UNION ALL SELECT * FROM sq4 UNION ALL SELECT * FROM pq
+         |)
+         |SELECT family, vec_id, round(sse, 4) AS sse
+         |FROM allr ORDER BY family, vec_id""".stripMargin,
+
+    // keyset pagination oracle: ranks 11..20 of the FULL ranking,
+    // renumbered 1..10 — the engine's cursor path must reproduce them
+    "q_search_after" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
+         |), d AS (
+         |  SELECT q.query_id, v.vec_id, ${l2sqSql("q.qvec", "v.embedding")} AS dist
+         |  FROM q CROSS JOIN embeddings v WHERE v.vec_id <> q.query_id
+         |), r AS (
+         |  SELECT query_id, vec_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rnk
+         |  FROM d
+         |)
+         |SELECT query_id, CAST(rnk - 10 AS BIGINT) AS rank, vec_id, round(dist, 4) AS dist
+         |FROM r WHERE rnk > 10 AND rnk <= 20 ORDER BY query_id, rank""".stripMargin,
 
     // nprobe sweep: one probe ladder, per-nprobe prefixes, per-mille
     // floor-div recall vs the exact FLAT replay

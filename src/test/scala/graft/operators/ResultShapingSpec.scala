@@ -39,6 +39,15 @@ class ResultShapingSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("page 2 by cursor equals ranks 11..20 of the full ranking") {
+    val page2 = ResultShaping.selfSearchPage2(emb, numQueries = 6, k = 10)
+      .select($"query_id", $"rank", $"vec_id")
+    val full = KnnSearch.selfTopK(emb, numQueries = 6, k = 20)
+      .where($"rank" > 10)
+      .select($"query_id", ($"rank" - 10).as("rank"), $"vec_id")
+    assert(page2.exceptAll(full).isEmpty && full.exceptAll(page2).isEmpty)
+  }
+
   test("facet counts sum to k per query and best_rank pins the top hit's group") {
     val k = 20
     val f = ResultShaping.selfFacetCounts(emb, numQueries = 8, k = k).cache()
