@@ -1594,6 +1594,36 @@ object Registry {
         .orderBy(col("family"))
     }),
 
+    // MinHash-LSH band sweep: candidate volume + precision/recall at
+    // bands ∈ {2,4,8} over the SAME 16-hash signature table (one
+    // signature pass, checkpointed; each setting is just a re-banding)
+    // vs the shared exact PPJoin truth — the dedup-side knob curve next
+    // to q_ivf_sweep's nprobe curve: bands up ⇒ recall up, precision
+    // (= verify-join cost) down
+    "q_minhash_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      def withinSource(pairs: DataFrame): DataFrame = pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+        .where(col("sa") === col("sb"))
+        .select(col("doc_a"), col("doc_b"))
+      val exact = s.read.parquet(buildOnce("graft_dedup_pairs_exact", dir)(p =>
+        Dedup.ngramJaccardDups(docs,
+            blockCol = "source", shingleN = 3, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b")).write.parquet(p)))
+      val sigs = Dedup.minhashSignature(docs, shingleN = 3, numHashes = 16)
+        .localCheckpoint(true)
+      Seq(2, 4, 8).map { b =>
+        val cand = withinSource(Dedup.lshCandidates(sigs, b, 16 / b))
+        Dedup.pairQualityReport(cand, exact)
+          .withColumn("bands", lit(b.toLong))
+      }.reduce(_ unionAll _)
+        .select(col("bands"), col("n_candidates"), col("n_exact"),
+          col("n_hit"), col("precision_pm"), col("recall_pm"))
+        .orderBy(col("bands"))
+    }),
+
     // one fused string pass (TextStats) feeds every signal; the ratio /
     // round arithmetic is unchanged, so the oracle result is identical
     "q_text_quality" -> ((s, dir) => {
@@ -4867,6 +4897,52 @@ s"""WITH cent AS (
     // q_winnow_pairs pipelines verbatim, each within-source), scored per
     // family against the shared within-source exact-Jaccard truth with
     // the same union/max/per-mille arithmetic as the engine report
+    // band sweep oracle: one signature CTE, per-bands re-banding via a
+    // lateral bands table, within-source candidates vs the PPJoin truth
+    "q_minhash_sweep" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+         |), shsrc AS (
+         |  SELECT tt.doc_id, d.source, $shingles3 AS sh
+         |  FROM t tt JOIN documents d ON d.doc_id = tt.doc_id
+         |), ex AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM shsrc a JOIN shsrc b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)), 4) >= 0.5
+         |), lsig AS (
+         |  SELECT doc_id, source,
+         |         list_transform(range(0, 16), h ->
+         |           list_aggregate(list_transform(sh, s -> md5(h::VARCHAR || ':' || s)), 'min')) AS sig
+         |  FROM shsrc
+         |), nb AS (SELECT unnest([2, 4, 8]) AS bands),
+         |lband AS (
+         |  SELECT n.bands, s.doc_id, s.source, b.b AS band,
+         |         md5(array_to_string(list_slice(sig,
+         |           CAST(b.b*(16//n.bands)+1 AS INT),
+         |           CAST(b.b*(16//n.bands)+(16//n.bands) AS INT)), '|')) AS bucket
+         |  FROM nb n CROSS JOIN lsig s CROSS JOIN range(0, 8) b(b)
+         |  WHERE b.b < n.bands
+         |), cand AS (
+         |  SELECT DISTINCT l1.bands, l1.doc_id AS a, l2.doc_id AS b
+         |  FROM lband l1 JOIN lband l2
+         |    ON l1.bands = l2.bands AND l1.band = l2.band AND l1.bucket = l2.bucket
+         |   AND l1.doc_id < l2.doc_id AND l1.source = l2.source
+         |), stats AS (
+         |  SELECT n.bands,
+         |         (SELECT count(*) FROM cand c WHERE c.bands = n.bands) AS nc,
+         |         (SELECT count(*) FROM ex) AS ne,
+         |         (SELECT count(*) FROM cand c JOIN ex ON ex.a = c.a AND ex.b = c.b
+         |          WHERE c.bands = n.bands) AS nh
+         |  FROM nb n
+         |)
+         |SELECT CAST(bands AS BIGINT) AS bands,
+         |       CAST(nc AS BIGINT) AS n_candidates,
+         |       CAST(ne AS BIGINT) AS n_exact,
+         |       CAST(nh AS BIGINT) AS n_hit,
+         |       CAST(CASE WHEN nc > 0 THEN (nh * 1000) // nc ELSE 0 END AS BIGINT) AS precision_pm,
+         |       CAST(CASE WHEN ne > 0 THEN (nh * 1000) // ne ELSE 0 END AS BIGINT) AS recall_pm
+         |FROM stats ORDER BY bands""".stripMargin,
+
     "q_dedup_eval_families" ->
       s"""WITH $winnowCoreCtes, t AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents

@@ -175,4 +175,19 @@ class DedupSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 1L)))
     assert(r.getLong(3) == 500L && r.getLong(4) == 500L)
   }
+
+  test("band ladder nests: coarser-band candidates are a subset of finer-band candidates") {
+    // a collision on a longer slice (fewer bands) forces equality of its
+    // sub-slices, so candidates(2) ⊆ candidates(4) ⊆ candidates(8) on
+    // the same 16-hash signature — the monotonicity q_minhash_sweep plots
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val sigs = Dedup.minhashSignature(corpus, shingleN = 3, numHashes = 16)
+      .localCheckpoint(true)
+    def cands(b: Int) = Dedup.lshCandidates(sigs, b, 16 / b)
+      .select($"doc_a", $"doc_b")
+    val c2 = cands(2); val c4 = cands(4); val c8 = cands(8)
+    assert(c2.exceptAll(c4).isEmpty, "bands=2 pairs must all appear at bands=4")
+    assert(c4.exceptAll(c8).isEmpty, "bands=4 pairs must all appear at bands=8")
+    assert(c2.count() <= c4.count() && c4.count() <= c8.count())
+  }
 }
