@@ -232,6 +232,32 @@ object IvfIndex {
           (col("ntotal").cast("double") * col("ntotal").cast("double")), 6)
           .as("imbalance"))
 
+  /** Index snapshot diff — the publish-audit companion of
+    * [[indexStats]] and [[sources.IndexVersions]]: per inverted list,
+    * how the vector population changed between two index versions
+    * (offline rebuild → pointer flip, V:977-1068 / V:523-563 — the diff
+    * is what an operator reads before trusting the flip, and the
+    * per-list deltas feed the same retrain decision imbalance does).
+    * Output: (cluster_id, n_old, n_new, n_added, n_removed); vectors
+    * present in both versions attribute to their (common) list.
+    *
+    * Scale: one full-outer equi-join on vec_id — both sides shuffle by
+    * id once (bucketed-by-vec_id layouts co-locate it to zero shuffle),
+    * then a map-side-combinable integer aggregate to ≤ nlist rows. */
+  def diffIndex(oldAssign: DataFrame, newAssign: DataFrame): DataFrame = {
+    val o = oldAssign.select(col("vec_id"), col("cluster_id").as("c_old"))
+    val n = newAssign.select(col("vec_id"), col("cluster_id").as("c_new"))
+    o.join(n, Seq("vec_id"), "full_outer")
+      .select(coalesce(col("c_new"), col("c_old")).as("cluster_id"),
+        col("c_old").isNotNull.as("in_old"), col("c_new").isNotNull.as("in_new"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        sum(when(col("in_old"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("in_new"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(!col("in_old"), 1L).otherwise(0L)).as("n_added"),
+        sum(when(!col("in_new"), 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** S3 — load a persisted index. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): (Array[Centroid], DataFrame) = {
     val cents = spark.read.parquet(s"$dir/centroids")

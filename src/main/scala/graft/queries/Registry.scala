@@ -351,6 +351,18 @@ object Registry {
       ResultShaping.selfFacetCounts(t(s, dir, "embeddings"),
         numQueries = 8, k = 20)),
 
+    // Index snapshot diff (publish audit): per-list population change
+    // between two versions of the index — v1 drops every 10th vector,
+    // v2 drops every 7th (same seed centroids), so the diff carries
+    // adds AND removes per list; one full-outer join + integer rollup
+    "q_index_diff" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = IvfIndex.seedCentroids(emb, 16)
+      val v1 = IvfIndex.assign(emb.where(pmod(col("vec_id"), lit(10L)) =!= 0L), cents)
+      val v2 = IvfIndex.assign(emb.where(pmod(col("vec_id"), lit(7L)) =!= 0L), cents)
+      IvfIndex.diffIndex(v1, v2).orderBy(col("cluster_id"))
+    }),
+
     // Quantization-error report: per-vector reconstruction SSE for the
     // SQ8/SQ4/PQ rungs (a vector's distance to its own code) over the
     // first 32 vectors — the outlier diagnostic run before choosing a
@@ -3111,6 +3123,33 @@ s"""WITH cent AS (
          |)
          |SELECT query_id, rank, vec_id, "group", round(dist, 4) AS dist
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // index-diff oracle: both versions' argmin assignment replayed over
+    // their survivor predicates, full-outer joined, integer rollup
+    "q_index_diff" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+         |), d0 AS (
+         |  SELECT v.vec_id, c.cid, ${l2sqSql("v.embedding", "c.cvec")} AS d
+         |  FROM embeddings v CROSS JOIN cent c
+         |), assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0
+         |  ) WHERE rn = 1
+         |), v1 AS (SELECT vec_id, cid FROM assign WHERE vec_id % 10 <> 0),
+         |v2 AS (SELECT vec_id, cid FROM assign WHERE vec_id % 7 <> 0),
+         |j AS (
+         |  SELECT COALESCE(v2.cid, v1.cid) AS cluster_id,
+         |         v1.vec_id IS NOT NULL AS in_old,
+         |         v2.vec_id IS NOT NULL AS in_new
+         |  FROM v1 FULL OUTER JOIN v2 ON v1.vec_id = v2.vec_id
+         |)
+         |SELECT cluster_id,
+         |       CAST(sum(CASE WHEN in_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         |       CAST(sum(CASE WHEN in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         |       CAST(sum(CASE WHEN NOT in_old THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         |       CAST(sum(CASE WHEN NOT in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+         |FROM j GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     // quant-error oracle: full-corpus bounds/codebooks replayed, then
     // each slice vector's reconstruct-and-fold against its own code

@@ -89,4 +89,22 @@ class IvfVariantsSpec extends SparkSpec {
     assert(filteredIvf.exceptAll(brute).isEmpty &&
       brute.exceptAll(filteredIvf).isEmpty)
   }
+
+  test("diffIndex of identical versions reports zero adds/removes; totals are consistent") {
+    val cents = IvfIndex.seedCentroids(emb, 16)
+    val a = IvfIndex.assign(emb, cents)
+    val same = IvfIndex.diffIndex(a, a).cache()
+    assert(same.where($"n_added" =!= 0 || $"n_removed" =!= 0).count() === 0)
+    assert(same.where($"n_old" =!= $"n_new").count() === 0)
+    same.unpersist()
+    // disjoint slices: everything is an add or a remove, attributed to
+    // the surviving side's list; totals reconcile with the inputs
+    val v1 = IvfIndex.assign(emb.where($"vec_id" < 200), cents)
+    val v2 = IvfIndex.assign(emb.where($"vec_id" >= 200 && $"vec_id" < 450), cents)
+    val d = IvfIndex.diffIndex(v1, v2)
+      .agg(sum($"n_old"), sum($"n_new"), sum($"n_added"), sum($"n_removed"))
+      .head()
+    assert(d.getLong(0) === 200L && d.getLong(1) === 250L)
+    assert(d.getLong(2) === 250L && d.getLong(3) === 200L)
+  }
 }
