@@ -387,4 +387,83 @@ object GraftProps extends Properties("graft") {
       }
     }
   }
+
+  /** Keyset pagination composes: page1 ++ searchAfter(page1's cursor)
+    * equals the single top-2k ranking on every random vector set. */
+  property("searchAfterSplitsTheRanking") = forAll(vecsGen) { vecs =>
+    import graft.operators.{KnnSearch, ResultShaping}
+    val df = toDF(vecs)
+    val k = 3
+    val q = df.where(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cands = df.select(col("vec_id"), col("embedding").as("vec"))
+    def rows(r: org.apache.spark.sql.DataFrame) = r
+      .select(col("query_id"), col("rank"), col("vec_id")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val page1 = KnnSearch.topK(q, cands, k = k, excludeSelf = true)
+    val cursors = page1.where(col("rank") === k)
+      .select(col("query_id"), col("dist").as("after_dist"),
+        col("vec_id").as("after_vec_id"))
+    val page2 = ResultShaping.searchAfter(q, cands, cursors, k, excludeSelf = true)
+      .select(col("query_id"), (col("rank") + k).as("rank"), col("vec_id"))
+    val full = rows(KnnSearch.topK(q, cands, k = 2 * k, excludeSelf = true))
+    // queries with < k candidates have no cursor — compare their page-1
+    // rows only (full == page1 there by construction)
+    val qsWithCursor = cursors.select(col("query_id")).collect()
+      .map(_.getLong(0)).toSet
+    val got = rows(page1) ++ rows(page2)
+    full.filter(t => qsWithCursor(t._1)) ==
+      got.filter(t => qsWithCursor(t._1)) &&
+      full.filter(t => !qsWithCursor(t._1)) ==
+        rows(page1).filter(t => !qsWithCursor(t._1))
+  }
+
+  /** Grouped top-k equals the greedy reference: scan candidates in
+    * (dist, vec_id) order admitting while the group has taken < m, stop
+    * at k — the Milvus group_by semantics, checked against a plain
+    * Scala replay on every random vector set. */
+  property("groupedTopKEqualsGreedyReference") = forAll(vecsGen) { vecs =>
+    import graft.operators.ResultShaping
+    val df = toDF(vecs).withColumn("label", pmod(col("vec_id"), lit(3L)).cast("int"))
+    val k = 4; val m = 2
+    val got = ResultShaping.selfSearchGrouped(df, numQueries = 2, k = k, perGroup = m)
+      .select(col("query_id"), col("rank"), col("vec_id")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    // driver-side greedy replay on exact distances
+    val byId = vecs.zipWithIndex.map { case (v, i) => i.toLong -> v }.toMap
+    def l2(a: List[Float], b: List[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val expect = (0L until math.min(2, vecs.size).toLong).flatMap { qid =>
+      val scored = byId.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (l2(byId(qid), v), id, id % 3) }
+        .sortBy(t => (t._1, t._2))
+      val taken = scala.collection.mutable.Map.empty[Long, Int]
+      val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+      scored.foreach { case (_, id, g) =>
+        if (sel.size < k && taken.getOrElse(g, 0) < m) {
+          taken(g) = taken.getOrElse(g, 0) + 1; sel += id
+        }
+      }
+      sel.zipWithIndex.map { case (id, r) => (qid, (r + 1).toLong, id) }
+    }.toSet
+    got == expect
+  }
+
+  /** mutualPairs keeps exactly the symmetric edges of any random
+    * directed edge table, canonicalized a < b. */
+  property("mutualPairsAreTheSymmetricEdges") = forAll(
+    Gen.listOf(Gen.zip(Gen.chooseNum(0L, 8L), Gen.chooseNum(0L, 8L)))) { edges0 =>
+    import graft.operators.Mining
+    val s = spark
+    import s.implicits._
+    val edges = edges0.filter { case (a, b) => a != b }.distinct
+    val df = edges.map { case (a, b) => (a, b, 1.0) }
+      .toDF("query_id", "vec_id", "dist")
+    val got = Mining.mutualPairs(df)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val set = edges.toSet
+    val expect = set.filter { case (a, b) => a < b && set((b, a)) }
+    got == expect
+  }
 }
