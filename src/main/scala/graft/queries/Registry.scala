@@ -372,6 +372,47 @@ object Registry {
           fromVec = 64, numVecs = 32, d = 64, m = 16, subDim = 4, ksub = 32)
         .orderBy(col("family"), col("vec_id"))),
 
+    // Rerank shortlist sweep — the third tuning dashboard (nprobe,
+    // bands, now shortlist): recall@10 of ADC-shortlist-then-exact-
+    // rerank at shortlist ∈ {16,32,64}. ONE ADC ranking at the max
+    // setting (smaller shortlists are prefixes of it), ONE exact-
+    // distance join over those ≤ Q×64 candidates; per-setting work is a
+    // window over the checkpointed candidate table
+    "q_rerank_sweep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = s.read.parquet(buildOnce("graft_recall_exact_flat", dir)(p =>
+        queries("q_flat_knn")(s, dir).write.parquet(p)))
+      // the ranked ADC shortlist is the stored artifact (generation paid
+      // in this query's first run, the stored-candidate discipline)
+      val short = s.read.parquet(buildOnce("graft_pq_shortlist64", dir)(p =>
+        PqIndex.selfSearchSeeded(emb,
+            numQueries = 8, m = 16, subDim = 4, ksub = 32, k = 64)
+          .select(col("query_id"), col("vec_id"), col("rank").as("adc_rank"))
+          .write.parquet(p)))
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val scored = emb
+        .join(broadcast(short), Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"), col("adc_rank"),
+          graft.functions.Distances.l2SqFast(col("qvec"), col("embedding"))
+            .as("dist"))
+        .localCheckpoint(true)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist"), col("vec_id"))
+      Seq(16, 32, 64).map { sl =>
+        val topk = scored.where(col("adc_rank") <= sl)
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 10)
+        AnnEval.recallCounts(topk, exact)
+          .agg(sum(col("n_hit")).as("h"), sum(col("n_exact")).as("e"))
+          .select(lit(sl.toLong).as("shortlist"),
+            col("h").cast("long").as("n_hit"),
+            col("e").cast("long").as("n_exact"),
+            expr("h * 1000 div e").cast("long").as("recall_pm"))
+      }.reduce(_ unionByName _).orderBy(col("shortlist"))
+    }),
+
     // Keyset pagination (Elastic search_after): page 2 fetched by
     // cursor — strictly-after (dist, vec_id) filter then top-k — must
     // equal ranks 11..20 of the full ranking (the oracle computes the
@@ -3131,6 +3172,65 @@ s"""WITH cent AS (
          |)
          |SELECT query_id, rank, vec_id, "group", round(dist, 4) AS dist
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // rerank-sweep oracle: the PQ ADC replay ranks the max shortlist,
+    // candidates re-scored with exact L2², per-setting prefix + recall
+    "q_rerank_sweep" ->
+      s"""WITH cb AS (
+         |  SELECT t.s, e.vec_id AS c, list_slice(e.embedding, t.s*4+1, t.s*4+4) AS sub
+         |  FROM range(0, 16) t(s) CROSS JOIN embeddings e WHERE e.vec_id < 32
+         |), vs AS (
+         |  SELECT t.s, v.vec_id, list_slice(v.embedding, t.s*4+1, t.s*4+4) AS sub
+         |  FROM range(0, 16) t(s) CROSS JOIN embeddings v
+         |), enc0 AS (
+         |  SELECT vs.vec_id, vs.s, cb.c, ${l2sqSql("vs.sub", "cb.sub")} AS d
+         |  FROM vs JOIN cb ON vs.s = cb.s
+         |), enc AS (
+         |  SELECT vec_id, s, c AS code FROM (
+         |    SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM enc0
+         |  ) WHERE rn = 1
+         |), qs AS (
+         |  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8
+         |), qsub AS (
+         |  SELECT t.s, q.query_id, list_slice(q.embedding, t.s*4+1, t.s*4+4) AS sub
+         |  FROM range(0, 16) t(s) CROSS JOIN qs q
+         |), lut AS (
+         |  SELECT qsub.query_id, qsub.s, cb.c, ${l2sqSql("qsub.sub", "cb.sub")} AS pd
+         |  FROM qsub JOIN cb ON qsub.s = cb.s
+         |), adc AS (
+         |  SELECT l.query_id, e.vec_id, list_sum(list(l.pd ORDER BY l.s)) AS dist
+         |  FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.c
+         |  WHERE e.vec_id <> l.query_id
+         |  GROUP BY l.query_id, e.vec_id
+         |), ar AS (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS adc_rank
+         |  FROM adc
+         |), cand AS (SELECT query_id, vec_id, adc_rank FROM ar WHERE adc_rank <= 64),
+         |sc AS (
+         |  SELECT c.query_id, c.vec_id, c.adc_rank,
+         |         ${l2sqSql("qe.embedding", "ve.embedding")} AS dist
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.query_id
+         |  JOIN embeddings ve ON ve.vec_id = c.vec_id
+         |), sl AS (SELECT unnest([16, 32, 64]) AS shortlist),
+         |rr AS (
+         |  SELECT s.shortlist, sc.query_id, sc.vec_id,
+         |         row_number() OVER (PARTITION BY s.shortlist, sc.query_id ORDER BY sc.dist, sc.vec_id) AS rnk
+         |  FROM sl s JOIN sc ON sc.adc_rank <= s.shortlist
+         |), topk AS (SELECT shortlist, query_id, vec_id FROM rr WHERE rnk <= 10),
+         |ex AS (SELECT query_id, vec_id FROM ($flatKnnSql) t),
+         |hits AS (
+         |  SELECT t.shortlist, count(*) AS c FROM topk t
+         |  JOIN ex ON ex.query_id = t.query_id AND ex.vec_id = t.vec_id
+         |  GROUP BY t.shortlist
+         |), tot AS (SELECT CAST(count(*) AS BIGINT) AS e FROM ex)
+         |SELECT CAST(s.shortlist AS BIGINT) AS shortlist,
+         |       CAST(COALESCE(h.c, 0) AS BIGINT) AS n_hit,
+         |       tot.e AS n_exact,
+         |       (CAST(COALESCE(h.c, 0) AS BIGINT) * 1000) // tot.e AS recall_pm
+         |FROM sl s LEFT JOIN hits h ON h.shortlist = s.shortlist CROSS JOIN tot
+         |ORDER BY shortlist""".stripMargin,
 
     // index-diff oracle: both versions' argmin assignment replayed over
     // their survivor predicates, full-outer joined, integer rollup
