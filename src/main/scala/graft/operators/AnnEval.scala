@@ -58,6 +58,23 @@ object AnnEval {
         col("h").cast("long").as("n_hit"),
         expr("h * 1000 div e").cast("long").as("recall_pm"))
 
+  /** One sweep-dashboard row: micro recall of `approx` vs `exact` as
+    * (labelCol = labelValue, n_hit, n_exact, recall_pm) — the
+    * integer-floor per-mille discipline of [[recallReportRow]] shared
+    * by every knob sweep (q_ivf_sweep's nprobe, q_rerank_sweep's
+    * shortlist) so the arithmetic lives in exactly one place. */
+  def recallSweepRow(
+      labelCol: String,
+      labelValue: Long,
+      approx: DataFrame,
+      exact: DataFrame): DataFrame =
+    recallCounts(approx, exact)
+      .agg(sum(col("n_hit")).as("h"), sum(col("n_exact")).as("e"))
+      .select(lit(labelValue).as(labelCol),
+        col("h").cast("long").as("n_hit"),
+        col("e").cast("long").as("n_exact"),
+        expr("h * 1000 div e").cast("long").as("recall_pm"))
+
   /** Per-vector reconstruction error for the compression ladder — the
     * FAISS sa_encode/sa_decode quantization-error diagnostic: a vector's
     * distance to its OWN code IS the reconstruction SSE, so each family
@@ -85,16 +102,18 @@ object AnnEval {
     // the pq rows a degenerate diagnostic
     val slice = embeddings.where(
       col("vec_id") >= fromVec && col("vec_id") < fromVec + numVecs)
-    val (v8, s8) = SqIndex.trainMinMax(embeddings, d)
-    val sq8 = SqIndex.encode(slice, v8, s8)
+    // one bounds pass trains both SQ rungs (scales derived directly
+    // from the shared exact bounds — bit-identical to separate passes)
+    val (vmin, Seq(s8, s4)) =
+      SqIndex.trainBoundsMulti(embeddings, d, Seq(255.0, 15.0))
+    val sq8 = SqIndex.encode(slice, vmin, s8)
       .select(lit("sq8").as("family"), col("vec_id"),
-        round(SqIndex.sqDist(col("embedding"), col("codes"), d, v8, s8), 4)
+        round(SqIndex.sqDist(col("embedding"), col("codes"), d, vmin, s8), 4)
           .as("sse"))
-    val (v4, s4) = SqIndex.trainMinMax4(embeddings, d)
     val sq4 = slice
-      .withColumn("packed", SqIndex.encode4Expr(col("embedding"), v4, s4))
+      .withColumn("packed", SqIndex.encode4Expr(col("embedding"), vmin, s4))
       .select(lit("sq4").as("family"), col("vec_id"),
-        round(SqIndex.sq4Dist(col("embedding"), col("packed"), d, v4, s4), 4)
+        round(SqIndex.sq4Dist(col("embedding"), col("packed"), d, vmin, s4), 4)
           .as("sse"))
     val cb = PqIndex.seedCodebooks(embeddings, m, subDim, ksub)
     val pq = PqIndex.encode(slice, cb, m, subDim)

@@ -238,18 +238,25 @@ object IvfIndex {
     * (offline rebuild → pointer flip, V:977-1068 / V:523-563 — the diff
     * is what an operator reads before trusting the flip, and the
     * per-list deltas feed the same retrain decision imbalance does).
-    * Output: (cluster_id, n_old, n_new, n_added, n_removed); vectors
-    * present in both versions attribute to their (common) list.
+    * Output: (cluster_id, n_old, n_new, n_added, n_removed). Membership
+    * diffs on the PAIR (vec_id, cluster_id): a vector that moved lists
+    * between versions (retrained centroids shift boundary vectors)
+    * shows up as a remove from its old list AND an add to its new one —
+    * per-list n_old/n_new always sum to each version's true list
+    * populations, which a vec_id-only diff would silently break.
     *
-    * Scale: one full-outer equi-join on vec_id — both sides shuffle by
-    * id once (bucketed-by-vec_id layouts co-locate it to zero shuffle),
-    * then a map-side-combinable integer aggregate to ≤ nlist rows. */
+    * Scale: one full-outer equi-join on (vec_id, cluster_id) — both
+    * sides shuffle once (bucketed-by-vec_id layouts co-locate it), then
+    * a map-side-combinable integer aggregate to ≤ nlist rows. */
   def diffIndex(oldAssign: DataFrame, newAssign: DataFrame): DataFrame = {
-    val o = oldAssign.select(col("vec_id"), col("cluster_id").as("c_old"))
-    val n = newAssign.select(col("vec_id"), col("cluster_id").as("c_new"))
-    o.join(n, Seq("vec_id"), "full_outer")
-      .select(coalesce(col("c_new"), col("c_old")).as("cluster_id"),
-        col("c_old").isNotNull.as("in_old"), col("c_new").isNotNull.as("in_new"))
+    val o = oldAssign.select(col("vec_id"), col("cluster_id"))
+      .withColumn("in_old", lit(true))
+    val n = newAssign.select(col("vec_id"), col("cluster_id"))
+      .withColumn("in_new", lit(true))
+    o.join(n, Seq("vec_id", "cluster_id"), "full_outer")
+      .select(col("cluster_id"),
+        coalesce(col("in_old"), lit(false)).as("in_old"),
+        coalesce(col("in_new"), lit(false)).as("in_new"))
       .groupBy(col("cluster_id"))
       .agg(
         sum(when(col("in_old"), 1L).otherwise(0L)).as("n_old"),
@@ -497,8 +504,19 @@ object IvfIndex {
       assignments: DataFrame,
       nprobe: Int,
       k: Int,
-      excludeSelf: Boolean = false): DataFrame = {
-    val p = probes(queries, centroids, nprobe)
+      excludeSelf: Boolean = false): DataFrame =
+    searchMultiWithProbes(probes(queries, centroids, nprobe), assignments, k,
+      excludeSelf)
+
+  /** The shared closure-search tail (candidate join, replica collapse,
+    * rank) — ONE body for the in-memory and pruned paths, so the
+    * collapse/tie-order contract the shared q_ivf_multi_knn/q_spann_knn
+    * oracle pins cannot silently diverge between them. */
+  private def searchMultiWithProbes(
+      p: DataFrame,
+      assignments: DataFrame,
+      k: Int,
+      excludeSelf: Boolean): DataFrame = {
     val cand = assignments.join(broadcast(p), Seq("cluster_id"))
     val filtered =
       if (excludeSelf) cand.where(col("vec_id") =!= col("query_id")) else cand
@@ -553,16 +571,6 @@ object IvfIndex {
     val probedClusters = p.select(col("cluster_id")).distinct()
       .collect().map(_.getLong(0))
     val pruned = assignments.where(col("cluster_id").isin(probedClusters: _*))
-    val cand = pruned.join(broadcast(p), Seq("cluster_id"))
-    val filtered =
-      if (excludeSelf) cand.where(col("vec_id") =!= col("query_id")) else cand
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
-    filtered
-      .select(col("query_id"), col("vec_id"),
-        Distances.l2SqFast(col("qvec"), col("embedding")).as("dist"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(min(col("dist")).as("dist"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+    searchMultiWithProbes(p, pruned, k, excludeSelf)
   }
 }

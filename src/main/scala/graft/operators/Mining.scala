@@ -120,6 +120,6 @@ object Mining {
     val slice = embeddings.where(col("vec_id") < n)
     val q = slice.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val v = slice.select(col("vec_id"), col("embedding").as("vec"))
-    mutualPairs(KnnSearch.topK(q, v, k = k, excludeSelf = true))
+    mutualPairs(KnnSearch.topK(q, v, k = k, dist = dist, excludeSelf = true))
   }
 }

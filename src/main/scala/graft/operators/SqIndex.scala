@@ -33,6 +33,32 @@ object SqIndex {
   def trainMinMax(embeddings: DataFrame, d: Int): (Array[Double], Array[Double]) =
     trainBounds(embeddings, d, levels = 255.0)
 
+  /** One bounds pass serving several level counts: (vmin, scale per
+    * levels entry), each scale computed directly as (vmax − vmin)/L
+    * from the SAME exact bounds — bit-identical to per-level
+    * [[trainMinMax]]/[[trainMinMax4]] calls without re-scanning the
+    * corpus once per rung (the quant-error report trains SQ8 and SQ4
+    * from one pass). */
+  def trainBoundsMulti(embeddings: DataFrame, d: Int,
+      levels: Seq[Double]): (Array[Double], Seq[Array[Double]]) = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.stat.Summarizer
+    val row = embeddings
+      .select(Summarizer.metrics("min", "max")
+        .summary(array_to_vector(col("embedding"))).as("s"))
+      .select(col("s.min"), col("s.max"))
+      .head()
+    val lo = row.getAs[org.apache.spark.ml.linalg.Vector](0).toArray
+    val hi = row.getAs[org.apache.spark.ml.linalg.Vector](1).toArray
+    val scales = levels.map { l =>
+      val scale = new Array[Double](d)
+      var i = 0
+      while (i < d) { scale(i) = (hi(i) - lo(i)) / l; i += 1 }
+      scale
+    }
+    (lo, scales)
+  }
+
   /** Shared bounds pass: scale = (vmax − vmin)/levels. Computed directly
     * from the exact bounds (NOT rescaled from another level count —
     * (x/255)·255/15 ≠ x/15 in floating point, and the oracle computes

@@ -404,12 +404,7 @@ object Registry {
         val topk = scored.where(col("adc_rank") <= sl)
           .withColumn("rank", row_number().over(w))
           .where(col("rank") <= 10)
-        AnnEval.recallCounts(topk, exact)
-          .agg(sum(col("n_hit")).as("h"), sum(col("n_exact")).as("e"))
-          .select(lit(sl.toLong).as("shortlist"),
-            col("h").cast("long").as("n_hit"),
-            col("e").cast("long").as("n_exact"),
-            expr("h * 1000 div e").cast("long").as("recall_pm"))
+        AnnEval.recallSweepRow("shortlist", sl.toLong, topk, exact)
       }.reduce(_ unionByName _).orderBy(col("shortlist"))
     }),
 
@@ -451,12 +446,7 @@ object Registry {
         val topk = cand.where(col("probe_rank") <= np)
           .withColumn("rank", row_number().over(w))
           .where(col("rank") <= 10)
-        AnnEval.recallCounts(topk, exact)
-          .agg(sum(col("n_hit")).as("h"), sum(col("n_exact")).as("e"))
-          .select(lit(np.toLong).as("nprobe"),
-            col("h").cast("long").as("n_hit"),
-            col("e").cast("long").as("n_exact"),
-            expr("h * 1000 div e").cast("long").as("recall_pm"))
+        AnnEval.recallSweepRow("nprobe", np.toLong, topk, exact)
       }.reduce(_ unionByName _).orderBy(col("nprobe"))
     }),
 
@@ -3250,7 +3240,7 @@ s"""WITH cent AS (
          |  SELECT COALESCE(v2.cid, v1.cid) AS cluster_id,
          |         v1.vec_id IS NOT NULL AS in_old,
          |         v2.vec_id IS NOT NULL AS in_new
-         |  FROM v1 FULL OUTER JOIN v2 ON v1.vec_id = v2.vec_id
+         |  FROM v1 FULL OUTER JOIN v2 ON v1.vec_id = v2.vec_id AND v1.cid = v2.cid
          |)
          |SELECT cluster_id,
          |       CAST(sum(CASE WHEN in_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,

@@ -107,4 +107,17 @@ class IvfVariantsSpec extends SparkSpec {
     assert(d.getLong(0) === 200L && d.getLong(1) === 250L)
     assert(d.getLong(2) === 250L && d.getLong(3) === 200L)
   }
+
+  test("diffIndex records a moved vector as a remove from its old list AND an add to its new one") {
+    // a retrained rebuild moves boundary vectors between lists — the
+    // publish audit must see both sides, and per-list n_old/n_new must
+    // sum to each version's true populations
+    val v1 = Seq((1L, 3L), (2L, 3L)).toDF("vec_id", "cluster_id")
+    val v2 = Seq((1L, 5L), (2L, 3L)).toDF("vec_id", "cluster_id")
+    val d = IvfIndex.diffIndex(v1, v2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(d(3L) === ((2L, 1L, 0L, 1L)), "old list: vec 1 removed, vec 2 stays")
+    assert(d(5L) === ((0L, 1L, 1L, 0L)), "new list: vec 1 added")
+  }
 }
