@@ -315,7 +315,11 @@ object CorpusStats {
       .groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
       .withColumn("w1", element_at(split(col("bigram"), " ", 2), 1))
       .withColumn("w2", element_at(split(col("bigram"), " ", 2), 2))
-      .localCheckpoint(true) // one evaluation: B scalar + three reads below
+      // lazy columnar cache, materialized by the nb count below — one
+      // evaluation serving the B scalar + three reads, without the
+      // eager block-store write a localCheckpoint(true) would pay
+      // (lineage here is one aggregate, not iterative — nothing to cut)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nv = uc.agg(count(lit(1))).head().getLong(0)
     val nb = bc.count()
     require(nb > 0,
@@ -323,9 +327,13 @@ object CorpusStats {
     val pcontDenom = (nb + nv + 1).toDouble
     // context mass c(v·) = Σ_w c(vw), from the bigram table — NOT the
     // unigram count (ADVICE r7: c1 counts doc-final v's with no bigram
-    // mass, a systematic score deflation vs the cited formula)
-    val cm = bc.groupBy(col("w1")).agg(sum(col("c2")).cast("long").as("cm"))
-    val n1l = bc.groupBy(col("w1")).agg(count(lit(1)).as("n1l"))
+    // mass, a systematic score deflation vs the cited formula).
+    // cm and n1l share the grouping key, so ONE groupBy(w1) derives both
+    // (sum is order-insensitive over longs — values identical to two
+    // passes) and the scoring join below pays one broadcast, not two.
+    val ctx = bc.groupBy(col("w1")).agg(
+      sum(col("c2")).cast("long").as("cm"),
+      count(lit(1)).as("n1l"))
     val n1r = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
     val tf = docs.select(col("doc_id"),
         explode(TextFunctions.wordBigrams(col(textCol))).as("bigram"))
@@ -339,8 +347,7 @@ object CorpusStats {
         lit(discount) * col("n1l").cast("double") / col("cm").cast("double") * pcont
     val scored = tf
       .join(broadcast(bc.select(col("bigram"), col("c2"))), Seq("bigram"), "left")
-      .join(broadcast(cm), Seq("w1"), "left")
-      .join(broadcast(n1l), Seq("w1"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
       .join(broadcast(n1r), Seq("w2"), "left")
       .withColumn("score",
         when(col("cm").isNotNull && col("n1l").isNotNull, interpolated)
