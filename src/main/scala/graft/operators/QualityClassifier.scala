@@ -65,6 +65,13 @@ object QualityClassifier {
     val wMap = typedlit(weights)
     val wArr = transform(feats, g => element_at(wMap, Dsir.bucketOf(g, b)))
     docs
+      // NULL-text docs are DROPPED, matching the oracle: its unnest of a
+      // NULL gram list yields no rows, so such a doc never reaches the
+      // group-by. Without this filter the engine would emit a
+      // (doc_id, null, null, null) row the oracle doesn't have — a
+      // latent row-count divergence (no-op on the generated data, which
+      // has no null text).
+      .where(col(textCol).isNotNull)
       .select(col("doc_id"), wArr.as("wts"))
       .withColumn("mean_logit",
         aggregate(sort_array(col("wts")), lit(0.0d), (acc, x) => acc + x) /

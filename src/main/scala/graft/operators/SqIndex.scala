@@ -62,22 +62,14 @@ object SqIndex {
   /** Shared bounds pass: scale = (vmax − vmin)/levels. Computed directly
     * from the exact bounds (NOT rescaled from another level count —
     * (x/255)·255/15 ≠ x/15 in floating point, and the oracle computes
-    * (vmax−vmin)/15 directly). */
+    * (vmax−vmin)/15 directly). Delegates to [[trainBoundsMulti]] so the
+    * Summarizer pass has exactly one body — the "bit-identical to
+    * separate passes" guarantee rests on one implementation, not two
+    * hand-synchronized copies. */
   private def trainBounds(embeddings: DataFrame, d: Int,
       levels: Double): (Array[Double], Array[Double]) = {
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.stat.Summarizer
-    val row = embeddings
-      .select(Summarizer.metrics("min", "max")
-        .summary(array_to_vector(col("embedding"))).as("s"))
-      .select(col("s.min"), col("s.max"))
-      .head() // one row of two d-dim vectors — control-plane small
-    val lo = row.getAs[org.apache.spark.ml.linalg.Vector](0).toArray
-    val hi = row.getAs[org.apache.spark.ml.linalg.Vector](1).toArray
-    val scale = new Array[Double](d)
-    var i = 0
-    while (i < d) { scale(i) = (hi(i) - lo(i)) / levels; i += 1 }
-    (lo, scale)
+    val (lo, scales) = trainBoundsMulti(embeddings, d, Seq(levels))
+    (lo, scales.head)
   }
 
   /** Byte codes: code_i = clamp(round((x_i − vmin_i)/scale_i), 0, 255);
@@ -153,10 +145,21 @@ object SqIndex {
     })
   }
 
-  /** Squared L2 against an SQ4-packed candidate: unpack both nibbles of
+  /** Squared L2 against an SQ4-packed candidate, as a fused codegen
+    * loop (graft.plans.Sq4Distance) — bit-identical to [[sq4DistHof]]
+    * (parity-tested), the same codegen-over-interpreted-HOF swap the
+    * SQ8 path got (the interpreted fold was q_sq4_knn's whole cost). */
+  def sq4Dist(qvec: Column, packed: Column, d: Int,
+      vmin: Array[Double], scale: Array[Double]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.Sq4Distance(
+      ColumnBridge.expression(qvec), ColumnBridge.expression(packed), d, vmin, scale))
+  }
+
+  /** HOF reference form of [[sq4Dist]]: unpack both nibbles of
     * each byte (div/mod — exact integer arithmetic), reconstruct, fold
     * ascending (oracle-mirrored shape). */
-  def sq4Dist(qvec: Column, packed: Column, d: Int,
+  def sq4DistHof(qvec: Column, packed: Column, d: Int,
       vmin: Array[Double], scale: Array[Double]): Column = {
     val vminL = typedLit(vmin.toSeq)
     val scaleL = typedLit(scale.toSeq)

@@ -447,6 +447,76 @@ case class CosineSim(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused SQ4 (packed-nibble) decoded squared-L2 — the performance form
+  * of SqIndex.sq4DistHof: the packed array holds two 4-bit codes per
+  * long (high nibble = even dim), so `d` rides as a constructor
+  * parameter (it is not recoverable from the array length when d is
+  * odd). Per dim: integer unpack (exact — b>>4 / b&15 ≡ the HOF's
+  * shiftright/% on 0..255 values), recon = vmin + code·scale in double,
+  * left-to-right accumulation — numerics IDENTICAL to the HOF form
+  * (parity spec-gated), so swapping it in cannot change the
+  * q_sq4_knn / q_ivfsq4_knn / q_quant_error oracle results.
+  */
+case class Sq4Distance(
+    left: Expression,
+    right: Expression,
+    d: Int,
+    vmin: Array[Double],
+    scale: Array[Double])
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"sq4_distance expects (array<float>, array<long>), got ($l, $r)")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val packed = b.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    while (i < d) {
+      val byte = packed.getLong(i >> 1)
+      val code = if ((i & 1) == 0) byte >> 4 else byte & 15L
+      val recon = vmin(i) + code.toDouble * scale(i)
+      val diff = q.getFloat(i).toDouble - recon
+      acc += diff * diff
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val vminRef = ctx.addReferenceObj("sq4Vmin", vmin, "double[]")
+      val scaleRef = ctx.addReferenceObj("sq4Scale", scale, "double[]")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val byte = ctx.freshName("packedByte")
+      val code = ctx.freshName("code")
+      val recon = ctx.freshName("recon")
+      val diff = ctx.freshName("diff")
+      s"""
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $d; $i++) {
+         |  long $byte = $b.getLong($i >> 1);
+         |  long $code = (($i & 1) == 0) ? ($byte >> 4) : ($byte & 15L);
+         |  double $recon = $vminRef[$i] + (double) $code * $scaleRef[$i];
+         |  double $diff = (double) $a.getFloat($i) - $recon;
+         |  $acc += $diff * $diff;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Fused SQ8 decoded squared-L2 (the performance form of
   * SqIndex.sqDistHof): Σ_i (q_i − (vmin_i + codes_i·scale_i))² as one
   * primitive loop in whole-stage codegen; the (vmin, scale) model rides

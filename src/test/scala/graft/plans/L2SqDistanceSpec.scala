@@ -51,6 +51,33 @@ class L2SqDistanceSpec extends SparkSpec {
     assert(both.where($"gen" =!= $"hof").count() == 0)
   }
 
+  test("codegen Sq4Distance is bit-identical to the HOF fold on real SQ4-packed data") {
+    import graft.operators.SqIndex
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (vmin, scale) = SqIndex.trainMinMax4(emb, 64)
+    val codes = emb.select($"vec_id",
+      SqIndex.encode4Expr($"embedding", vmin, scale).as("codes4"))
+    val q = emb.where($"vec_id" < 4).select($"embedding".as("qvec"))
+    val both = codes.crossJoin(q).select(
+      SqIndex.sq4Dist($"qvec", $"codes4", 64, vmin, scale).as("gen"),
+      SqIndex.sq4DistHof($"qvec", $"codes4", 64, vmin, scale).as("hof"))
+    assert(both.where($"gen" =!= $"hof").count() == 0)
+  }
+
+  test("Sq4Distance odd-d: the final high nibble's phantom partner is never read") {
+    import graft.operators.SqIndex
+    // d = 3 packs as [c0·16+c1, c2·16+0]; the codegen loop must stop at
+    // i = 2 (reading only the HIGH nibble of byte 1), identical to the HOF
+    val vmin = Array(0.0, 0.0, 0.0)
+    val scale = Array(1.0, 1.0, 1.0)
+    val q = typedLit(Array(1f, 2f, 3f))
+    val packed = typedLit(Array(18L, 48L)) // codes (1,2), (3,pad 0)
+    val r = Seq(1).toDF("x").select(
+      SqIndex.sq4Dist(q, packed, 3, vmin, scale).as("gen"),
+      SqIndex.sq4DistHof(q, packed, 3, vmin, scale).as("hof")).head()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+  }
+
   test("null and hand-computed values") {
     val r = Seq(1).toDF("x").select(
       Distances.l2SqFast(typedLit(Array(1f, 2f)), typedLit(Array(3f, 5f))).as("d"),
