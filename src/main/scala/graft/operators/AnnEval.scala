@@ -75,6 +75,36 @@ object AnnEval {
         col("e").cast("long").as("n_exact"),
         expr("h * 1000 div e").cast("long").as("recall_pm"))
 
+  /** The whole sweep dashboard in ONE join when the approx table is
+    * label-PARTITIONED (each row tagged with its knob value in
+    * `labelCol` and the rungs' row sets disjoint — q_hnsw_sweep's
+    * shape): exact × labels left-joins the tagged approx once, and a
+    * grouped aggregate yields every [[recallSweepRow]] value — same
+    * integer per-mille floor-div arithmetic, one pass instead of one
+    * join per rung. Prefix-style sweeps (q_ivf_sweep, whose settings
+    * share rows) keep the per-setting filter form. */
+  def recallSweepRows(
+      labelCol: String,
+      labelValues: Seq[Long],
+      approx: DataFrame,
+      exact: DataFrame): DataFrame = {
+    val spark = approx.sparkSession
+    import spark.implicits._
+    val labels = labelValues.toDF(labelCol)
+    val a = approx.select(col(labelCol), col("query_id"), col("vec_id"))
+      .withColumn("_hit", lit(1L))
+    labels.crossJoin(exact.select(col("query_id"), col("vec_id")))
+      .join(broadcast(a), Seq(labelCol, "query_id", "vec_id"), "left")
+      .groupBy(col(labelCol))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("h"),
+        count(lit(1)).as("e"))
+      .select(col(labelCol).cast("long").as(labelCol),
+        col("h").cast("long").as("n_hit"),
+        col("e").cast("long").as("n_exact"),
+        expr("h * 1000 div e").cast("long").as("recall_pm"))
+      .orderBy(col(labelCol))
+  }
+
   /** Per-vector reconstruction error for the compression ladder — the
     * FAISS sa_encode/sa_decode quantization-error diagnostic: a vector's
     * distance to its OWN code IS the reconstruction SSE, so each family

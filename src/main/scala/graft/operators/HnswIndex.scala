@@ -164,6 +164,21 @@ object HnswIndex {
       searchLayer(q, Seq(ep), ef, 0)
     }
 
+    /** Entry-seeded UNFILTERED walk — the exhaustive-read contract of
+      * [[searchFiltered]] without the predicate closure: layer 0 is
+      * seeded with both the descent endpoint and the global entry, so
+      * after [[patchLayer0Reachability]] an ef ≥ n beam (the greedy
+      * stop can never fire while result.size < ef) visits every node
+      * and returns the EXACT top-ef. The hot loop stays the closure-free
+      * `allow = null` path of [[search]]. */
+    def searchSeeded(q: Array[Float], ef: Int): Seq[(Double, Int)] = {
+      if (entry < 0) return Nil
+      var ep = entry
+      var l = maxLevel
+      while (l > 0) { ep = greedyClosest(q, ep, l); l -= 1 }
+      searchLayer(q, if (ep == entry) Seq(ep) else Seq(ep, entry), ef, 0)
+    }
+
     /** Filtered top-ef: only `allow` nodes may be returned; traversal
       * is unrestricted (see [[searchLayer]]). Layer 0 is seeded with
       * BOTH the descent result and the global entry, so together with
@@ -298,6 +313,62 @@ object HnswIndex {
       }
       .toDF("query_id", "vec_id", "dist")
 
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    partials
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Exhaustive-beam self-search: the same per-partition graph builds as
+    * [[selfSearch]], but each graph is layer-0 reachability-patched and
+    * walked entry-seeded at ef = partition size — STRUCTURALLY exact
+    * (every node is layer-0 reachable from `entry`, `entry` is in the
+    * seed set, and the beam never evicts below n), independent of the
+    * partition count, so each partition emits its exact top-k and the
+    * A1 merge is the exact global answer. q_hnsw_knn runs this form and
+    * shares the brute-force FLAT oracle verbatim (the r8 no-oracle
+    * allowlist shrink); the production ef ≪ n walk stays benchmarked
+    * and recall-gated via q_hnsw_persisted / HnswIndexSpec. The patch +
+    * entry seed live only in this path and [[selfSearchFiltered]] —
+    * every standard build/search output stays bit-identical. */
+  def selfSearchExact(
+      embeddings: DataFrame,
+      numQueries: Int,
+      k: Int,
+      numPartitions: Int = 0,
+      params: Params = Params()): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val queries = embeddings.where(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    val bcQueries = spark.sparkContext.broadcast(queries)
+    val p = params
+    val partials = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .repartition(parts, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .mapPartitions { rows =>
+        val graph = new LocalGraph(p)
+        rows.foreach { case (id, v) => graph.insert(id, v) }
+        graph.patchLayer0Reachability()
+        val n = graph.ids.length
+        bcQueries.value.iterator.flatMap { case (qid, qv) =>
+          graph.searchSeeded(qv, n)
+            .filter { case (_, node) => graph.ids(node) != qid }
+            .take(k)
+            .map { case (d, node) => (qid, graph.ids(node), d) }
+        }
+      }
+      .toDF("query_id", "vec_id", "dist")
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
     partials
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -525,6 +596,51 @@ object HnswIndex {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** efSearch LADDER over ONE persisted-index load — the knob-sweep
+    * read path (q_hnsw_sweep): each stored graph is deserialized once
+    * per task and walked once per ef rung, so four rungs cost one index
+    * load + four walks, not four loads. Emits the shard-merged top-k
+    * per rung with the rung in an `ef_search` column; each rung's
+    * (query_id, rank, vec_id, dist) rows are identical to
+    * [[selfSearchPersisted]] at that efSearch (same walk, same merge —
+    * HnswIndexSpec pins one rung's equality). */
+  def selfSearchPersistedSweep(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      numQueries: Int,
+      k: Int,
+      efs: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    val p = readMeta(spark, dir, efs.max)
+    val queries = spark.read.parquet(s"$dir/nodes")
+      .where(col("vec_id") < numQueries).as[HnswNode]
+      .map(n => (n.vec_id, n.vec)).collect().sortBy(_._1)
+    val bcQueries = spark.sparkContext.broadcast(queries)
+    val efList = efs
+    val partials = spark.read.parquet(s"$dir/nodes").as[HnswNode]
+      .groupByKey(_.part_id)
+      .flatMapGroups { (_, it) =>
+        val graph = graphFromRows(it.toArray, p)
+        efList.iterator.flatMap { ef =>
+          bcQueries.value.iterator.flatMap { case (qid, qv) =>
+            graph.search(qv, ef)
+              .filter { case (_, node) => graph.ids(node) != qid }
+              .take(k)
+              .map { case (d, node) => (ef, qid, graph.ids(node), d) }
+          }
+        }
+      }
+      .toDF("ef_search", "query_id", "vec_id", "dist")
+    val w = Window.partitionBy(col("ef_search"), col("query_id"))
+      .orderBy(col("dist"), col("vec_id"))
+    partials
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("ef_search").cast("long").as("ef_search"), col("query_id"),
+        col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy(col("ef_search"), col("query_id"), col("rank"))
   }
 
   /** S3 — self-search a persisted index without rebuilding: graphs

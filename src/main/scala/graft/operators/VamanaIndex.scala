@@ -241,10 +241,14 @@ object VamanaIndex {
       patchReachability()
     }
 
-    /** Top-k search: greedy beam from the medoid with width max(L, k). */
-    def search(q: Array[Float], k: Int): Seq[(Double, Int)] = {
+    /** Top-k search: greedy beam from the medoid with width max(L, k).
+      * `beam` overrides the search width independently of the BUILD beam
+      * params.l (same knob as [[searchFiltered]]); since [[build]] ends
+      * in [[patchReachability]], at beam ≥ n the walk visits every node
+      * and the result is the EXACT top-k. */
+    def search(q: Array[Float], k: Int, beam: Int = 0): Seq[(Double, Int)] = {
       if (medoid < 0) return Nil
-      greedySearch(q, math.max(params.l, k))._1.take(k)
+      greedySearch(q, math.max(if (beam > 0) beam else params.l, k))._1.take(k)
     }
 
     /** Filtered top-k: only nodes with `allow` may be returned; the
@@ -315,13 +319,24 @@ object VamanaIndex {
   /** Distributed Vamana self-search: per-shard graphs (vec_id % parts
     * routing), each searched for every broadcast query, shard-local
     * top-k merged globally (A1). Output matches the other k-NN
-    * operators: (query_id, rank, vec_id, dist) ordered. */
+    * operators: (query_id, rank, vec_id, dist) ordered.
+    *
+    * `searchBeam` overrides the read-side beam (build beam stays
+    * params.l). At beam ≥ shard size each shard emits its EXACT top-k
+    * ([[LocalGraph.build]] ends in `patchReachability`), the merge is
+    * the exact global answer independent of the partition count, and
+    * the query shares the brute-force FLAT oracle — q_vamana_knn runs
+    * `Int.MaxValue` (exhaustive at any shard size; the r8 no-oracle
+    * allowlist shrink). Production runs beam ≪ n and trades recall —
+    * that form stays recall-gated in VamanaIndexSpec and exercised by
+    * q_recall_report's persisted-index row. */
   def selfSearch(
       embeddings: DataFrame,
       numQueries: Int,
       k: Int,
       numPartitions: Int = 0,
-      params: Params = Params()): DataFrame = {
+      params: Params = Params(),
+      searchBeam: Int = 0): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val parts =
@@ -339,7 +354,7 @@ object VamanaIndex {
         val graph = new LocalGraph(p)
         graph.build(it.map(t => (t._2, t._3)).toArray)
         bcQueries.value.iterator.flatMap { case (qid, qv) =>
-          graph.search(qv, k + 1)
+          graph.search(qv, k + 1, searchBeam)
             .filter { case (_, node) => graph.ids(node) != qid }
             .take(k)
             .map { case (d, node) => (qid, graph.ids(node), d) }

@@ -83,13 +83,26 @@ object Registry {
 
   /** The global MinHash-LSH candidate pairs in q_minhash_lsh's exact
     * configuration, persisted once per process — the shared candidates
-    * ARTIFACT consumed by near-dup clustering and keep-best selection
-    * (the full generation pipeline stays q_minhash_lsh's benchmark). */
+    * ARTIFACT consumed by near-dup clustering, keep-best selection and
+    * the source-overlap matrix (the full generation pipeline stays
+    * q_minhash_lsh's benchmark). */
   private def lshPairsOnce(s: SparkSession, dir: String, docs: DataFrame): DataFrame =
     s.read.parquet(buildOnce("graft_lsh_pairs", dir)(p =>
       Dedup.minhashLshDups(docs,
           shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)
         .select(col("doc_a"), col("doc_b")).write.parquet(p)))
+
+  /** Tokenize-once DSIR feature plane (B = 256 hashed uni+bigram
+    * buckets, source kept), persisted once per process — the shared
+    * artifact both DSIR queries consume (generation paid by whichever
+    * runs first; at 100 TB the hashed-feature table is materialized
+    * once — the paper's own preprocess-then-select split — not
+    * re-tokenized per consumer). Values are identical to an inline
+    * Dsir.bucketed call, so both oracles replay unchanged. */
+  private def dsirBucketsOnce(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(buildOnce("graft_dsir_buckets", dir)(p =>
+      Dsir.bucketed(t(s, dir, "documents"), 256, keep = Seq("source"))
+        .write.parquet(p)))
 
   /** events.parquet's ts column has shipped in three physical forms across
     * driver data generations: TIMESTAMP(NANOS) (arrives as long nanos under
@@ -364,9 +377,12 @@ object Registry {
     }),
 
     // Quantization-error report: per-vector reconstruction SSE for the
-    // SQ8/SQ4/PQ rungs (a vector's distance to its own code) over the
-    // first 32 vectors — the outlier diagnostic run before choosing a
-    // compression rung; every value oracle-replayed
+    // SQ8/SQ4/PQ rungs (a vector's distance to its own code) over a
+    // 32-vector slice starting at vec_id 64 (deliberately disjoint from
+    // the PQ seed codewords, vec_id < 32 — a seed vector's PQ error is
+    // trivially 0) — the outlier diagnostic run before choosing a
+    // compression rung; every value oracle-replayed (the oracle's slice
+    // CTE is pinned to >= 64 AND < 96 in lockstep)
     "q_quant_error" -> ((s, dir) =>
       AnnEval.quantErrorReport(t(s, dir, "embeddings"),
           fromVec = 64, numVecs = 32, d = 64, m = 16, subDim = 4, ksub = 32)
@@ -448,6 +464,35 @@ object Registry {
           .where(col("rank") <= 10)
         AnnEval.recallSweepRow("nprobe", np.toLong, topk, exact)
       }.reduce(_ unionByName _).orderBy(col("nprobe"))
+    }),
+
+    // HNSW efSearch tuning sweep — the graph-family member of the knob
+    // dashboard (q_ivf_sweep's nprobe, q_minhash_sweep's bands,
+    // q_rerank_sweep's shortlist), closing the reference's last
+    // first-class search knob (efSearch — V:551-552, README.md:149):
+    // recall@10 at efSearch ∈ {2, 4, 8, 64} vs the persisted exact
+    // FLAT baseline. Stored-artifact discipline: the 4-shard graph
+    // index is built once per process (generation timed in THIS query's
+    // first run) and all four rungs walk that ONE load
+    // (selfSearchPersistedSweep — one deserialize, four walks). Oracle
+    // is two-tier like q_recall_report's: n_exact replays from the FLAT
+    // SQL, per-rung n_hit values are pinned literals (drift pins — any
+    // build/walk drift flips the hash). Monotone-in-ef and the rung-64
+    // equality with selfSearchPersisted are spec-gated (HnswIndexSpec).
+    "q_hnsw_sweep" -> ((s, dir) => {
+      val exact = s.read.parquet(buildOnce("graft_recall_exact_flat", dir)(p =>
+        queries("q_flat_knn")(s, dir).write.parquet(p)))
+      // 4 shards (not defaultParallelism): shard size ≈ n/4 keeps the
+      // low rungs genuinely sub-exhaustive at both test scales, so the
+      // dashboard shows a recall CURVE, not four saturated rows
+      val idx = buildOnce("graft_hnsw_sweep_idx", dir)(d =>
+        HnswIndex.writeIndex(t(s, dir, "embeddings"), d, numPartitions = 4))
+      val settings = Seq(2, 4, 8, 64)
+      val all = HnswIndex.selfSearchPersistedSweep(s, idx,
+        numQueries = 8, k = 10, efs = settings)
+      // rung row sets are disjoint (each tagged with its ef), so the
+      // whole dashboard grades in ONE join + grouped aggregate
+      AnnEval.recallSweepRows("ef_search", settings.map(_.toLong), all, exact)
     }),
 
     // J3/A3: PQ encode + ADC search with deterministic codebooks
@@ -570,12 +615,14 @@ object Registry {
     }),
 
     // cross-source duplication matrix over the LSH near-dup pair graph:
-    // the pair set broadcasts, the corpus streams through two hash joins
+    // the pair set broadcasts, the corpus streams through two hash joins.
+    // Pairs come from the once-persisted LSH candidates artifact (same
+    // stored-candidate discipline as q_dedup_clusters/q_dedup_keep_best
+    // — the generation pipeline is q_minhash_lsh's benchmark; at 100 TB
+    // the pair table is materialized once, not regenerated per consumer)
     "q_source_overlap" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashLshDups(docs,
-        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)
-      CorpusStats.sourceOverlap(docs, pairs)
+      CorpusStats.sourceOverlap(docs, lshPairsOnce(s, dir, docs))
     }),
 
     // per-label centroid drift between vec_id-parity corpus halves —
@@ -669,15 +716,21 @@ object Registry {
       IvfIndex.selfSearchMedoid(t(s, dir, "embeddings"),
         numQueries = 8, nlist = 8, nprobe = 2, k = 10, iters = 2)),
 
-    // J4: HNSW — per-partition NSW graphs + distributed merge
-    // (approximate, recall-gated in HnswIndexSpec; rows-only check here)
+    // J4: HNSW — per-partition hierarchical graphs + distributed merge,
+    // run at the EXHAUSTIVE beam (ef = partition size, entry-seeded,
+    // reachability-patched): structurally exact independent of the
+    // partition count, so the full build→walk→merge pipeline shares the
+    // brute-force FLAT oracle verbatim (r8 verdict item 6 — this query
+    // left the no-oracle allowlist). The production ef ≪ n walk stays
+    // benchmarked as q_hnsw_persisted and recall-gated in HnswIndexSpec.
     "q_hnsw_knn" -> ((s, dir) =>
-      HnswIndex.selfSearch(t(s, dir, "embeddings"), numQueries = 8, k = 10)),
+      HnswIndex.selfSearchExact(t(s, dir, "embeddings"), numQueries = 8, k = 10)),
 
     // S4→S3 for HNSW: persist the per-partition graphs, reload via direct
-    // array fill (zero insert work — spec-gated) and search. Same build
-    // params/partitioning as q_hnsw_knn ⇒ row-identical output
-    // (HnswIndexSpec pins the equality); no_oracle like all HNSW paths.
+    // array fill (zero insert work — spec-gated) and search at the
+    // PRODUCTION beam (ef = 64 ≪ n — the recall-traded serving walk,
+    // recall-gated in HnswIndexSpec; rows-only check here, drift-pinned
+    // by q_hnsw_levels + the q_recall_report hnsw row).
     "q_hnsw_persisted" -> ((s, dir) => {
       val idxDir = tmpIndexDir("graft_hnsw_idx", dir)
       HnswIndex.writeIndex(t(s, dir, "embeddings"), idxDir)
@@ -695,11 +748,16 @@ object Registry {
 
     // J4b: Vamana/DiskANN — the second graph-index family (Subramanya et
     // al. 2019): per-shard single-layer α-pruned graphs over a
-    // SQL-expressible mod routing, searched from the shard medoid.
-    // Approximate — recall-gated in VamanaIndexSpec; rows-only here.
+    // SQL-expressible mod routing, searched from the shard medoid — at
+    // the EXHAUSTIVE read beam (build ends in patchReachability, so
+    // beam ≥ shard size visits every node): structurally exact, sharing
+    // the brute-force FLAT oracle verbatim (r8 verdict item 6 — left
+    // the no-oracle allowlist). Build beam stays the standard L = 64;
+    // the production beam ≪ n walk stays recall-gated in
+    // VamanaIndexSpec and exercised by q_recall_report's vamana row.
     "q_vamana_knn" -> ((s, dir) =>
       VamanaIndex.selfSearch(t(s, dir, "embeddings"), numQueries = 8, k = 10,
-        numPartitions = 4)),
+        numPartitions = 4, searchBeam = Int.MaxValue)),
 
     // Filtered graph search (the Qdrant/Weaviate filtered-ANN serving
     // mode): predicate rides with each row into its shard, the walk
@@ -1407,12 +1465,16 @@ object Registry {
     // md5-bucket hash + sorted double folds ⇒ the WHOLE pipeline
     // (feature hash, both LMs, weights, Gumbel keys, selection) is
     // replayed exactly by the DuckDB oracle.
+    // Serves the once-persisted bucket table + memoized ratio model
+    // (shared with q_dsir_kl — same split, same B; values identical to
+    // the inline pipeline, oracle unchanged)
     "q_dsir_select" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dsir.select(
-        target = docs.where(col("source") === "src0"),
-        pool = docs.where(col("source") =!= "src0"),
-        k = 50, b = 256)
+      val bdocs = dsirBucketsOnce(s, dir)
+      val targetB = bdocs.where(col("source") === "src0")
+      val poolB = bdocs.where(col("source") =!= "src0")
+      val ratios = memoModel[Map[Long, Double]](s"dsir_ratios_$dir")(
+        Dsir.logRatiosB(targetB, poolB, 256))
+      Dsir.resample(Dsir.importanceWeightsB(poolB, ratios), k = 50)
     }),
 
     // The DSIR paper's own selection-quality metric: hashed-bucket
@@ -1421,16 +1483,16 @@ object Registry {
     // worked iff kl(selected) < kl(random) ≈ kl(pool) — and the whole
     // eval (selection replay included) hash-matches its DuckDB oracle.
     "q_dsir_kl" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
       val b = 256
-      // tokenize-once: ONE documents scan into checkpointed bucket
-      // arrays; ratios, scoring, the random control, and the one-job
-      // KL report all read the materialized buckets (the r6 shape
-      // re-scanned documents ~8 times, once per derived stage)
-      val bdocs = Dsir.bucketed(docs, b, keep = Seq("source")).localCheckpoint(true)
+      // tokenize-once: the once-persisted bucket artifact (shared with
+      // q_dsir_select) + memoized ratio model; the selection replay,
+      // random control, and one-job KL report all read the stored
+      // buckets (the r6 shape re-scanned documents ~8 times)
+      val bdocs = dsirBucketsOnce(s, dir)
       val targetB = bdocs.where(col("source") === "src0")
       val poolB = bdocs.where(col("source") =!= "src0")
-      val ratios = Dsir.logRatiosB(targetB, poolB, b)
+      val ratios = memoModel[Map[Long, Double]](s"dsir_ratios_$dir")(
+        Dsir.logRatiosB(targetB, poolB, b))
       val picked = Dsir.resample(Dsir.importanceWeightsB(poolB, ratios), k = 50)
         .select(col("doc_id"))
       val selectedB = poolB.join(picked, Seq("doc_id"), "left_semi")
@@ -3002,6 +3064,14 @@ s"""WITH cent AS (
     // UDAF path computes the identical top-k
     "q_flat_knn_agg" -> flatKnnSql,
 
+    // exhaustive-beam graph walks (r8 verdict item 6): at ef/beam ≥
+    // partition size over reachability-patched graphs the walk is
+    // structurally exact on any partitioning, so the full
+    // build→walk→merge pipelines share the brute-force FLAT oracle —
+    // a hash mismatch here means a broken graph build, walk, or merge
+    "q_hnsw_knn" -> flatKnnSql,
+    "q_vamana_knn" -> flatKnnSql,
+
     "q_range_search" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8
@@ -3358,6 +3428,26 @@ s"""WITH cent AS (
          |       (CAST(COALESCE(h.c, 0) AS BIGINT) * 1000) // tot.e AS recall_pm
          |FROM np n LEFT JOIN hits h ON h.nprobe = n.nprobe CROSS JOIN tot
          |ORDER BY nprobe""".stripMargin,
+
+    // efSearch sweep oracle — two-tier like q_recall_report's: the
+    // graph walk has no SQL replay, so the per-rung n_hit values are
+    // PINNED literals (drift pins — the recall value measured on the
+    // deterministic 4-shard build is the verified artifact; any
+    // build/walk/merge drift flips the hash), while n_exact and the
+    // per-mille floor-div arithmetic replay from the FLAT SQL.
+    // Monotone-in-ef + the rung-64 = selfSearchPersisted equality are
+    // spec-gated in HnswIndexSpec.
+    "q_hnsw_sweep" ->
+      s"""WITH ex AS (SELECT query_id, vec_id FROM ($flatKnnSql) t),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS e FROM ex),
+         |pins AS (SELECT * FROM (VALUES (2, 46), (4, 75), (8, 80), (64, 80))
+         |         AS v(ef_search, n_hit))
+         |SELECT CAST(p.ef_search AS BIGINT) AS ef_search,
+         |       CAST(p.n_hit AS BIGINT) AS n_hit,
+         |       tot.e AS n_exact,
+         |       (CAST(p.n_hit AS BIGINT) * 1000) // tot.e AS recall_pm
+         |FROM pins p CROSS JOIN tot
+         |ORDER BY ef_search""".stripMargin,
 
     // facet histogram of the exact top-20 per query
     "q_facet_counts" ->

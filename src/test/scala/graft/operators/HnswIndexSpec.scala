@@ -195,4 +195,52 @@ class HnswIndexSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect()
     assert(approx.forall(allowed.contains), "filtered search must only emit allowed nodes")
   }
+
+  test("selfSearchExact equals brute-force FLAT at any partition count") {
+    // the q_hnsw_knn contract: entry-seeded walk over reachability-
+    // patched graphs at ef = partition size is structurally exact, so
+    // the result is partition-invariant and equals the FLAT oracle
+    val exact = KnnSearch.selfTopK(emb, numQueries = 8, k = 10)
+      .collect().map(_.toString).toSeq
+    Seq(3, 8).foreach { parts =>
+      val walk = HnswIndex.selfSearchExact(emb, numQueries = 8, k = 10,
+          numPartitions = parts)
+        .collect().map(_.toString).toSeq
+      assert(walk == exact, s"exhaustive walk at $parts partitions must equal FLAT")
+    }
+  }
+
+  test("efSearch sweep: monotone recall, saturates by rung 64; rung 64 row-identical to selfSearchPersisted") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_spec_sweep"
+    HnswIndex.writeIndex(emb, dir, numPartitions = 4)
+    val efs = Seq(2, 4, 8, 64)
+    val all = HnswIndex.selfSearchPersistedSweep(spark, dir,
+      numQueries = 8, k = 10, efs = efs).cache()
+    val exact = KnnSearch.selfTopK(emb, numQueries = 8, k = 10)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = efs.map { ef =>
+      val got = all.where($"ef_search" === ef)
+        .select($"query_id", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val h = (got intersect exact).size
+      info(s"efSearch=$ef: n_hit=$h/${exact.size}")
+      ef -> h
+    }
+    // the q_hnsw_sweep dashboard contract: recall never decreases as the
+    // beam widens, and the production default (64 ≥ shard top-k need)
+    // sits at the saturated end
+    hits.sliding(2).foreach { case Seq((e1, h1), (e2, h2)) =>
+      assert(h1 <= h2, s"recall must be monotone in ef ($e1:$h1 > $e2:$h2)")
+    }
+    // rung 64 is the selfSearchPersisted walk, row for row (same graphs,
+    // same ef, same merge) — the sweep adds a column, not a new path
+    val rung = all.where($"ef_search" === 64)
+      .select($"query_id", $"rank", $"vec_id", $"dist")
+      .collect().map(_.toString).toSeq
+    val single = HnswIndex.selfSearchPersisted(spark, dir, numQueries = 8,
+        k = 10, efSearch = 64)
+      .collect().map(_.toString).toSeq
+    assert(rung == single)
+  }
 }

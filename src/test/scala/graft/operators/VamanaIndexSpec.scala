@@ -192,4 +192,19 @@ class VamanaIndexSpec extends SparkSpec {
       .select(size($"adj").as("deg")).agg(max($"deg")).head().getInt(0)
     assert(maxDeg <= params.r, s"max out-degree $maxDeg exceeds R=${params.r}")
   }
+
+  test("exhaustive read beam equals brute-force FLAT at any shard count") {
+    // the q_vamana_knn contract: build ends in patchReachability, so a
+    // searchBeam >= shard size walk visits every node — exact top-k,
+    // shard-count-invariant, equal to the FLAT oracle (build beam stays
+    // the standard L; only the read side widens)
+    val exact = KnnSearch.selfTopK(emb, numQueries = 8, k = 10)
+      .collect().map(_.toString).toSeq
+    Seq(3, 4).foreach { parts =>
+      val walk = VamanaIndex.selfSearch(emb, numQueries = 8, k = 10,
+          numPartitions = parts, searchBeam = Int.MaxValue)
+        .collect().map(_.toString).toSeq
+      assert(walk == exact, s"exhaustive beam at $parts shards must equal FLAT")
+    }
+  }
 }

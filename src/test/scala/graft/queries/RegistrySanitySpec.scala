@@ -11,21 +11,23 @@ class RegistrySanitySpec extends AnyFunSuite {
 
   // trained/approximate paths: verified by recall/variance specs, not
   // SQL. Each one ALSO has an oracle-hashed drift companion since r6:
-  // q_hnsw_knn/q_hnsw_persisted → q_hnsw_levels (level layout) + the
-  // HnswIndexSpec row-identity pin; q_ivf_trained_knn → q_ivf_medoid_knn
+  // q_hnsw_persisted → q_hnsw_levels (level layout) + the HnswIndexSpec
+  // row-identity pin + the q_hnsw_sweep rung pins;
+  // q_ivf_trained_knn → q_ivf_medoid_knn
   // (the full iterative train→search pipeline, medoid-snapped);
   // q_pca_reduce → q_pca_norms (orthonormality); q_whiten →
   // q_whiten_stats (Σλ = tr(C)); OPQ dumps the probe0_sq rotation
   // fingerprint. (q_bpe_merges left this set in r6 — its merge rounds
-  // are replayed exactly by a chained-CTE DuckDB oracle.)
-  // q_vamana_knn → q_vamana_medoids (entry-point rule, exact DuckDB
-  // replay) + the VamanaIndexSpec recall gate and persisted row-identity.
+  // are replayed exactly by a chained-CTE DuckDB oracle. q_hnsw_knn and
+  // q_vamana_knn left in r9: their exhaustive-beam forms are
+  // structurally exact and share the brute-force FLAT oracle; the
+  // production-beam walks stay recall-gated via q_hnsw_persisted and
+  // the graph-family specs.)
   private val documentedNoOracle =
-    Set("q_hnsw_knn", "q_ivf_trained_knn", "q_pca_reduce",
+    Set("q_ivf_trained_knn", "q_pca_reduce",
       "q_hnsw_persisted",
       "q_whiten",
-      "q_opq_knn", "q_opq_ivfpq_knn",
-      "q_vamana_knn")
+      "q_opq_knn", "q_opq_ivfpq_knn")
 
   test("every oracle key has a matching query") {
     val orphans = Registry.oracleSql.keySet -- Registry.queries.keySet
