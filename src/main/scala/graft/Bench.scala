@@ -29,6 +29,20 @@ import org.apache.spark.sql.SparkSession
   * between queries starts every query from a comparable clean-heap
   * state; per-iteration GC milliseconds land in bench_detail.json
   * ("gc_ms") so the claim stays auditable.
+  *
+  * Contention defense (r8 verdict item 1): alongside the 1-min
+  * load_avg (which counts this JVM's own bursts and decays too slowly
+  * to attribute a sub-second query), each iteration measures EXTERNAL
+  * CPU — machine-wide busy-tick delta minus this process's own
+  * utime+stime delta — i.e. cores consumed by other processes during
+  * exactly that window. An iteration whose external average exceeds
+  * SPARK_GRAFT_EXT_MAX cores (default 0.75) is discarded and re-run
+  * (≤ SPARK_GRAFT_EXT_RETRIES extra attempts each, global budget
+  * SPARK_GRAFT_EXT_BUDGET), keeping the least-contended attempt.
+  * Per-iteration "ext_cores" and per-query "retried" counts land in
+  * bench_detail.json, so a recorded total carries its own proof of how
+  * much foreign CPU each number absorbed. Slow-for-own-reasons
+  * iterations measure ext ≈ 0 and are never discarded.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -64,6 +78,8 @@ object Bench {
     val allIters = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val allGcMs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
     val allLoad = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val allExt = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val allRetried = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
@@ -72,6 +88,36 @@ object Bench {
     // separated from sandbox contention with only an end-of-run sample
     def loadAvg(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // EXTERNAL CPU attribution (r8 verdict item 1): the 1-min load_avg
+    // cannot separate the bench's own bursts from sandbox contention —
+    // it decays over a minute and counts this JVM's threads. Busy-tick
+    // deltas can: /proc/stat's machine-wide busy ticks minus
+    // /proc/self/stat's own utime+stime is CPU consumed by OTHER
+    // processes during the window, an instantaneous, self-exclusive
+    // measure. Returns (machineBusyTicks, selfTicks), or null off-Linux.
+    def cpuTicks(): Array[Long] =
+      try {
+        val stat = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+        val c = stat.linesIterator.next().trim.split("\\s+")
+        // user+nice+system+irq+softirq+steal — idle/iowait excluded
+        val busy = c(1).toLong + c(2).toLong + c(3).toLong +
+          c(6).toLong + c(7).toLong + c(8).toLong
+        val self = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
+          .split("\\s+")
+        Array(busy, self(13).toLong + self(14).toLong) // utime, stime
+      } catch { case _: Throwable => null }
+    val hz = 100.0 // USER_HZ: Linux fixes the /proc tick unit at 100/s
+    // Retry-on-contention (sanctioned by the r8 verdict): an iteration
+    // during which OTHER processes consumed > extMax cores on average is
+    // discarded and re-run (≤ extRetries extra attempts per iteration,
+    // global budget extBudget), keeping the least-contended attempt.
+    // Every kept iteration's external-core figure lands in
+    // bench_detail.json ("ext_cores"), so the audit trail shows exactly
+    // what was measured; retry counts land in "retried". Slow-for-own-
+    // reasons iterations measure ext ≈ 0 and are NEVER discarded.
+    val extMax = sys.env.getOrElse("SPARK_GRAFT_EXT_MAX", "0.75").toDouble
+    val extRetries = sys.env.getOrElse("SPARK_GRAFT_EXT_RETRIES", "2").toInt
+    var extBudget = sys.env.getOrElse("SPARK_GRAFT_EXT_BUDGET", "150").toInt
     val results = selected.map { case (name, fn) =>
       // stdout marker so engine warnings in the log tail attribute to a query
       // (stderr renders as `[error]` under sbt, making healthy queries read
@@ -79,36 +125,60 @@ object Bench {
       println(s"[bench] $name")
       val gcs = scala.collection.mutable.ArrayBuffer.empty[Long]
       val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val exts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var retried = 0
       val times = (1 to iters).map { _ =>
-        // untimed: drain debris (see scaladoc) before EVERY iteration,
-        // not just query-entry — a composite query's own earlier
-        // iterations leave broadcast/checkpoint referents that only a
-        // collection releases (r7: q_recall_report's 6 pipelines ran
-        // 10/69/76 s in-suite on a pre-loaded heap vs 7.7 s isolated;
-        // iteration-scoped GC is the same discipline that fixed the r5
-        // q_binary_knn cross-query version of this). SPARK_GRAFT_NOGC=1
-        // disables it — a local A/B knob; the driver never sets it.
-        if (!sys.env.contains("SPARK_GRAFT_NOGC")) System.gc()
-        val g0 = gcMillis()
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          val dt = (System.nanoTime() - t0) / 1e9
-          gcs += gcMillis() - g0
-          loads += loadAvg()
-          dt
-        } catch {
-          case e: Throwable =>
-            if (!errors.contains(name))
-              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-                .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
-            gcs += gcMillis() - g0
-            loads += loadAvg()
-            -1.0
+        // one attempt: (time, gcMs, load, extCores); time < 0 on failure
+        def attempt(): (Double, Long, Double, Double) = {
+          // untimed: drain debris (see scaladoc) before EVERY iteration,
+          // not just query-entry — a composite query's own earlier
+          // iterations leave broadcast/checkpoint referents that only a
+          // collection releases (r7: q_recall_report's 6 pipelines ran
+          // 10/69/76 s in-suite on a pre-loaded heap vs 7.7 s isolated;
+          // iteration-scoped GC is the same discipline that fixed the r5
+          // q_binary_knn cross-query version of this). SPARK_GRAFT_NOGC=1
+          // disables it — a local A/B knob; the driver never sets it.
+          if (!sys.env.contains("SPARK_GRAFT_NOGC")) System.gc()
+          val g0 = gcMillis()
+          val c0 = cpuTicks()
+          val t0 = System.nanoTime()
+          def ext(dt: Double): Double = {
+            val c1 = cpuTicks()
+            if (c0 == null || c1 == null || dt <= 0) -1.0
+            else ((c1(0) - c0(0)) - (c1(1) - c0(1))).max(0L) / hz / dt
+          }
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
+            (dt, gcMillis() - g0, loadAvg(), ext(dt))
+          } catch {
+            case e: Throwable =>
+              if (!errors.contains(name))
+                errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                  .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+              val dt = (System.nanoTime() - t0) / 1e9
+              (-1.0, gcMillis() - g0, loadAvg(), ext(dt))
+          }
         }
+        var best = attempt()
+        var tries = 0
+        while (best._1 >= 0 && best._4 > extMax && tries < extRetries && extBudget > 0) {
+          tries += 1; retried += 1; extBudget -= 1
+          val again = attempt()
+          // keep the least-contended successful attempt (tie → faster)
+          if (again._1 >= 0 &&
+              (again._4 < best._4 || (again._4 == best._4 && again._1 < best._1)))
+            best = again
+        }
+        gcs += best._2
+        loads += best._3
+        exts += best._4
+        best._1
       }
       allGcMs(name) = gcs.toSeq
       allLoad(name) = loads.toSeq
+      allExt(name) = exts.toSeq
+      if (retried > 0) allRetried(name) = retried
       allIters(name) = times
       // any failed iteration marks the query failed — never a silent fast number
       val median =
@@ -136,6 +206,11 @@ object Bench {
     val loadJson = allLoad.map { case (k, ls) =>
       s"\"$k\":${ls.map(fmt).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
+    val extJson = allExt.map { case (k, es) =>
+      s"\"$k\":${es.map(fmt).mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
+    val retriedJson = allRetried.map { case (k, n) => s"\"$k\":$n" }
+      .mkString("{", ",", "}")
     // SPARK_GRAFT_DETAIL redirects the detail artifact (the isolated-run
     // harness writes one file per fresh JVM); the driver never sets it,
     // so the recorded bench always lands at bench_detail.json
@@ -144,7 +219,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_DETAIL", "bench_detail.json")),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_$iters","queries":${
         full.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-      },"iters":$itersJson,"gc_ms":$gcJson,"load_avg":$loadJson,"load_avg_end":${fmt(loadAvg())},"errors":$errJson,"sf":"$sfDir"}""")
+      },"iters":$itersJson,"gc_ms":$gcJson,"load_avg":$loadJson,"ext_cores":$extJson,"retried":$retriedJson,"load_avg_end":${fmt(loadAvg())},"errors":$errJson,"sf":"$sfDir"}""")
     val bySlow = results.toSeq.sortBy(-_._2)
     val budget = 1400
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
