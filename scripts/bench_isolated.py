@@ -89,6 +89,11 @@ def main():
             "iters": d["iters"][q],
             "gc_ms": d["gc_ms"][q],
             "load_avg": d["load_avg"][q],
+            # external-CPU attribution (cores consumed by OTHER processes
+            # during each kept iteration) + how many contended attempts
+            # were discarded — the per-iteration contention audit
+            "ext_cores": d.get("ext_cores", {}).get(q, []),
+            "retried": d.get("retried", {}).get(q, 0),
         }
     hist = in_suite_history(queries)
     for q in results:
@@ -113,6 +118,30 @@ def main():
         },
         "queries": {**prior, **results},
     }
+    # when a refresh covers the ENTIRE registry, the sum of isolated
+    # medians is the contention-proof total-time record (each median is
+    # defended per-iteration by the ext_cores audit + retry-on-contention
+    # inside graft.Bench) — stamp it as a named record block
+    prior_records = {}
+    if os.path.exists("bench_isolated.json"):
+        try:
+            prior_records = json.load(open("bench_isolated.json")).get("records", {})
+        except Exception:
+            prior_records = {}
+    out["records"] = prior_records
+    if len(results) >= 100:  # full-registry refresh, not a spot trace
+        tag = os.environ.get("SPARK_GRAFT_RECORD_TAG", "full_registry")
+        out["records"][tag] = {
+            "queries": len(results),
+            "sum_isolated_median": round(sum(
+                r["isolated_median"] for r in results.values()), 3),
+            "sum_isolated_min": round(sum(
+                r["isolated_min"] for r in results.values()), 3),
+            "iters": int(iters),
+            "max_ext_cores": round(max((max(r["ext_cores"] or [0.0])
+                for r in results.values()), default=0.0), 3),
+            "sf": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        }
     with open("bench_isolated.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({q: r["isolated_median"] for q, r in results.items()}))

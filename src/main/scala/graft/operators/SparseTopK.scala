@@ -81,9 +81,12 @@ object SparseTopK {
       .withColumn("impact_rank", row_number().over(w).cast("long"))
   }
 
-  /** Exact top-k for a bag-of-words query: (rank, doc_id, score). */
+  /** Exact top-k for a bag-of-words query: (rank, doc_id, score).
+    * Runs the loop directly — [[taTopKWithStats]] additionally pays an
+    * exhaustive-postings count job that exists only to fill the audit's
+    * `queryPostings` denominator, which this result path never reads. */
   def taTopK(index: DataFrame, queryTerms: Seq[String], k: Int): DataFrame =
-    taTopKWithStats(index, queryTerms, k)._1
+    taLoop(index, queryTerms, k)._1
 
   /** Persist the impact index as the STORED artifact the TA serve path
     * reads: partitioned by a term-hash bucket (vocab-safe — never one
