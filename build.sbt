@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Xms=Xmx: with an adaptive heap starting small, the bench pays
+  // grow-the-heap GC cycles INSIDE timed iterations (~0.5 s of GC per
+  // 20 heavy queries measured at 8g; zero at a preallocated 16g). The
+  // box has 128 GiB; a fixed 16 GiB driver+executor heap is the
+  // local[32] analog of sizing executor memory once, up front.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

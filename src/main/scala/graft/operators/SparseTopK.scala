@@ -58,13 +58,18 @@ object SparseTopK {
       textCol: String = "text"): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val lens = docs.select(col("doc_id"),
-      size(TextFunctions.tokens(col(textCol))).cast("long").as("len"))
     val n = docs.count() // control-plane scalars, as in Bm25.rank
-    val totalLen = lens.agg(sum(col("len"))).head().getLong(0)
-    val avgdl = totalLen.toDouble / n
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // doc length = Σ tf over the doc's terms — derived from the tf
+    // table instead of a second tokenize pass over the corpus. Docs
+    // with no tokens have no tf rows and so no lens row, exactly like
+    // their null/zero size() was ignored by the old sum and dropped by
+    // the inner join below; every produced value is identical.
+    val lens = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("len"))
+    val totalLen = lens.agg(sum(col("len"))).head().getLong(0)
+    val avgdl = totalLen.toDouble / n
     // vocab-sized (Heaps' law) but unbounded at corpus scale — a shuffle
     // join on term, NOT a broadcast (unlike the per-query df in Bm25)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
