@@ -21,7 +21,11 @@ DEFAULT = ["q_lang_id", "q_window_running", "q_rolling_latency",
            "q_minhash_lsh", "q_binary_knn", "q_dup_spans_capped"]
 
 JVM_FLAGS = [
+    # -Xms matches -Xmx so isolated medians are measured under the same
+    # preallocated-heap policy as the suite bench (build.sbt rationale:
+    # an adaptive heap pays grow-the-heap GC inside timed iterations)
     "-Xmx16g",
+    "-Xms16g",
     "--add-opens=java.base/java.lang=ALL-UNNAMED",
     "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
     "--add-opens=java.base/java.lang.reflect=ALL-UNNAMED",
@@ -85,7 +89,11 @@ def main():
         d = json.load(open(detail))
         results[q] = {
             "isolated_median": d["queries"][q],
-            "isolated_min": min(t for t in d["iters"][q] if t >= 0),
+            # an all-failed query has no non-negative iteration — record
+            # -1.0 (the Bench failure sentinel) instead of crashing the
+            # whole refresh on min() of an empty sequence
+            "isolated_min": min(
+                (t for t in d["iters"][q] if t >= 0), default=-1.0),
             "iters": d["iters"][q],
             "gc_ms": d["gc_ms"][q],
             "load_avg": d["load_avg"][q],
@@ -129,7 +137,15 @@ def main():
         except Exception:
             prior_records = {}
     out["records"] = prior_records
-    if len(results) >= 100:  # full-registry refresh, not a spot trace
+    # a failed query's sentinel median (-1.0) would silently DEFLATE the
+    # stamped sum — a record that claims to be contention-proof must
+    # first be complete, so refuse to stamp one over failures
+    failed = sorted(q for q, r in results.items()
+                    if r["isolated_median"] < 0 or r["isolated_min"] < 0)
+    if failed:
+        print(f"[isolated] NOT stamping record: failed queries {failed}",
+              file=sys.stderr)
+    if len(results) >= 100 and not failed:  # full-registry refresh, clean
         tag = os.environ.get("SPARK_GRAFT_RECORD_TAG", "full_registry")
         out["records"][tag] = {
             "queries": len(results),

@@ -184,6 +184,11 @@ object Bench {
       val median =
         if (times.exists(_ < 0)) -1.0
         else times.sorted.apply(times.size / 2)
+      // a DISCARDED contention-retry attempt may have failed and recorded
+      // an error even though every kept iteration succeeded — failure
+      // signaling must describe the attempts that produced the numbers,
+      // so drop the entry when the kept median is healthy
+      if (median >= 0) errors.remove(name)
       name -> median
     }
     def fmt(v: Double): String = BigDecimal(v)

@@ -105,6 +105,45 @@ object AnnEval {
       .orderBy(col(labelCol))
   }
 
+  /** The PREFIX-rung sweep dashboard in one window pass + one grading
+    * join (r9 verdict item 7 — extends the [[recallSweepRows]] one-join
+    * discipline to sweeps whose rungs SHARE rows): candidates carry a
+    * prefix-rank column (q_rerank_sweep's adc_rank, q_ivf_sweep's
+    * probe_rank) and rung `sl`'s result is the top-k by (dist, vec_id)
+    * among rows with prefixRank ≤ sl. A candidate's rank at rung sl is
+    * the inclusive running count of rows with prefixRank ≤ sl in
+    * (dist, vec_id) order — so ONE window evaluates every rung's
+    * ranking simultaneously (|settings| conditional running sums), an
+    * explode tags each candidate with the rungs whose top-k it enters
+    * (disjoint tagged rows by construction), and the whole dashboard
+    * grades in the single [[recallSweepRows]] join. Row-for-row equal
+    * to the per-rung filter+row_number+join form it replaces. */
+  def prefixSweepRows(
+      labelCol: String,
+      settings: Seq[Long],
+      candidates: DataFrame,
+      prefixRankCol: String,
+      k: Int,
+      exact: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("vec_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val rankCols = settings.map(sl =>
+      sum(when(col(prefixRankCol) <= sl, 1L).otherwise(0L)).over(w).as(s"_r$sl"))
+    val ranked = candidates.select(
+      Seq(col("query_id"), col("vec_id"), col(prefixRankCol)) ++ rankCols: _*)
+    val rankAt = settings.tail.foldLeft(
+      when(col(labelCol) === settings.head, col(s"_r${settings.head}"))) {
+      (acc, sl) => acc.when(col(labelCol) === sl, col(s"_r$sl"))
+    }
+    val tagged = ranked
+      .withColumn(labelCol, explode(array(settings.map(lit(_)): _*)))
+      .where(col(prefixRankCol) <= col(labelCol) && rankAt <= k)
+    recallSweepRows(labelCol, settings, tagged, exact)
+  }
+
   /** Per-vector reconstruction error for the compression ladder — the
     * FAISS sa_encode/sa_decode quantization-error diagnostic: a vector's
     * distance to its OWN code IS the reconstruction SSE, so each family

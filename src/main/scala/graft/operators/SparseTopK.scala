@@ -59,8 +59,17 @@ object SparseTopK {
     val toks = docs.select(col("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
     val n = docs.count() // control-plane scalars, as in Bm25.rank
+    // tf is the one corpus-sized intermediate every downstream branch
+    // (lens, totalLen, df, the final join) reads; without a
+    // materialization point the totalLen action below and the caller's
+    // index job EACH replay the tokenize+shuffle pass. Lazy persist (the
+    // q_kn_bigram precedent): the totalLen job computes tf once and
+    // caches; the index job reads blocks. At 100 TB this is the
+    // materialization any impact-index build pays between its stats
+    // pass and its ranking pass (MEMORY_AND_DISK — spills, lineage kept).
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // doc length = Σ tf over the doc's terms — derived from the tf
     // table instead of a second tokenize pass over the corpus. Docs
     // with no tokens have no tf rows and so no lens row, exactly like

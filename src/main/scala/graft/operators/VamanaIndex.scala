@@ -554,6 +554,61 @@ object VamanaIndex {
     searchGraphs(spark, dir, queries, k, excludeSelf = true)
   }
 
+  /** Filtered search SERVED from a once-persisted index — the FAISS
+    * IDSelector / loaded-index serving shape (r9 verdict item 1), the
+    * Vamana twin of [[HnswIndex.selfSearchFilteredPersisted]]: the
+    * α-pruned shard graphs are never rebuilt per call. The allowed-id
+    * set arrives as a DataFrame (one `vec_id` column), is routed with
+    * the build's own `vec_id % parts` rule and COGROUPED with the
+    * stored node rows — co-partitioned data-plane flow, no broadcast
+    * allowed-set, no driver collect, any predicate selectivity. Stored
+    * adjacency is already reachability-patched ([[LocalGraph.build]]
+    * ends in `patchReachability` before persist), so at beam ≥ shard
+    * size each shard emits its EXACT filtered top-k and the A1 merge is
+    * the exact global answer — same brute-force filtered oracle as the
+    * fresh-build form, hash unchanged. */
+  def selfSearchFilteredPersisted(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      allowed: DataFrame,
+      numQueries: Int,
+      k: Int,
+      searchBeam: Int = 0): DataFrame = {
+    import spark.implicits._
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val p = Params(m.getInt(0), m.getInt(1), m.getDouble(2))
+    val parts = m.getInt(3)
+    val queries = spark.read.parquet(s"$dir/nodes")
+      .where(col("vec_id") < numQueries).as[VamanaNode]
+      .map(n => (n.vec_id, n.vec)).collect().sortBy(_._1)
+    val bcQueries = spark.sparkContext.broadcast(queries)
+    val beam = searchBeam
+    val allowByPart = allowed
+      .select(pmod(col("vec_id"), lit(parts)).cast("int").as("part_id"),
+        col("vec_id"))
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+    val partials = spark.read.parquet(s"$dir/nodes").as[VamanaNode]
+      .groupByKey(_.part_id)
+      .cogroup(allowByPart) { (_, nodeIt, allowIt) =>
+        val rows = nodeIt.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val graph = graphFromRows(rows, p)
+          val allowSet = allowIt.map(_._2).toSet
+          val allow: Int => Boolean = node => allowSet.contains(graph.ids(node))
+          bcQueries.value.iterator.flatMap { case (qid, qv) =>
+            graph.searchFiltered(qv, k + 1, allow, beam)
+              .filter { case (_, node) => graph.ids(node) != qid }
+              .take(k)
+              .map { case (d, node) => (qid, graph.ids(node), d) }
+          }
+        }
+      }
+      .toDF("query_id", "vec_id", "dist")
+    mergeTopK(partials, k)
+  }
+
   /** Serving path: arbitrary query vectors against a persisted index
     * (no self-exclusion — external queries have no corpus identity). */
   def searchPersisted(queries: DataFrame, dir: String, k: Int): DataFrame = {

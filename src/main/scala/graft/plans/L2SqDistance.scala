@@ -467,6 +467,9 @@ case class Sq4Distance(
 
   override def dataType: DataType = DoubleType
 
+  // null (not garbage) on an undersized input array — see nullSafeEval
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(FloatType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
@@ -476,6 +479,10 @@ case class Sq4Distance(
   override def nullSafeEval(a: Any, b: Any): Any = {
     val q = a.asInstanceOf[ArrayData]
     val packed = b.asInstanceOf[ArrayData]
+    // an undersized packed array would read past numElements() on
+    // UnsafeArrayData SILENTLY (garbage distances, no error) — the HOF
+    // form yields null via element_at; match that contract
+    if (packed.numElements() < (d + 1) / 2 || q.numElements() < d) return null
     var acc = 0.0
     var i = 0
     while (i < d) {
@@ -500,15 +507,19 @@ case class Sq4Distance(
       val recon = ctx.freshName("recon")
       val diff = ctx.freshName("diff")
       s"""
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $d; $i++) {
-         |  long $byte = $b.getLong($i >> 1);
-         |  long $code = (($i & 1) == 0) ? ($byte >> 4) : ($byte & 15L);
-         |  double $recon = $vminRef[$i] + (double) $code * $scaleRef[$i];
-         |  double $diff = (double) $a.getFloat($i) - $recon;
-         |  $acc += $diff * $diff;
+         |if ($b.numElements() < ${(d + 1) / 2} || $a.numElements() < $d) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    long $byte = $b.getLong($i >> 1);
+         |    long $code = (($i & 1) == 0) ? ($byte >> 4) : ($byte & 15L);
+         |    double $recon = $vminRef[$i] + (double) $code * $scaleRef[$i];
+         |    double $diff = (double) $a.getFloat($i) - $recon;
+         |    $acc += $diff * $diff;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -414,14 +414,12 @@ object Registry {
           graft.functions.Distances.l2SqFast(col("qvec"), col("embedding"))
             .as("dist"))
         .localCheckpoint(true)
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("dist"), col("vec_id"))
-      Seq(16, 32, 64).map { sl =>
-        val topk = scored.where(col("adc_rank") <= sl)
-          .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 10)
-        AnnEval.recallSweepRow("shortlist", sl.toLong, topk, exact)
-      }.reduce(_ unionByName _).orderBy(col("shortlist"))
+      // one running-count window pass ranks every rung at once, one
+      // join grades the dashboard (prefixSweepRows — the q_hnsw_sweep
+      // one-join grader extended to prefix rungs, r9 verdict item 7);
+      // rows identical to the per-rung window+join form, same oracle
+      AnnEval.prefixSweepRows("shortlist", Seq(16L, 32L, 64L), scored,
+        prefixRankCol = "adc_rank", k = 10, exact = exact)
     }),
 
     // Keyset pagination (Elastic search_after): page 2 fetched by
@@ -456,14 +454,11 @@ object Registry {
           graft.functions.Distances.l2SqFast(col("qvec"), col("embedding"))
             .as("dist"))
         .localCheckpoint()
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("dist"), col("vec_id"))
-      settings.map { np =>
-        val topk = cand.where(col("probe_rank") <= np)
-          .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 10)
-        AnnEval.recallSweepRow("nprobe", np.toLong, topk, exact)
-      }.reduce(_ unionByName _).orderBy(col("nprobe"))
+      // same one-pass/one-join prefix grader as q_rerank_sweep (nprobe
+      // rungs are prefixes of the probe_rank ladder); rows identical to
+      // the per-rung window+join form, same oracle
+      AnnEval.prefixSweepRows("nprobe", settings.map(_.toLong), cand,
+        prefixRankCol = "probe_rank", k = 10, exact = exact)
     }),
 
     // HNSW efSearch tuning sweep — the graph-family member of the knob
@@ -727,14 +722,18 @@ object Registry {
       HnswIndex.selfSearchExact(t(s, dir, "embeddings"), numQueries = 8, k = 10)),
 
     // S4→S3 for HNSW: persist the per-partition graphs, reload via direct
-    // array fill (zero insert work — spec-gated) and search at the
-    // PRODUCTION beam (ef = 64 ≪ n — the recall-traded serving walk,
-    // recall-gated in HnswIndexSpec; rows-only check here, drift-pinned
-    // by q_hnsw_levels + the q_recall_report hnsw row).
+    // array fill (zero insert work — spec-gated) and walk at the
+    // EXHAUSTIVE beam (load-time reachability patch + entry seed +
+    // ef = shard size — structurally exact, r9 verdict item 3), so the
+    // full write→reload→walk→merge pipeline shares the brute-force FLAT
+    // oracle verbatim and the query leaves the no-oracle allowlist. The
+    // PRODUCTION ef = 64 ≪ n persisted read stays benchmarked and
+    // recall-gated via q_recall_report's hnsw row and the q_hnsw_sweep
+    // ladder (rung 64 = selfSearchPersisted row-identity, spec-gated).
     "q_hnsw_persisted" -> ((s, dir) => {
       val idxDir = tmpIndexDir("graft_hnsw_idx", dir)
       HnswIndex.writeIndex(t(s, dir, "embeddings"), idxDir)
-      HnswIndex.selfSearchPersisted(s, idxDir, numQueries = 8, k = 10)
+      HnswIndex.selfSearchPersistedExact(s, idxDir, numQueries = 8, k = 10)
     }),
 
     // Structural drift fingerprint for the HNSW paths: the corpus's
@@ -759,26 +758,36 @@ object Registry {
       VamanaIndex.selfSearch(t(s, dir, "embeddings"), numQueries = 8, k = 10,
         numPartitions = 4, searchBeam = Int.MaxValue)),
 
-    // Filtered graph search (the Qdrant/Weaviate filtered-ANN serving
-    // mode): predicate rides with each row into its shard, the walk
-    // crosses disallowed nodes but only admits passing ones. SEARCH
-    // beam 512 ≥ shard size at test scale ⇒ exact (build beam stays the
-    // standard L=64 — exactness needs only the read-side beam plus the
-    // build's reachability patch) — shares q_filtered_knn's brute-force
+    // Filtered graph search SERVED from the once-persisted index (the
+    // FAISS IDSelector / Qdrant-Weaviate filtered-ANN serving mode, r9
+    // verdict item 1 — the per-call α-pruned graph rebuild is gone): the
+    // predicate's surviving vec_ids route to shards by the build's own
+    // mod rule and cogroup with the stored node rows — no broadcast
+    // allowed-set, no driver collect. The index is the SAME artifact
+    // q_recall_report's vamana row serves (buildOnce — generation timed
+    // in whichever owner runs first). SEARCH beam 512 ≥ shard size at
+    // test scale ⇒ exact (stored adjacency is already
+    // reachability-patched) — shares q_filtered_knn's brute-force
     // oracle verbatim; production runs beam ≪ n for recall.
-    "q_vamana_filtered_knn" -> ((s, dir) =>
-      VamanaIndex.selfSearchFiltered(t(s, dir, "embeddings"),
-        predicate = col("label") < 4, numQueries = 8, k = 10,
-        numPartitions = 4, searchBeam = 512)),
+    "q_vamana_filtered_knn" -> ((s, dir) => {
+      val idx = buildOnce("graft_recall_vamana_idx", dir)(d =>
+        VamanaIndex.writeIndex(t(s, dir, "embeddings"), d, numPartitions = 4))
+      VamanaIndex.selfSearchFilteredPersisted(s, idx,
+        allowed = t(s, dir, "embeddings").where(col("label") < 4).select("vec_id"),
+        numQueries = 8, k = 10, searchBeam = 512)
+    }),
 
-    // The HNSW twin: same filtered-serving semantics on the
-    // hierarchical family (entry-seeded layer-0 walk + layer-0
-    // reachability patch make ef ≥ partition size exact) — same
-    // brute-force oracle
-    "q_hnsw_filtered_knn" -> ((s, dir) =>
-      HnswIndex.selfSearchFiltered(t(s, dir, "embeddings"),
-        predicate = col("label") < 4, numQueries = 8, k = 10,
-        numPartitions = 4, efFiltered = 512)),
+    // The HNSW twin: same persisted filtered-serving semantics on the
+    // hierarchical family (load-time layer-0 reachability patch +
+    // entry-seeded walk make ef ≥ shard size exact), served from the
+    // index q_recall_report's hnsw row owns — same brute-force oracle
+    "q_hnsw_filtered_knn" -> ((s, dir) => {
+      val idx = buildOnce("graft_recall_hnsw_idx", dir)(d =>
+        HnswIndex.writeIndex(t(s, dir, "embeddings"), d))
+      HnswIndex.selfSearchFilteredPersisted(s, idx,
+        allowed = t(s, dir, "embeddings").where(col("label") < 4).select("vec_id"),
+        numQueries = 8, k = 10, efFiltered = 512)
+    }),
 
     // Oracle-checked drift fingerprint for the Vamana paths: every
     // shard's entry point (medoid = argmin distance to the shard
@@ -1369,14 +1378,20 @@ object Registry {
     // oracle shape as exhaustive scoring. The index build checkpoints
     // once (it is the stored artifact; TA rounds re-read it).
     "q_ta_topk" -> ((s, dir) => {
-      // lazy checkpoint: the seed-scores job materializes the index as a
-      // side effect (same replayed blocks for the later TA jobs — the
-      // q_kn_bigram lazy-persist precedent), instead of paying a
-      // dedicated eager materialization pass first
+      // The TA walk references the index FIVE times (seed self-join ×2,
+      // ladder tails, final self-join ×2), and a LAZY checkpoint's first
+      // consumer is the seed SELF-join — its two branches can each
+      // evaluate the O(corpus) build before blocks land (the r9 isolated
+      // creep). Filter to the query terms FIRST (per-query postings are
+      // control-plane-sized) and materialize those eagerly: the build
+      // pipeline runs exactly once, and every TA job reads block-store
+      // rows. taLoop's own term filter is a no-op on the pre-filtered
+      // set, so the rows — and the oracle hash — are unchanged.
+      val terms = Seq("merge", "vector", "batch", "slow", "spark")
       val idx = SparseTopK.buildImpactIndex(t(s, dir, "documents"))
-        .localCheckpoint(false)
-      SparseTopK.taTopK(idx,
-        queryTerms = Seq("merge", "vector", "batch", "slow", "spark"), k = 15)
+        .where(col("term").isin(terms: _*))
+        .localCheckpoint(true)
+      SparseTopK.taTopK(idx, queryTerms = terms, k = 15)
     }),
 
     // Batch-query TA (verdict r7 item 6): four bag-of-words queries run
@@ -3093,6 +3108,12 @@ s"""WITH cent AS (
     // a hash mismatch here means a broken graph build, walk, or merge
     "q_hnsw_knn" -> flatKnnSql,
     "q_vamana_knn" -> flatKnnSql,
+
+    // persisted twin (r9 verdict item 3): write→reload(direct fill)→
+    // load-time patch→entry-seeded ef = shard-size walk is the same
+    // structural-exactness argument on the STORED rows, so the S4→S3
+    // round-trip also hashes against the FLAT oracle
+    "q_hnsw_persisted" -> flatKnnSql,
 
     "q_range_search" ->
       s"""WITH q AS (

@@ -210,6 +210,43 @@ class HnswIndexSpec extends SparkSpec {
     }
   }
 
+  test("selfSearchPersistedExact: stored-rows exhaustive walk equals brute-force FLAT") {
+    // the q_hnsw_persisted contract (r9 verdict item 3): the load-time
+    // reachability patch + entry-seeded ef = shard-size walk make the
+    // S4→S3 round-trip structurally exact, so it shares the FLAT oracle
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_spec_pexact"
+    HnswIndex.writeIndex(emb, dir, numPartitions = 4)
+    val exact = KnnSearch.selfTopK(emb, numQueries = 8, k = 10)
+      .collect().map(_.toString).toSeq
+    val walk = HnswIndex.selfSearchPersistedExact(spark, dir, numQueries = 8, k = 10)
+      .collect().map(_.toString).toSeq
+    assert(walk == exact)
+  }
+
+  test("selfSearchFilteredPersisted: served walk row-identical to the fresh filtered build; only allowed nodes") {
+    // the q_hnsw_filtered_knn serving shape (r9 verdict item 1): the
+    // once-persisted unfiltered graphs answer the filtered walk — at
+    // ef >= shard size both forms are the exact filtered top-k, so the
+    // served read must be row-identical to the per-call build it replaces
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_spec_pfilt"
+    HnswIndex.writeIndex(emb, dir, numPartitions = 4)
+    val allowedDf = emb.where($"label" < 2).select($"vec_id")
+    val fresh = HnswIndex.selfSearchFiltered(emb, $"label" < 2, numQueries = 8,
+        k = 5, numPartitions = 4, efFiltered = 256)
+      .collect().map(_.toString).toSeq
+    val served = HnswIndex.selfSearchFilteredPersisted(spark, dir, allowedDf,
+        numQueries = 8, k = 5, efFiltered = 256)
+      .collect().map(_.toString).toSeq
+    assert(served == fresh)
+    // production beam (ef << n) trades recall but must never leak a
+    // disallowed node through the cogrouped allow set
+    val allowed = allowedDf.as[Long].collect().toSet
+    val approx = HnswIndex.selfSearchFilteredPersisted(spark, dir, allowedDf,
+        numQueries = 8, k = 5, efFiltered = 8)
+      .select($"vec_id").as[Long].collect()
+    assert(approx.forall(allowed.contains))
+  }
+
   test("efSearch sweep: monotone recall, saturates by rung 64; rung 64 row-identical to selfSearchPersisted") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_spec_sweep"
     HnswIndex.writeIndex(emb, dir, numPartitions = 4)

@@ -164,6 +164,31 @@ class VamanaIndexSpec extends SparkSpec {
     assert(approx.forall(allowed.contains), "filtered search must only emit allowed nodes")
   }
 
+  test("selfSearchFilteredPersisted: served walk row-identical to the fresh filtered build; only allowed nodes") {
+    // the q_vamana_filtered_knn serving shape (r9 verdict item 1): the
+    // once-persisted α-pruned graphs answer the filtered walk — at
+    // beam >= shard size both forms are the exact filtered top-k, so
+    // the served read must be row-identical to the per-call build
+    val dir = java.nio.file.Files.createTempDirectory("vamana_pfilt").toString
+    val params = VamanaIndex.Params(r = 16, l = 32)
+    VamanaIndex.writeIndex(emb, dir, numPartitions = 4, params = params)
+    val allowedDf = emb.where($"label" < 2).select($"vec_id")
+    val fresh = VamanaIndex.selfSearchFiltered(emb, $"label" < 2, numQueries = 8,
+        k = 5, numPartitions = 4, params = params, searchBeam = 128)
+      .collect().map(_.toString).toSeq
+    val served = VamanaIndex.selfSearchFilteredPersisted(spark, dir, allowedDf,
+        numQueries = 8, k = 5, searchBeam = 128)
+      .collect().map(_.toString).toSeq
+    assert(served == fresh)
+    // production beam (L << n) trades recall but must never leak a
+    // disallowed node through the cogrouped allow set
+    val allowed = allowedDf.as[Long].collect().toSet
+    val approx = VamanaIndex.selfSearchFilteredPersisted(spark, dir, allowedDf,
+        numQueries = 8, k = 5, searchBeam = 8)
+      .select($"vec_id").as[Long].collect()
+    assert(approx.forall(allowed.contains))
+  }
+
   test("patchReachability: a severed node regains medoid reachability; connected graphs untouched") {
     val pts = emb.select($"vec_id", $"embedding")
       .as[(Long, Array[Float])].collect().sortBy(_._1).take(32)

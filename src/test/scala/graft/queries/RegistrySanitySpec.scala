@@ -11,8 +11,6 @@ class RegistrySanitySpec extends AnyFunSuite {
 
   // trained/approximate paths: verified by recall/variance specs, not
   // SQL. Each one ALSO has an oracle-hashed drift companion since r6:
-  // q_hnsw_persisted → q_hnsw_levels (level layout) + the HnswIndexSpec
-  // row-identity pin + the q_hnsw_sweep rung pins;
   // q_ivf_trained_knn → q_ivf_medoid_knn
   // (the full iterative train→search pipeline, medoid-snapped);
   // q_pca_reduce → q_pca_norms (orthonormality); q_whiten →
@@ -20,12 +18,16 @@ class RegistrySanitySpec extends AnyFunSuite {
   // fingerprint. (q_bpe_merges left this set in r6 — its merge rounds
   // are replayed exactly by a chained-CTE DuckDB oracle. q_hnsw_knn and
   // q_vamana_knn left in r9: their exhaustive-beam forms are
-  // structurally exact and share the brute-force FLAT oracle; the
-  // production-beam walks stay recall-gated via q_hnsw_persisted and
-  // the graph-family specs.)
+  // structurally exact and share the brute-force FLAT oracle.
+  // q_hnsw_persisted left in r10: the persisted reload is walked at the
+  // same exhaustive beam — load-time reachability patch + entry seed +
+  // ef = shard size — so the S4→S3 round-trip hashes against the FLAT
+  // oracle too; the production ef = 64 read stays recall-gated via
+  // q_recall_report's hnsw row and the q_hnsw_sweep rung pins. The five
+  // remaining entries are legitimately permanent: LAPACK/seed-dependent
+  // trained transforms, each drift-pinned.)
   private val documentedNoOracle =
     Set("q_ivf_trained_knn", "q_pca_reduce",
-      "q_hnsw_persisted",
       "q_whiten",
       "q_opq_knn", "q_opq_ivfpq_knn")
 
