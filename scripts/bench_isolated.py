@@ -101,6 +101,7 @@ def main():
             # during each kept iteration) + how many contended attempts
             # were discarded — the per-iteration contention audit
             "ext_cores": d.get("ext_cores", {}).get(q, []),
+            "steal_cores": d.get("steal_cores", {}).get(q, []),
             "retried": d.get("retried", {}).get(q, 0),
         }
     hist = in_suite_history(queries)

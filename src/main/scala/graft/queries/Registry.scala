@@ -1765,6 +1765,13 @@ object Registry {
       def candsOnce(b: Int): DataFrame =
         s.read.parquet(buildOnce(s"graft_minhash_cand_b$b", dir)(p =>
           withinSource(Dedup.lshCandidates(sigs, b, 16 / b)).write.parquet(p)))
+      // NOT a prefixSweepRows candidate (r9 verdict item 7 note): band
+      // rungs are neither disjoint row sets (q_hnsw_sweep's shape) nor
+      // prefixes of one ranking (q_rerank_sweep's) — each band count
+      // re-slices the signature into different bucket keys, so the three
+      // candidate tables come from three structurally different joins
+      // and overlap arbitrarily. Per-rung grading over the stored
+      // candidate artifacts is the correct shape here.
       Seq(2, 4, 8).map { b =>
         Dedup.pairQualityReport(candsOnce(b), exact)
           .withColumn("bands", lit(b.toLong))
