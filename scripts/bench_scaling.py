@@ -78,12 +78,21 @@ def main():
             "base_ext_cores": base[q]["ext_cores"],
             "scaled_ext_cores": scaled[q]["ext_cores"],
         }
-    out = {"mult": mult, "iters_per_point": iters,
-           "note": "median per (scale, query), fresh JVM each; iteration 1 "
+    # merge by multiplier so successive runs (10x, 30x, ...) accumulate
+    # into one artifact instead of overwriting each other's curves
+    prior = {}
+    if os.path.exists("bench_scaling.json"):
+        try:
+            prior = json.load(open("bench_scaling.json")).get("scales", {})
+        except Exception:
+            prior = {}
+    prior[f"{mult}x"] = {"mult": mult, "iters_per_point": iters,
+                         "queries": rows}
+    out = {"note": "median per (scale, query), fresh JVM each; iteration 1 "
                    "carries JIT + any buildOnce artifact generation, so the "
                    "median reflects steady-state serve cost; ratio = "
-                   f"scaled/base at {mult}x rows",
-           "queries": rows}
+                   "scaled/base at Nx rows",
+           "scales": prior}
     with open("bench_scaling.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({q: r["ratio"] for q, r in rows.items()}))
