@@ -202,6 +202,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("filtered-persisted graph serving: allow side scans only (vec_id, label) with the predicate pushed; stored nodes cogroup") {
+    // the r9-verdict serving shape: the predicate side must be a
+    // two-column pruned scan with the label filter pushed into parquet
+    // (the embedding vectors ride ONLY in the stored index rows), and
+    // the shard dispatch must be a CoGroup of stored nodes with routed
+    // allow-ids — no join of the corpus against itself, no broadcast
+    // allowed-set, no fresh graph build input from the embeddings table
+    Seq("q_hnsw_filtered_knn", "q_vamana_filtered_knn").foreach { q =>
+      val p = planOf(Registry.queries(q)(spark, sf0001))
+      assert(p.contains("CoGroup"), s"$q must cogroup stored nodes with allow-ids")
+      assert(p.contains("PushedFilters: [IsNotNull(label), LessThan(label,4)]"),
+        s"$q: the allow predicate must reach the embeddings parquet scan")
+      assert(p.contains("ReadSchema: struct<vec_id:bigint,label:int>"),
+        s"$q: the allow side must prune to (vec_id, label) — never read embedding")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), q)
+    }
+  }
+
   test("q_event_counters: two-phase aggregation (map-side partial)") {
     val p = planOf(Registry.queries("q_event_counters")(spark, sf0001))
     assert(p.contains("partial_count") || p.contains("Partial"),
