@@ -86,8 +86,12 @@ def main():
             prior = json.load(open("bench_scaling.json")).get("scales", {})
         except Exception:
             prior = {}
-    prior[f"{mult}x"] = {"mult": mult, "iters_per_point": iters,
-                         "queries": rows}
+    # merge at the query level too: a follow-up run that adds one query
+    # at an existing multiplier must not drop that scale's other curves
+    slot = prior.get(f"{mult}x", {"mult": mult, "iters_per_point": iters,
+                                  "queries": {}})
+    slot["queries"].update(rows)
+    prior[f"{mult}x"] = slot
     out = {"note": "median per (scale, query), fresh JVM each; iteration 1 "
                    "carries JIT + any buildOnce artifact generation, so the "
                    "median reflects steady-state serve cost; ratio = "
