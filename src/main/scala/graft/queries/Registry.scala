@@ -754,9 +754,14 @@ object Registry {
     // the no-oracle allowlist). Build beam stays the standard L = 64;
     // the production beam ≪ n walk stays recall-gated in
     // VamanaIndexSpec and exercised by q_recall_report's vamana row.
+    // Shards at defaultParallelism (r10; was a hard-coded 4): the
+    // exhaustive result is partition-invariant (spec: "exhaustive read
+    // beam equals FLAT at any shard count"), and O(n·L·R) of build work
+    // split over 32 tasks instead of 4 parallelizes the pin's per-call
+    // cost without touching its hash.
     "q_vamana_knn" -> ((s, dir) =>
       VamanaIndex.selfSearch(t(s, dir, "embeddings"), numQueries = 8, k = 10,
-        numPartitions = 4, searchBeam = Int.MaxValue)),
+        searchBeam = Int.MaxValue)),
 
     // Filtered graph search SERVED from the once-persisted index (the
     // FAISS IDSelector / Qdrant-Weaviate filtered-ANN serving mode, r9
