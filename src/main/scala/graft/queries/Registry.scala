@@ -499,21 +499,38 @@ object Registry {
     // rows-only + recall-gated by OpqIndexSpec like the other learned
     // models (no SQL oracle). probe0_sq = rotated_query[0]² fixes R
     // itself in the dump (sign-invariant, rotation-sensitive) — the same
-    // fixed-probe treatment as q_pca_reduce/q_whiten.
-    "q_opq_knn" -> ((s, dir) =>
-      OpqIndex.selfSearchTrained(t(s, dir, "embeddings"),
-        numQueries = 8, m = 8, subDim = 8, ksub = 32, k = 10, iters = 3)),
+    // fixed-probe treatment as q_pca_reduce/q_whiten. The seeded model
+    // is memoized per process (same key q_recall_report's opq row
+    // shares): train once in iteration 1, apply thereafter — the
+    // reference trains once per build, never per query (V:1156-1159).
+    "q_opq_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = memoModel[OpqIndex.Model](s"opq_m8_ks32_$dir")(
+        OpqIndex.trainOpq(emb, m = 8, subDim = 8, ksub = 32, iters = 3))
+      OpqIndex.selfSearchTrained(emb,
+        numQueries = 8, m = 8, subDim = 8, ksub = 32, k = 10, iters = 3,
+        model = Some(model))
+    }),
 
     // FAISS's actual OPQ recipe — OPQm,d fronting IVFPQ (IndexPreTransform
     // → IndexIVFPQ): learned rotation, then residual IVFPQ in the rotated
     // space over a PERSISTED partition-pruned codes table. Learned R ⇒
     // no SQL oracle (rows + probe0_sq); quality gated on the clustered
-    // fixture vs plain IVFPQ in OpqIndexSpec.
-    "q_opq_ivfpq_knn" -> ((s, dir) =>
-      OpqIndex.selfSearchOpqIvfPq(t(s, dir, "embeddings"),
+    // fixture vs plain IVFPQ in OpqIndexSpec. Model memoized + codes
+    // table reused once written (deterministic seeded build ⇒ identical
+    // bytes): iteration 1 pays train + encode + write, steady state is
+    // the honest loaded-index serving read — the exact shape
+    // q_recall_report's opq_ivfpq row already runs.
+    "q_opq_ivfpq_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = memoModel[OpqIndex.Model](s"opq_m8_ks16_$dir")(
+        OpqIndex.trainOpq(emb, m = 8, subDim = 8, ksub = 16, iters = 3))
+      OpqIndex.selfSearchOpqIvfPq(emb,
         numQueries = 8, nlist = 8, nprobe = 2, m = 8, subDim = 8, ksub = 16,
         k = 10, iters = 3,
-        indexDir = Some(tmpIndexDir("graft_opq_ivfpq_idx", dir)))),
+        indexDir = Some(tmpIndexDir("graft_opq_ivfpq_idx", dir)),
+        model = Some(model), reuseIndex = true)
+    }),
 
     // PCA reduction (FAISS PCAMatrix pre-stage) — trained path, so
     // rows-only + spec-gated like trained IVF/HNSW (no SQL oracle).
