@@ -63,17 +63,34 @@ def main():
     os.chdir(repo)
     iters = int(os.environ.get("SPARK_GRAFT_ITERS", "5"))
     big = f"/tmp/graft_scale_{mult}x"
-    if not os.path.exists(f"{big}/embeddings.parquet"):
+    # BOTH tables must exist: a generation run killed between the two
+    # writes would otherwise leave a half-built fixture that is silently
+    # reused forever (document-family queries then fail on the missing
+    # table)
+    if not (os.path.exists(f"{big}/embeddings.parquet")
+            and os.path.exists(f"{big}/documents.parquet")):
         subprocess.run([sys.executable, "scripts/gen_scale_fixture.py",
                         str(mult), big], check=True)
     base = run_scale("/root/testdata/sf0.1", queries, iters)
     scaled = run_scale(big, queries, iters)
+    # graft.Bench exits 0 on per-query failure and records the -1.0
+    # sentinel median — refuse to fold a failed run into the committed
+    # curve as a garbage negative ratio (the bench_isolated.py guard)
+    failed = sorted(q for q in queries
+                    if base[q]["median"] < 0 or scaled[q]["median"] < 0)
+    if failed:
+        sys.exit(f"[scaling] NOT recording: failed queries {failed}")
     rows = {}
     for q in queries:
         b, s = base[q]["median"], scaled[q]["median"]
         rows[q] = {
             "base_s": b, "scaled_s": s,
             "ratio": round(s / b, 2) if b > 0 else None,
+            # per-row provenance: a later merge into this multiplier slot
+            # may run at a different SPARK_GRAFT_ITERS and re-measures its
+            # own base — slot-level iters_per_point alone would present
+            # mixed-provenance rows as one homogeneous curve
+            "iters_per_point": iters,
             "base_iters": base[q]["iters"], "scaled_iters": scaled[q]["iters"],
             "base_ext_cores": base[q]["ext_cores"],
             "scaled_ext_cores": scaled[q]["ext_cores"],

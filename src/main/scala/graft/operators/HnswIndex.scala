@@ -313,12 +313,7 @@ object HnswIndex {
       }
       .toDF("query_id", "vec_id", "dist")
 
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
-    partials
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
-      .orderBy(col("query_id"), col("rank"))
+    mergeTopK(partials, k)
   }
 
   /** Exhaustive-beam self-search: the same per-partition graph builds as
@@ -369,12 +364,7 @@ object HnswIndex {
         }
       }
       .toDF("query_id", "vec_id", "dist")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
-    partials
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
-      .orderBy(col("query_id"), col("rank"))
+    mergeTopK(partials, k)
   }
 
   /** Filtered self-search — the HNSW twin of
@@ -433,12 +423,7 @@ object HnswIndex {
         }
       }
       .toDF("query_id", "vec_id", "dist")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
-    partials
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
-      .orderBy(col("query_id"), col("rank"))
+    mergeTopK(partials, k)
   }
 
   /** HNSW coarse quantizer — the FAISS `IVF*_HNSW*` recipe
@@ -560,11 +545,30 @@ object HnswIndex {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  /** Stored build params. */
+  /** Stored build params + partition count — the ONE place the meta
+    * schema is parsed (by name, not ordinal: adding a meta field can
+    * never silently mis-parse a reader). */
   private def readMeta(spark: org.apache.spark.sql.SparkSession, dir: String,
-      efSearch: Int): Params = {
+      efSearch: Int): (Params, Int) = {
     val r = spark.read.parquet(s"$dir/meta").head()
-    Params(m = r.getInt(0), efConstruction = r.getInt(1), efSearch = efSearch)
+    (Params(m = r.getAs[Int]("m"),
+       efConstruction = r.getAs[Int]("ef_construction"), efSearch = efSearch),
+     r.getAs[Int]("num_partitions"))
+  }
+
+  /** The A1 partial+final top-k merge every self-search form shares.
+    * Fresh-build, persisted and filtered searches MUST all go through
+    * this one code path — the row-identity specs and the shared oracles
+    * assume their tie-breaking (dist, vec_id) and rounding can never
+    * diverge (the [[VamanaIndex.mergeTopK]] contract). */
+  private def mergeTopK(partials: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    partials
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("dist"), 4).as("dist"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Shared persisted-search tail: walk every stored graph for the
@@ -590,12 +594,7 @@ object HnswIndex {
         }
       }
       .toDF("query_id", "vec_id", "dist")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
-    partials
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
-      .orderBy(col("query_id"), col("rank"))
+    mergeTopK(partials, k)
   }
 
   /** efSearch LADDER over ONE persisted-index load — the knob-sweep
@@ -613,7 +612,7 @@ object HnswIndex {
       k: Int,
       efs: Seq[Int]): DataFrame = {
     import spark.implicits._
-    val p = readMeta(spark, dir, efs.max)
+    val (p, _) = readMeta(spark, dir, efs.max)
     val queries = spark.read.parquet(s"$dir/nodes")
       .where(col("vec_id") < numQueries).as[HnswNode]
       .map(n => (n.vec_id, n.vec)).collect().sortBy(_._1)
@@ -655,7 +654,7 @@ object HnswIndex {
       k: Int,
       efSearch: Int = 64): DataFrame = {
     import spark.implicits._
-    val p = readMeta(spark, dir, efSearch)
+    val (p, _) = readMeta(spark, dir, efSearch)
     // Column predicate BEFORE the typed view: a closure filter is opaque
     // to Catalyst and would scan+deserialize the whole nodes table just
     // to collect numQueries vectors; this one pushes into the parquet scan.
@@ -680,7 +679,7 @@ object HnswIndex {
       efSearch: Int = 64): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val p = readMeta(spark, dir, efSearch)
+    val (p, _) = readMeta(spark, dir, efSearch)
     val qs = queries.select(col("query_id"), col("qvec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     searchGraphs(spark, dir, qs, k, p, excludeSelf = false)
@@ -703,7 +702,7 @@ object HnswIndex {
       numQueries: Int,
       k: Int): DataFrame = {
     import spark.implicits._
-    val p = readMeta(spark, dir, efSearch = 64)
+    val (p, _) = readMeta(spark, dir, efSearch = 64)
     val queries = spark.read.parquet(s"$dir/nodes")
       .where(col("vec_id") < numQueries).as[HnswNode]
       .map(n => (n.vec_id, n.vec)).collect().sortBy(_._1)
@@ -722,12 +721,7 @@ object HnswIndex {
         }
       }
       .toDF("query_id", "vec_id", "dist")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
-    partials
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
-      .orderBy(col("query_id"), col("rank"))
+    mergeTopK(partials, k)
   }
 
   /** Filtered search SERVED from a once-persisted index — the FAISS
@@ -751,9 +745,7 @@ object HnswIndex {
       k: Int,
       efFiltered: Int = 0): DataFrame = {
     import spark.implicits._
-    val metaRow = spark.read.parquet(s"$dir/meta").head()
-    val p = Params(m = metaRow.getInt(0), efConstruction = metaRow.getInt(1))
-    val parts = metaRow.getInt(2)
+    val (p, parts) = readMeta(spark, dir, efSearch = Params().efSearch)
     val queries = spark.read.parquet(s"$dir/nodes")
       .where(col("vec_id") < numQueries).as[HnswNode]
       .map(n => (n.vec_id, n.vec)).collect().sortBy(_._1)
@@ -783,12 +775,7 @@ object HnswIndex {
         }
       }
       .toDF("query_id", "vec_id", "dist")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
-    partials
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), round(col("dist"), 4).as("dist"))
-      .orderBy(col("query_id"), col("rank"))
+    mergeTopK(partials, k)
   }
 
   /** `index.add` for the persisted HNSW (the reference's background add,
@@ -808,9 +795,7 @@ object HnswIndex {
   def addToIndex(newVectors: DataFrame, dir: String): Unit = {
     val spark = newVectors.sparkSession
     import spark.implicits._
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val p = Params(m = meta.getInt(0), efConstruction = meta.getInt(1))
-    val parts = meta.getInt(2)
+    val (p, parts) = readMeta(spark, dir, efSearch = Params().efSearch)
     val routed = newVectors
       .select(col("vec_id"), col("embedding"))
       .withColumn("part_id", pmod(hash(col("vec_id")), lit(parts)))
@@ -874,7 +859,7 @@ object HnswIndex {
       dir: String,
       efSearch: Int = 64): Map[Int, LocalGraph] = {
     import spark.implicits._
-    val p = readMeta(spark, dir, efSearch)
+    val (p, _) = readMeta(spark, dir, efSearch)
     spark.read.parquet(s"$dir/nodes").as[HnswNode].collect()
       .groupBy(_.part_id)
       .map { case (pid, rows) => pid -> graphFromRows(rows, p) }
@@ -908,7 +893,7 @@ object HnswIndex {
       efSearch: Int = 64): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val p = readMeta(spark, dir, efSearch)
+    val (p, _) = readMeta(spark, dir, efSearch)
     val g = graphFromRows(
       spark.read.parquet(s"$dir/coarse_nodes").as[HnswNode].collect(), p)
     val bc = spark.sparkContext.broadcast(g)

@@ -54,6 +54,22 @@ object SparseTopK {
     * impact-ordered index build pays once; at 100 TB hot terms make the
     * term partition large, which is a build-time range-sort per posting
     * list, not a query-time cost. */
+  /** The corpus-sized tf cache pinned by the most recent
+    * [[buildImpactIndex]] call. The returned index is lazy, so the build
+    * itself cannot unpersist it; callers that eagerly materialize the
+    * index (writeIndex, an eager checkpoint) call [[releaseBuildCache]]
+    * — and a NEW build swaps out any prior cache so repeated builds in
+    * one JVM can never stack corpus-scale cached tables. */
+  private val lastTfCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+  /** Unpersist the tf cache of the last [[buildImpactIndex]] call. Safe
+    * any time: an un-consumed index recomputes through lineage. */
+  def releaseBuildCache(): Unit = {
+    val tf = lastTfCache.getAndSet(null)
+    if (tf != null) tf.unpersist(blocking = false)
+  }
+
   def buildImpactIndex(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75,
       textCol: String = "text"): DataFrame = {
     val toks = docs.select(col("doc_id"),
@@ -70,6 +86,8 @@ object SparseTopK {
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prior = lastTfCache.getAndSet(tf)
+    if (prior != null) prior.unpersist(blocking = false)
     // doc length = Σ tf over the doc's terms — derived from the tf
     // table instead of a second tokenize pass over the corpus. Docs
     // with no tokens have no tf rows and so no lens row, exactly like
@@ -109,12 +127,16 @@ object SparseTopK {
     * (PartitionFilters) and its `impact_rank <= p` prefix prunes row
     * groups via parquet min/max stats on the sorted column
     * (PushedFilters). The lexical twin of [[IvfIndex.writeIndex]]. */
-  def writeIndex(index: DataFrame, path: String, numBuckets: Int = 16): Unit =
+  def writeIndex(index: DataFrame, path: String, numBuckets: Int = 16): Unit = {
     index
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(numBuckets.toLong)))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("term"), col("impact_rank"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    // the write fully materialized the index — the build's tf cache has
+    // served its purpose (serve paths read the parquet back)
+    releaseBuildCache()
+  }
 
   /** TA over a persisted index: bucket the query terms driver-side and
     * read only those partitions — result identical to the in-memory

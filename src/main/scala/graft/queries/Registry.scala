@@ -787,28 +787,34 @@ object Registry {
     // mod rule and cogroup with the stored node rows — no broadcast
     // allowed-set, no driver collect. The index is the SAME artifact
     // q_recall_report's vamana row serves (buildOnce — generation timed
-    // in whichever owner runs first). SEARCH beam 512 ≥ shard size at
-    // test scale ⇒ exact (stored adjacency is already
-    // reachability-patched) — shares q_filtered_knn's brute-force
-    // oracle verbatim; production runs beam ≪ n for recall.
+    // in whichever owner runs first). SEARCH beam = MaxValue ⇒ exact at
+    // ANY shard count/corpus size (stored adjacency is already
+    // reachability-patched; the walk's heaps grow with nodes actually
+    // visited, so an unbounded beam costs O(shard), not O(beam) — a
+    // fixed 512 was exact only while shards stayed ≤ 512 rows) — shares
+    // q_filtered_knn's brute-force oracle verbatim; production runs
+    // beam ≪ n for recall.
     "q_vamana_filtered_knn" -> ((s, dir) => {
       val idx = buildOnce("graft_recall_vamana_idx", dir)(d =>
         VamanaIndex.writeIndex(t(s, dir, "embeddings"), d, numPartitions = 4))
       VamanaIndex.selfSearchFilteredPersisted(s, idx,
         allowed = t(s, dir, "embeddings").where(col("label") < 4).select("vec_id"),
-        numQueries = 8, k = 10, searchBeam = 512)
+        numQueries = 8, k = 10, searchBeam = Int.MaxValue)
     }),
 
     // The HNSW twin: same persisted filtered-serving semantics on the
     // hierarchical family (load-time layer-0 reachability patch +
     // entry-seeded walk make ef ≥ shard size exact), served from the
-    // index q_recall_report's hnsw row owns — same brute-force oracle
+    // index q_recall_report's hnsw row owns — same brute-force oracle.
+    // ef = MaxValue for the same reason as the Vamana form above: the
+    // index shards at defaultParallelism, so a fixed 512 would make
+    // exactness depend on SPARK_GRAFT_CPUS and corpus size.
     "q_hnsw_filtered_knn" -> ((s, dir) => {
       val idx = buildOnce("graft_recall_hnsw_idx", dir)(d =>
         HnswIndex.writeIndex(t(s, dir, "embeddings"), d))
       HnswIndex.selfSearchFilteredPersisted(s, idx,
         allowed = t(s, dir, "embeddings").where(col("label") < 4).select("vec_id"),
-        numQueries = 8, k = 10, efFiltered = 512)
+        numQueries = 8, k = 10, efFiltered = Int.MaxValue)
     }),
 
     // Oracle-checked drift fingerprint for the Vamana paths: every
@@ -1413,6 +1419,10 @@ object Registry {
       val idx = SparseTopK.buildImpactIndex(t(s, dir, "documents"))
         .where(col("term").isin(terms: _*))
         .localCheckpoint(true)
+      // the eager checkpoint materialized the query-term blocks — drop
+      // the build's corpus-sized tf cache (it would otherwise pin
+      // executor storage once per invocation)
+      SparseTopK.releaseBuildCache()
       SparseTopK.taTopK(idx, queryTerms = terms, k = 15)
     }),
 

@@ -95,25 +95,31 @@ class VamanaIndexSpec extends SparkSpec {
   }
 
   test("medoids: entry point minimizes distance-to-centroid within its shard") {
-    val medoids = VamanaIndex.medoids(emb, numPartitions = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(medoids.length == 4)
-    val byShard = emb.select($"vec_id", $"embedding")
-      .as[(Long, Array[Float])].collect()
-      .groupBy { case (id, _) => id % 4 }
-    medoids.foreach { case (pid, medoidId, n) =>
-      val pts = byShard(pid)
-      assert(n == pts.length)
-      val d = pts.head._2.length
-      val mean = new Array[Double](d)
-      pts.sortBy(_._1).foreach { case (_, v) =>
-        var j = 0; while (j < d) { mean(j) += v(j); j += 1 }
+    // 4 = the q_vamana_medoids oracle's shard count; 7 = prime, uneven
+    // shard sizes — re-anchors the medoid rule at the non-4 counts the
+    // defaultParallelism-sharded walks (q_vamana_knn) actually use, so
+    // the %4 DuckDB pin and the walk entry points can't silently diverge
+    Seq(4, 7).foreach { parts =>
+      val medoids = VamanaIndex.medoids(emb, numPartitions = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(medoids.length == parts)
+      val byShard = emb.select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])].collect()
+        .groupBy { case (id, _) => id % parts }
+      medoids.foreach { case (pid, medoidId, n) =>
+        val pts = byShard(pid)
+        assert(n == pts.length)
+        val d = pts.head._2.length
+        val mean = new Array[Double](d)
+        pts.sortBy(_._1).foreach { case (_, v) =>
+          var j = 0; while (j < d) { mean(j) += v(j); j += 1 }
+        }
+        (0 until d).foreach(j => mean(j) /= pts.length)
+        def d2(v: Array[Float]): Double =
+          v.zipWithIndex.map { case (x, j) => val dd = x - mean(j); dd * dd }.sum
+        val brute = pts.map { case (id, v) => (d2(v), id) }.min._2
+        assert(medoidId == brute, s"parts $parts shard $pid")
       }
-      (0 until d).foreach(j => mean(j) /= pts.length)
-      def d2(v: Array[Float]): Double =
-        v.zipWithIndex.map { case (x, j) => val dd = x - mean(j); dd * dd }.sum
-      val brute = pts.map { case (id, v) => (d2(v), id) }.min._2
-      assert(medoidId == brute, s"shard $pid")
     }
   }
 
