@@ -55,16 +55,18 @@ object SparseTopK {
     * term partition large, which is a build-time range-sort per posting
     * list, not a query-time cost. */
   /** The corpus-sized tf cache pinned by the most recent
-    * [[buildImpactIndex]] call. The returned index is lazy, so the build
-    * itself cannot unpersist it; callers that eagerly materialize the
-    * index (writeIndex, an eager checkpoint) call [[releaseBuildCache]]
-    * — and a NEW build swaps out any prior cache so repeated builds in
-    * one JVM can never stack corpus-scale cached tables. */
+    * [[buildImpactIndex]] call — ONE per process by construction: a
+    * same-corpus rebuild reuses it (cache-manager plan equality), a
+    * different-corpus build swaps it out, so builds can never stack
+    * corpus-scale cached tables. It deliberately outlives the build
+    * (the lshPairsOnce stored-artifact discipline): every TA/BM25 query
+    * over the same corpus shares the one materialized stats table. */
   private val lastTfCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
-  /** Unpersist the tf cache of the last [[buildImpactIndex]] call. Safe
-    * any time: an un-consumed index recomputes through lineage. */
+  /** Explicit lifecycle hook: unpersist the current tf cache (e.g. a
+    * pipeline done with its sparse stage). Safe any time — an
+    * un-consumed index recomputes through lineage. */
   def releaseBuildCache(): Unit = {
     val tf = lastTfCache.getAndSet(null)
     if (tf != null) tf.unpersist(blocking = false)
@@ -83,11 +85,23 @@ object SparseTopK {
     // caches; the index job reads blocks. At 100 TB this is the
     // materialization any impact-index build pays between its stats
     // pass and its ranking pass (MEMORY_AND_DISK — spills, lineage kept).
-    val tf = toks.groupBy(col("doc_id"), col("term"))
+    val tfRaw = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val prior = lastTfCache.getAndSet(tf)
-    if (prior != null) prior.unpersist(blocking = false)
+    // Deliberate process-level stored artifact (the lshPairsOnce
+    // discipline): if an EQUAL-plan tf is already cached (same corpus —
+    // Dataset.storageLevel consults the cache manager by canonicalized
+    // plan), reuse it rather than re-registering; a repeat build over
+    // the SAME corpus then reads warm blocks and pins nothing new.
+    // Only a different-corpus build persists fresh — and swaps out the
+    // previous cache so builds can never stack corpus-scale tables.
+    val tf =
+      if (tfRaw.storageLevel != org.apache.spark.storage.StorageLevel.NONE) tfRaw
+      else {
+        val t = tfRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val prior = lastTfCache.getAndSet(t)
+        if (prior != null) prior.unpersist(blocking = false)
+        t
+      }
     // doc length = Σ tf over the doc's terms — derived from the tf
     // table instead of a second tokenize pass over the corpus. Docs
     // with no tokens have no tf rows and so no lens row, exactly like
@@ -133,9 +147,6 @@ object SparseTopK {
       .repartition(col("bucket"))
       .sortWithinPartitions(col("term"), col("impact_rank"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
-    // the write fully materialized the index — the build's tf cache has
-    // served its purpose (serve paths read the parquet back)
-    releaseBuildCache()
   }
 
   /** TA over a persisted index: bucket the query terms driver-side and

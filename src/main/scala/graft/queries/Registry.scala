@@ -1419,10 +1419,6 @@ object Registry {
       val idx = SparseTopK.buildImpactIndex(t(s, dir, "documents"))
         .where(col("term").isin(terms: _*))
         .localCheckpoint(true)
-      // the eager checkpoint materialized the query-term blocks — drop
-      // the build's corpus-sized tf cache (it would otherwise pin
-      // executor storage once per invocation)
-      SparseTopK.releaseBuildCache()
       SparseTopK.taTopK(idx, queryTerms = terms, k = 15)
     }),
 
