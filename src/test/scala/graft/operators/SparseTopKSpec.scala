@@ -108,4 +108,35 @@ class SparseTopKSpec extends SparkSpec {
     val k = 50
     assert(ta(Seq(rare), k) == exhaustive(Seq(rare), k))
   }
+
+  test("tf cache is a single reused process artifact: same-corpus rebuilds pin nothing new; release unpersists") {
+    import org.apache.spark.storage.StorageLevel
+    def cachedTables(): Int =
+      spark.sparkContext.getPersistentRDDs.size
+    // first build registers the tf cache and materializes it
+    SparseTopK.buildImpactIndex(docs).count()
+    val afterFirst = cachedTables()
+    // a same-corpus rebuild must REUSE the cache-manager entry (plan
+    // equality), not register a second corpus-scale cached table —
+    // r10's q_ta_topk regression was exactly this reuse being destroyed
+    val idx2 = SparseTopK.buildImpactIndex(docs)
+    idx2.count()
+    assert(cachedTables() == afterFirst,
+      "same-corpus rebuild registered a new cached table instead of reusing")
+    // the rebuilt plan reads as cached (storageLevel consults the cache
+    // manager by canonicalized plan, so reuse is observable here)
+    val tfPlanCached = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    assert(tfPlanCached.storageLevel != StorageLevel.NONE,
+      "equal-plan tf does not see the shared cache entry")
+    // explicit lifecycle hook drops it
+    SparseTopK.releaseBuildCache()
+    assert(tfPlanCached.storageLevel == StorageLevel.NONE,
+      "releaseBuildCache left the tf cache registered")
+    // and results are unaffected either way (recompute through lineage)
+    assert(ta(Seq("merge", "vector"), 5) == exhaustive(Seq("merge", "vector"), 5))
+  }
 }
