@@ -513,6 +513,17 @@ object VamanaIndex {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Stored build params + partition count — the ONE place the meta
+    * schema is parsed (by name, not ordinal — the
+    * [[HnswIndex.readMeta]] contract: adding a meta field can never
+    * silently mis-parse a reader). */
+  private def readMeta(
+      spark: org.apache.spark.sql.SparkSession, dir: String): (Params, Int) = {
+    val r = spark.read.parquet(s"$dir/meta").head()
+    (Params(r.getAs[Int]("r"), r.getAs[Int]("l"), r.getAs[Double]("alpha")),
+     r.getAs[Int]("num_partitions"))
+  }
+
   /** Shared persisted-search tail: reload every stored graph (direct
     * fill), walk it for the broadcast query batch, A1-merge. */
   private def searchGraphs(
@@ -522,8 +533,7 @@ object VamanaIndex {
       k: Int,
       excludeSelf: Boolean): DataFrame = {
     import spark.implicits._
-    val m = spark.read.parquet(s"$dir/meta").head()
-    val p = Params(m.getInt(0), m.getInt(1), m.getDouble(2))
+    val (p, _) = readMeta(spark, dir)
     val bcQueries = spark.sparkContext.broadcast(queries)
     val partials = spark.read.parquet(s"$dir/nodes").as[VamanaNode]
       .groupByKey(_.part_id)
@@ -575,9 +585,7 @@ object VamanaIndex {
       k: Int,
       searchBeam: Int = 0): DataFrame = {
     import spark.implicits._
-    val m = spark.read.parquet(s"$dir/meta").head()
-    val p = Params(m.getInt(0), m.getInt(1), m.getDouble(2))
-    val parts = m.getInt(3)
+    val (p, parts) = readMeta(spark, dir)
     val queries = spark.read.parquet(s"$dir/nodes")
       .where(col("vec_id") < numQueries).as[VamanaNode]
       .map(n => (n.vec_id, n.vec)).collect().sortBy(_._1)
@@ -682,9 +690,7 @@ object VamanaIndex {
   def addToIndex(newVectors: DataFrame, dir: String): Unit = {
     val spark = newVectors.sparkSession
     import spark.implicits._
-    val m = spark.read.parquet(s"$dir/meta").head()
-    val p = Params(m.getInt(0), m.getInt(1), m.getDouble(2))
-    val parts = m.getInt(3)
+    val (p, parts) = readMeta(spark, dir)
     val routed = newVectors
       .select(pmod(col("vec_id"), lit(parts)).cast("int").as("part_id"),
         col("vec_id"), col("embedding"))

@@ -3512,7 +3512,9 @@ s"""WITH cent AS (
     // PINNED literals (drift pins — the recall value measured on the
     // deterministic 4-shard build is the verified artifact; any
     // build/walk/merge drift flips the hash), while n_exact and the
-    // per-mille floor-div arithmetic replay from the FLAT SQL.
+    // per-mille floor-div arithmetic replay from the FLAT SQL. Pins
+    // are valid at the sf0.01 GATE scale (data-dependent by
+    // construction; at other scales they diverge by design).
     // Monotone-in-ef + the rung-64 = selfSearchPersisted equality are
     // spec-gated in HnswIndexSpec.
     "q_hnsw_sweep" ->
@@ -4356,7 +4358,10 @@ s"""WITH cent AS (
     // no SQL replay (graph walks, learned rotations), but the builds
     // are deterministic (seeded init, sorted insertion, spec-gated), so
     // the recall VALUE is a per-round drift pin: any build/search drift
-    // flips the hash compare. recall_pm = n_hit*1000 // n_exact under
+    // flips the hash compare. The literals are valid at the sf0.01
+    // GATE scale (pins are data-dependent by construction — at other
+    // scales the live rows still grade, the pinned rows diverge).
+    // recall_pm = n_hit*1000 // n_exact under
     // integer floor division — engine-exact, no decimal-tie trap.
     "q_recall_report" ->
       s"""WITH ex AS (SELECT query_id, vec_id FROM ($flatKnnSql) t),
