@@ -111,30 +111,38 @@ class SparseTopKSpec extends SparkSpec {
 
   test("tf cache is a single reused process artifact: same-corpus rebuilds pin nothing new; release unpersists") {
     import org.apache.spark.storage.StorageLevel
-    def cachedTables(): Int =
-      spark.sparkContext.getPersistentRDDs.size
-    // first build registers the tf cache and materializes it
-    SparseTopK.buildImpactIndex(docs).count()
-    val afterFirst = cachedTables()
-    // a same-corpus rebuild must REUSE the cache-manager entry (plan
-    // equality), not register a second corpus-scale cached table —
-    // r10's q_ta_topk regression was exactly this reuse being destroyed
-    val idx2 = SparseTopK.buildImpactIndex(docs)
-    idx2.count()
-    assert(cachedTables() == afterFirst,
-      "same-corpus rebuild registered a new cached table instead of reusing")
-    // the rebuilt plan reads as cached (storageLevel consults the cache
-    // manager by canonicalized plan, so reuse is observable here)
-    val tfPlanCached = docs
+    // The memo slot and the cache manager are JVM-global and OTHER
+    // suites run in parallel in this JVM (a concurrent different-corpus
+    // buildImpactIndex swaps the slot and unpersists our entry — the
+    // intended single-slot semantics), so observe the racy properties
+    // under a bounded retry: interference must not fail the spec, but
+    // three consecutive failures of the reuse contract itself must.
+    // A corpus plan unique to this test keeps other suites' equal-plan
+    // reuse out of the picture.
+    val myDocs = docs.where(col("doc_id") >= 0)
+    val tfPlan = myDocs
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    assert(tfPlanCached.storageLevel != StorageLevel.NONE,
-      "equal-plan tf does not see the shared cache entry")
-    // explicit lifecycle hook drops it
+    val observed = (1 to 3).exists { _ =>
+      SparseTopK.buildImpactIndex(myDocs).count()
+      val seenAfterFirst = tfPlan.storageLevel != StorageLevel.NONE
+      val before = spark.sparkContext.getPersistentRDDs.size
+      // same-corpus rebuild must REUSE the entry (plan equality), not
+      // register a second corpus-scale cached table — r10's q_ta_topk
+      // regression was exactly this reuse being destroyed
+      SparseTopK.buildImpactIndex(myDocs).count()
+      seenAfterFirst &&
+        tfPlan.storageLevel != StorageLevel.NONE &&
+        spark.sparkContext.getPersistentRDDs.size <= before
+    }
+    assert(observed,
+      "same-corpus rebuild never reused the tf cache entry (3 attempts)")
+    // explicit lifecycle hook drops it (race-free direction: releasing
+    // our own just-registered entry)
     SparseTopK.releaseBuildCache()
-    assert(tfPlanCached.storageLevel == StorageLevel.NONE,
+    assert(tfPlan.storageLevel == StorageLevel.NONE,
       "releaseBuildCache left the tf cache registered")
     // and results are unaffected either way (recompute through lineage)
     assert(ta(Seq("merge", "vector"), 5) == exhaustive(Seq("merge", "vector"), 5))
