@@ -12,7 +12,25 @@ Defaults: mult=10, the seven headline families.
 import json, os, subprocess, sys
 
 HEADLINE = ["q_flat_knn", "q_ivf_pruned_knn", "q_spann_knn", "q_binary_knn",
-            "q_sq8_knn", "q_minhash_lsh", "q_dup_spans_capped"]
+            "q_sq8_knn", "q_minhash_lsh", "q_dup_spans_capped",
+            # r10 verdict item 2: the production-beam persisted graph
+            # serves and the TA lexical serve — the families whose
+            # scaling is least obvious (per-shard graph memory vs parts;
+            # TA ladder depth vs corpus)
+            "q_hnsw_serve", "q_vamana_serve", "q_ta_persisted"]
+
+# which fixture tables each query family reads — a vectors-only sweep
+# (the 1000x decade) must not pay for a 5M-document text fixture
+DOC_QUERIES = {"q_minhash_lsh", "q_dup_spans_capped", "q_ta_persisted",
+               "q_ta_topk", "q_bm25", "q_winnow_pairs", "q_dup_spans"}
+
+
+def tables_needed(queries):
+    docs = any(q in DOC_QUERIES for q in queries)
+    embs = any(q not in DOC_QUERIES for q in queries)
+    if docs and embs:
+        return "both"
+    return "documents" if docs else "embeddings"
 
 JVM_FLAGS = [
     "-Xmx16g", "-Xms16g",
@@ -63,14 +81,19 @@ def main():
     os.chdir(repo)
     iters = int(os.environ.get("SPARK_GRAFT_ITERS", "5"))
     big = f"/tmp/graft_scale_{mult}x"
-    # BOTH tables must exist: a generation run killed between the two
-    # writes would otherwise leave a half-built fixture that is silently
-    # reused forever (document-family queries then fail on the missing
-    # table)
-    if not (os.path.exists(f"{big}/embeddings.parquet")
-            and os.path.exists(f"{big}/documents.parquet")):
+    # every NEEDED table must exist (a generation run killed between
+    # writes must not leave a half-built fixture that is silently reused
+    # forever); tables the selected queries never read are not generated
+    # — the 1000x vector sweep skips the 5M-document text fixture
+    need = tables_needed(queries)
+    missing = [t for t in (["embeddings"] if need in ("both", "embeddings") else [])
+               + (["documents"] if need in ("both", "documents") else [])
+               if not os.path.exists(f"{big}/{t}.parquet")]
+    if missing:
         subprocess.run([sys.executable, "scripts/gen_scale_fixture.py",
-                        str(mult), big], check=True)
+                        str(mult), big,
+                        "both" if len(missing) == 2 else missing[0]],
+                       check=True)
     base = run_scale("/root/testdata/sf0.1", queries, iters)
     scaled = run_scale(big, queries, iters)
     # graft.Bench exits 0 on per-query failure and records the -1.0

@@ -21,9 +21,11 @@ keep PER-ROW workload difficulty constant as rows grow:
 Query ids (vec_id/doc_id < 8 etc.) stay the original low ids: the
 serving contract is a FIXED query batch against a GROWING corpus.
 
-Usage: python3 scripts/gen_scale_fixture.py <mult> [outDir]
+Usage: python3 scripts/gen_scale_fixture.py <mult> [outDir] [tables]
 Writes <outDir>/{embeddings,documents}.parquet
-(default /tmp/graft_scale_<mult>x). Data is generated, never committed.
+(default /tmp/graft_scale_<mult>x). `tables` = both (default) |
+embeddings | documents — the 1000x vector-family sweep needs no 5M-doc
+text table. Data is generated, never committed.
 """
 import os, sys
 
@@ -35,9 +37,15 @@ SRC = "/root/testdata/sf0.1"
 ID_STRIDE = 10_000_000  # replica id offset — far above any real id
 
 
-def gen(mult: int, out: str) -> None:
+def gen(mult: int, out: str, tables: str = "both") -> None:
     os.makedirs(out, exist_ok=True)
+    if tables in ("both", "embeddings"):
+        gen_embeddings(mult, out)
+    if tables in ("both", "documents"):
+        gen_documents(mult, out)
 
+
+def gen_embeddings(mult: int, out: str) -> None:
     emb = pq.read_table(f"{SRC}/embeddings.parquet")
     vec_id = emb["vec_id"].to_numpy()
     label = emb["label"].to_numpy()
@@ -58,7 +66,10 @@ def gen(mult: int, out: str) -> None:
         }))
     pq.write_table(pa.concat_tables(parts_e, promote_options="default"),
                    f"{out}/embeddings.parquet")
+    print(f"[fixture] {out}: embeddings={emb.num_rows * mult}")
 
+
+def gen_documents(mult: int, out: str) -> None:
     doc = pq.read_table(f"{SRC}/documents.parquet")
     doc_id = doc["doc_id"].to_numpy()
     texts = doc["text"].to_pylist()
@@ -80,10 +91,11 @@ def gen(mult: int, out: str) -> None:
         }))
     pq.write_table(pa.concat_tables(parts_d, promote_options="default"),
                    f"{out}/documents.parquet")
-    print(f"[fixture] {out}: embeddings={n * mult} documents={len(texts) * mult}")
+    print(f"[fixture] {out}: documents={len(texts) * mult}")
 
 
 if __name__ == "__main__":
     mult = int(sys.argv[1])
     out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/graft_scale_{mult}x"
-    gen(mult, out)
+    tables = sys.argv[3] if len(sys.argv) > 3 else "both"
+    gen(mult, out, tables)

@@ -76,6 +76,10 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // errors from DISCARDED contention-retry attempts on queries whose
+    // kept iterations all succeeded — preserved for diagnosis of
+    // intermittent failures, but never failure-signaling
+    val retryErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // SPARK_GRAFT_ONLY=q_a,q_b — time a subset (local iteration knob; the
     // driver never sets it, so the recorded bench always runs everything)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -211,13 +215,17 @@ object Bench {
       // a DISCARDED contention-retry attempt may have failed and recorded
       // an error even though every kept iteration succeeded — failure
       // signaling must describe the attempts that produced the numbers,
-      // so drop the entry when the kept median is healthy
-      if (median >= 0) errors.remove(name)
+      // so move the entry to retry_errors (diagnostic trace of the
+      // intermittent failure) when the kept median is healthy
+      if (median >= 0) errors.remove(name).foreach(retryErrors(name) = _)
       name -> median
     }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val retryErrJson = retryErrors
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // The driver captures only a bounded tail of the sbt log; with 100+
@@ -251,7 +259,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_DETAIL", "bench_detail.json")),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"median_of_$iters","queries":${
         full.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-      },"iters":$itersJson,"gc_ms":$gcJson,"load_avg":$loadJson,"ext_cores":$extJson,"steal_cores":$stealJson,"retried":$retriedJson,"load_avg_end":${fmt(loadAvg())},"errors":$errJson,"sf":"$sfDir"}""")
+      },"iters":$itersJson,"gc_ms":$gcJson,"load_avg":$loadJson,"ext_cores":$extJson,"steal_cores":$stealJson,"retried":$retriedJson,"load_avg_end":${fmt(loadAvg())},"errors":$errJson,"retry_errors":$retryErrJson,"sf":"$sfDir"}""")
     val bySlow = results.toSeq.sortBy(-_._2)
     val budget = 1400
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]

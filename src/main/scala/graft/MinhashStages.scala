@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** MinHash-LSH stage attribution harness (local measurement tool, not
+  * part of the driver contract — the [[Profile]] family): times the
+  * three stages of q_minhash_lsh's exact configuration SEPARATELY so a
+  * scaling tail can be attributed to the stage that grew —
+  *
+  *   1. `sig`    — shingle → 16-hash signature over every doc,
+  *                 materialized (linear in rows),
+  *   2. `band`   — band/bucket grouping → candidate pairs, materialized
+  *                 (bound by bucket co-occupancy ≈ pair volume),
+  *   3. `verify` — signature-estimate + exact shingle-Jaccard join over
+  *                 the candidates, thresholded (linear in candidates ×
+  *                 shingle size).
+  *
+  * Stages 2 and 3 read the PREVIOUS stage's checkpoint, so each number
+  * is that stage's own cost, not a cumulative prefix. The verify stage
+  * replicates [[Dedup.minhashLshDups]]'s scoring join verbatim (same
+  * public helpers, same threshold).
+  *
+  *   sbt "runMain graft.MinhashStages /tmp/graft_scale_100x 3"
+  * Prints one JSON line {"sig":s,"band":s,"verify":s,"pairs":n,...}
+  * per-stage medians over the given reps.
+  */
+object MinhashStages {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val (shingleN, numHashes, bands, threshold) = (3, 16, 4, 0.8)
+    val rowsPerBand = numHashes / bands
+
+    def time[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    val sigT = Array.newBuilder[Double]
+    val bandT = Array.newBuilder[Double]
+    val verifyT = Array.newBuilder[Double]
+    var nPairs = 0L
+    var nDups = 0L
+    for (_ <- 1 to reps) {
+      val (ts, sigs) = time(
+        Dedup.minhashSignature(docs, shingleN, numHashes).localCheckpoint(true))
+      sigT += ts
+      val (tb, pairs) = time(
+        Dedup.lshCandidates(sigs, bands, rowsPerBand).localCheckpoint(true))
+      bandT += tb
+      nPairs = pairs.count()
+      val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("shingles").as("sh_a"))
+      val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("shingles").as("sh_b"))
+      val scored = pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => x === y), m => m)).cast("double") / numHashes, 4)
+            .as("est_jaccard"),
+          round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        .where(col("jaccard") >= threshold)
+      val (tv, _) = time(
+        scored.write.format("noop").mode("overwrite").save())
+      verifyT += tv
+      nDups = scored.count()
+    }
+    println(s"""{"dir":"$dir","reps":$reps,""" +
+      s""""sig":${f"${median(sigT.result().toSeq)}%.3f"},""" +
+      s""""band":${f"${median(bandT.result().toSeq)}%.3f"},""" +
+      s""""verify":${f"${median(verifyT.result().toSeq)}%.3f"},""" +
+      s""""candidate_pairs":$nPairs,"dup_pairs":$nDups}""")
+    spark.stop()
+  }
+}

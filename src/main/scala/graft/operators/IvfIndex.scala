@@ -30,13 +30,23 @@ object IvfIndex {
   /** Deterministic centroid choice — the first `nlist` vectors by id.
     * SQL-reproducible (DuckDB-oracle-able), standing in for k-means init;
     * quality-trained centroids come from [[trainCentroids]]. */
-  def seedCentroids(embeddings: DataFrame, nlist: Int): Array[Centroid] =
-    embeddings
+  def seedCentroids(embeddings: DataFrame, nlist: Int): Array[Centroid] = {
+    val seeds = embeddings
       .where(col("vec_id") < nlist)
       .orderBy(col("vec_id"))
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // The `vec_id < nlist` rule assumes ids 0..nlist-1 all exist; on a
+    // corpus with sparse/non-contiguous ids it would silently yield
+    // fewer centroids (a quality degradation, not an error). Fail loud
+    // instead — external callers with gapped ids must densify first.
+    require(seeds.length == nlist,
+      s"seedCentroids expected $nlist contiguous vec_ids in [0, $nlist) " +
+        s"but found ${seeds.length} — ids are sparse/non-contiguous; " +
+        "densify vec_id (zipWithIndex-style) or use trainCentroids")
+    seeds
+  }
 
   /** A2 — k-means centroids via MLlib (Lloyd's), trained on a bounded
     * sample like the reference's first-batch-only training

@@ -49,29 +49,35 @@ object SparseTopK {
   final case class TaStats(
       rounds: Int, prefixDepth: Long, postingsRead: Long, queryPostings: Long)
 
-  /** Impact-ordered inverted index over ALL corpus terms. The per-term
-    * rank is a window sort of that term's postings — the cost any
-    * impact-ordered index build pays once; at 100 TB hot terms make the
-    * term partition large, which is a build-time range-sort per posting
-    * list, not a query-time cost. */
   /** The corpus-sized tf cache pinned by the most recent
     * [[buildImpactIndex]] call — ONE per process by construction: a
     * same-corpus rebuild reuses it (cache-manager plan equality), a
     * different-corpus build swaps it out, so builds can never stack
     * corpus-scale cached tables. It deliberately outlives the build
     * (the lshPairsOnce stored-artifact discipline): every TA/BM25 query
-    * over the same corpus shares the one materialized stats table. */
+    * over the same corpus shares the one materialized stats table.
+    *
+    * Swap-not-stack has a sharp edge: two pipelines ALTERNATING builds
+    * over different corpora will persist/unpersist a corpus-scale table
+    * on every call (thrash, never wrong). Multi-corpus callers should
+    * hold their own `persist()` handle on each corpus's index instead
+    * of relying on this single slot. */
   private val lastTfCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
   /** Explicit lifecycle hook: unpersist the current tf cache (e.g. a
     * pipeline done with its sparse stage). Safe any time — an
     * un-consumed index recomputes through lineage. */
-  def releaseBuildCache(): Unit = {
+  def releaseBuildCache(): Unit = lastTfCache.synchronized {
     val tf = lastTfCache.getAndSet(null)
     if (tf != null) tf.unpersist(blocking = false)
   }
 
+  /** Impact-ordered inverted index over ALL corpus terms. The per-term
+    * rank is a window sort of that term's postings — the cost any
+    * impact-ordered index build pays once; at 100 TB hot terms make the
+    * term partition large, which is a build-time range-sort per posting
+    * list, not a query-time cost. */
   def buildImpactIndex(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75,
       textCol: String = "text"): DataFrame = {
     val toks = docs.select(col("doc_id"),
@@ -94,7 +100,13 @@ object SparseTopK {
     // the SAME corpus then reads warm blocks and pins nothing new.
     // Only a different-corpus build persists fresh — and swaps out the
     // previous cache so builds can never stack corpus-scale tables.
-    val tf =
+    // The check+persist+swap is serialized: two concurrent same-corpus
+    // builds would otherwise BOTH see storageLevel NONE, both persist
+    // the equal plan (one shared cache-manager entry), and the second
+    // getAndSet would unpersist the first DataFrame — dropping the
+    // shared entry the cache exists to provide (perf-only race: results
+    // recompute through lineage, but the reuse is silently lost).
+    val tf = lastTfCache.synchronized {
       if (tfRaw.storageLevel != org.apache.spark.storage.StorageLevel.NONE) tfRaw
       else {
         val t = tfRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -102,6 +114,7 @@ object SparseTopK {
         if (prior != null) prior.unpersist(blocking = false)
         t
       }
+    }
     // doc length = Σ tf over the doc's terms — derived from the tf
     // table instead of a second tokenize pass over the corpus. Docs
     // with no tokens have no tf rows and so no lens row, exactly like

@@ -197,6 +197,38 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("q_search_lifecycle: one pass over the cache table (no per-consumer re-scan)") {
+    // The composed lifecycle feeds the probe to three consumers (hits,
+    // miss routing, metrics); without the request-batch checkpoint each
+    // consumer would re-plan the cache branch — three embeddings scans
+    // in the final plan. Gate: the final executed plan reads embeddings
+    // ZERO times (the one cache pass + query-batch scan happened inside
+    // the single probe materialization; consumers read the checkpoint)
+    // and the sharded index + events exactly once each.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    // AQE wraps the executed plan in AdaptiveSparkPlanExec (scans not
+    // reachable by collect until execution) — disable it for the shape
+    // check, like the routed-pruning gate above
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Registry.queries("q_search_lifecycle")(spark, sf0001)
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+        (p +: p.subqueries.toSeq).flatMap(_.collect { case f: FileSourceScanExec => f })
+      def reading(substr: String): Seq[FileSourceScanExec] =
+        scans(df.queryExecution.executedPlan).filter(
+          _.relation.location.rootPaths.exists(_.toString.contains(substr)))
+      assert(reading("embeddings.parquet").isEmpty,
+        "final lifecycle plan must read no raw embeddings — every consumer " +
+          "reads the single materialized probe (one cache pass by construction)")
+      assert(reading("graft_routed_idx").size == 1,
+        "exactly one scan of the routed shard layout (D4)")
+      assert(reading("events.parquet").size == 1,
+        "exactly one events pass for the A5 metrics row")
+      assert(df.count() == 20, "all 20 lifecycle queries answered (hits + misses)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q_hnsw_persisted: search-after-load plans no Sort over the node scan (direct fill)") {
     val p = planOf(Registry.queries("q_hnsw_persisted")(spark, sf0001))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
@@ -212,10 +244,15 @@ class PlanShapeSpec extends SparkSpec {
     Seq("q_hnsw_filtered_knn", "q_vamana_filtered_knn").foreach { q =>
       val p = planOf(Registry.queries(q)(spark, sf0001))
       assert(p.contains("CoGroup"), s"$q must cogroup stored nodes with allow-ids")
-      assert(p.contains("PushedFilters: [IsNotNull(label), LessThan(label,4)]"),
+      // match the pushed filter and read schema robustly (no dependence
+      // on Spark's exact punctuation or filter ordering in the string)
+      assert("PushedFilters: \\[[^\\]]*LessThan\\(label,4\\)".r.findFirstIn(p).isDefined,
         s"$q: the allow predicate must reach the embeddings parquet scan")
-      assert(p.contains("ReadSchema: struct<vec_id:bigint,label:int>"),
-        s"$q: the allow side must prune to (vec_id, label) — never read embedding")
+      val readSchemas = "ReadSchema: struct<([^>]*)>".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(readSchemas.exists { s =>
+        s.contains("vec_id") && s.contains("label") && !s.contains("embedding")
+      }, s"$q: the allow side must prune to (vec_id, label) — never read embedding")
       assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), q)
     }
   }
