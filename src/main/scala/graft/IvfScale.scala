@@ -58,7 +58,13 @@ object IvfScale {
     val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfscale_${n}_$nl"
     val (buildS, _) = time {
       if (!new java.io.File(s"$idxDir/_SUCCESS_GRAFT").exists()) {
-        IvfIndex.writeIndex(IvfIndex.assign(emb, cents), cents, idxDir)
+        // cluster-clustered write: without it every write task sprays a
+        // file into each of the nlist partition dirs (nlist × tasks tiny
+        // files at nlist = 8192); one shuffle on the partition key keeps
+        // the layout at ~one file per inverted list
+        IvfIndex.writeIndex(
+          IvfIndex.assign(emb, cents).repartition(col("cluster_id")),
+          cents, idxDir)
         new java.io.File(s"$idxDir/_SUCCESS_GRAFT").createNewFile()
       }
     }

@@ -34,7 +34,14 @@ object Dedup {
     * hex digest over the doc's shingle set (a valid min-hash family, and
     * engine-portable — no integer hashing required). Computed by the
     * fused one-pass expression (graft.plans.MinHashSignature),
-    * value-identical to [[minhashSignatureHof]] (parity-tested). */
+    * value-identical to [[minhashSignatureHof]] (parity-tested).
+    *
+    * Cost attribution (graft.MinhashStages, SCALE.md): on a
+    * low-boilerplate corpus this signature pass is ~82 % of the whole
+    * LSH pipeline at 500k docs — it is the row-linear term. At corpus
+    * scale substitute xxhash64 for md5 (≈10× cheaper per shingle, an
+    * equally valid min-hash family) or lower numHashes; md5 is kept
+    * here for DuckDB-oracle bit-parity. */
   def minhashSignature(docs: DataFrame, shingleN: Int, numHashes: Int,
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
