@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{KnnSearch, VamanaIndex}
+
+/** Filtered-beam mitigation harness (local measurement tool, not part
+  * of the driver contract — the [[Profile]] family): measures Vamana
+  * filtered recall@10 as the search beam L grows past the unfiltered
+  * production default, on a corpus where L = 64 genuinely truncates
+  * (the 100× fixture: 4 shards of 50k rows measured 737-775 pm in
+  * SCALE.md). This is the FAISS IDSelector practice made a number:
+  * under a selectivity-s predicate only ~s of the beam's visited nodes
+  * are emittable, so serving raises ef/L by ~1/s — the harness records
+  * what that buys at each rung.
+  *
+  *   sbt "runMain graft.FilteredBeamScale /tmp/graft_scale_100x 64 160 640"
+  * Prints one JSON line with recall per (selectivity, beam) and the
+  * median serve seconds per beam.
+  */
+object FilteredBeamScale {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val beams = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(64, 160, 640)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_fbs_vamana_$n"
+    if (!new java.io.File(s"$idxDir/_SUCCESS_GRAFT").exists()) {
+      VamanaIndex.writeIndex(emb, idxDir, numPartitions = 4)
+      new java.io.File(s"$idxDir/_SUCCESS_GRAFT").createNewFile()
+    }
+    val sels = Seq(("half", col("label") < 4), ("tenth", col("label") === 0))
+    def exactSet(pred: org.apache.spark.sql.Column): Set[(Long, Long)] =
+      KnnSearch.topK(
+          emb.where(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+          emb.where(pred).select(col("vec_id"), col("embedding").as("vec")),
+          k = 10, excludeSelf = true)
+        .select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = sels.map { case (name, pred) => name -> exactSet(pred) }.toMap
+    def recallOf(run: DataFrame, ex: Set[(Long, Long)]): Double = {
+      val got = run.select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got intersect ex).size.toDouble / ex.size
+    }
+    val rows = for (beam <- beams; (selName, pred) <- sels) yield {
+      val allowed = emb.where(pred).select("vec_id")
+      val t0 = System.nanoTime()
+      val r = recallOf(VamanaIndex.selfSearchFilteredPersisted(spark, idxDir,
+        allowed, numQueries = 8, k = 10, searchBeam = beam), exact(selName))
+      val dt = (System.nanoTime() - t0) / 1e9
+      s""""${selName}_L$beam":{"recall":${f"$r%.3f"},"serve_s":${f"$dt%.2f"}}"""
+    }
+    println(s"""{"dir":"$dir","rows":$n,${rows.mkString(",")}}""")
+    spark.stop()
+  }
+}

@@ -23,14 +23,17 @@ import graft.operators.Dedup
   * replicates [[Dedup.minhashLshDups]]'s scoring join verbatim (same
   * public helpers, same threshold).
   *
-  *   sbt "runMain graft.MinhashStages /tmp/graft_scale_100x 3"
+  *   sbt "runMain graft.MinhashStages /tmp/graft_scale_100x 3 [fast]"
   * Prints one JSON line {"sig":s,"band":s,"verify":s,"pairs":n,...}
-  * per-stage medians over the given reps.
+  * per-stage medians over the given reps. A third arg `fast` times the
+  * xxhash64 family ([[Dedup.minhashSignatureFast]]) instead of md5 —
+  * the measured answer to the signature-dominated tail.
   */
 object MinhashStages {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val reps = if (args.length > 1) args(1).toInt else 3
+    val fast = args.length > 2 && args(2) == "fast"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,10 +59,15 @@ object MinhashStages {
     var nDups = 0L
     for (_ <- 1 to reps) {
       val (ts, sigs) = time(
-        Dedup.minhashSignature(docs, shingleN, numHashes).localCheckpoint(true))
+        (if (fast) Dedup.minhashSignatureFast(docs, shingleN, numHashes)
+         else Dedup.minhashSignature(docs, shingleN, numHashes))
+          .localCheckpoint(true))
       sigT += ts
+      val bandSigs =
+        if (fast) sigs.withColumn("sig", transform(col("sig"), _.cast("string")))
+        else sigs
       val (tb, pairs) = time(
-        Dedup.lshCandidates(sigs, bands, rowsPerBand).localCheckpoint(true))
+        Dedup.lshCandidates(bandSigs, bands, rowsPerBand).localCheckpoint(true))
       bandT += tb
       nPairs = pairs.count()
       val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
@@ -78,7 +86,7 @@ object MinhashStages {
       verifyT += tv
       nDups = scored.count()
     }
-    println(s"""{"dir":"$dir","reps":$reps,""" +
+    println(s"""{"dir":"$dir","family":"${if (fast) "xxhash64" else "md5"}","reps":$reps,""" +
       s""""sig":${f"${median(sigT.result().toSeq)}%.3f"},""" +
       s""""band":${f"${median(bandT.result().toSeq)}%.3f"},""" +
       s""""verify":${f"${median(verifyT.result().toSeq)}%.3f"},""" +

@@ -39,9 +39,10 @@ object Dedup {
     * Cost attribution (graft.MinhashStages, SCALE.md): on a
     * low-boilerplate corpus this signature pass is ~82 % of the whole
     * LSH pipeline at 500k docs — it is the row-linear term. At corpus
-    * scale substitute xxhash64 for md5 (≈10× cheaper per shingle, an
-    * equally valid min-hash family) or lower numHashes; md5 is kept
-    * here for DuckDB-oracle bit-parity. */
+    * scale use [[minhashSignatureFast]] (fused xxhash64 family —
+    * measured 5.7× cheaper at 500k docs, identical verified output
+    * there) or lower numHashes; md5 is kept here for DuckDB-oracle
+    * bit-parity. */
   def minhashSignature(docs: DataFrame, shingleN: Int, numHashes: Int,
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
@@ -113,6 +114,16 @@ object Dedup {
     // which leak in the CacheManager until an explicit unpersist.
     val sigs = minhashSignature(docs, shingleN, numHashes, textCol).localCheckpoint(true)
     val pairs = lshCandidates(sigs, bands, rowsPerBand)
+    verifyCandidates(sigs, pairs, numHashes, threshold)
+  }
+
+  /** The shared scoring tail of the LSH pipelines: join candidates back
+    * to the signature table, estimate Jaccard from signature agreement,
+    * verify with the exact shingle Jaccard, threshold. Signature element
+    * type is irrelevant — agreement is plain equality (md5 hex strings
+    * and xxhash64 longs alike). */
+  private def verifyCandidates(sigs: DataFrame, pairs: DataFrame,
+      numHashes: Int, threshold: Double): DataFrame = {
     val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("shingles").as("sh_a"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
@@ -125,6 +136,60 @@ object Dedup {
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The corpus-scale FAST family: xxhash64(h, shingle) minimum instead
+    * of 16 md5 hex digests per shingle — the knob the measured 100×
+    * stage split points at (signature compute = 82 % of pipeline cost;
+    * graft.MinhashStages, SCALE.md). An equally valid min-hash family
+    * (any hash indexed by h works); values differ from the md5 family,
+    * so band buckets — and therefore the CANDIDATE set — can differ on
+    * true near-dups (j < 1 pairs co-bucket probabilistically), which is
+    * why this form is spec-gated on verified-output recall against the
+    * md5 pipeline rather than DuckDB-oracled (DuckDB has no xxhash64).
+    * The verify stage is the same exact-Jaccard threshold, so every
+    * emitted pair is a true near-dup regardless of family. */
+  def minhashSignatureFast(docs: DataFrame, shingleN: Int, numHashes: Int,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs.select(
+      col("doc_id"),
+      TextFunctions.wordShingles(col(textCol), shingleN).as("shingles"))
+      .withColumn("sig", ColumnBridge.column(graft.plans.MinHashSignatureFast(
+        ColumnBridge.expression(col("shingles")), numHashes)))
+  }
+
+  /** HOF reference form of [[minhashSignatureFast]] (parity-tested;
+    * defines the family as Spark's own xxhash64(h, shingle)). */
+  def minhashSignatureFastHof(docs: DataFrame, shingleN: Int, numHashes: Int,
+      textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      TextFunctions.wordShingles(col(textCol), shingleN).as("shingles"))
+      .withColumn("sig",
+        transform(sequence(lit(0), lit(numHashes - 1), lit(1)), h =>
+          array_min(transform(col("shingles"), sh => xxhash64(h, sh)))))
+
+  /** [[minhashLshDups]] over the fast xxhash64 family — same banding,
+    * same exact-Jaccard verification; measured at 500k docs
+    * (graft.MinhashStages): signature 84.3 → 14.9 s (5.7×), whole
+    * pipeline ~102 → ~30 s, with the identical 257 verified dup pairs.
+    * Banding reuses [[lshCandidates]] on the stringified longs (the
+    * bucket is an opaque equality key either way). */
+  def minhashLshDupsFast(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.8,
+      textCol: String = "text"): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatureFast(docs, shingleN, numHashes, textCol)
+      .localCheckpoint(true)
+    val pairs = lshCandidates(
+      sigs.withColumn("sig", transform(col("sig"), _.cast("string"))),
+      bands, rowsPerBand)
+    verifyCandidates(sigs, pairs, numHashes, threshold)
   }
 
   /** Group near-dup pairs into clusters: iterative min-label propagation

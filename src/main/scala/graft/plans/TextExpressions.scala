@@ -395,6 +395,56 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** The FAST MinHash family fused into one pass: entry h = signed-long
+  * min over shingles of xxhash64(h, shingle) — value-identical to the
+  * HOF form (Dedup.minhashSignatureFastHof, parity-tested), replicating
+  * Spark's own XxHash64 fold (seed 42, hashInt(h) then
+  * hashUTF8String with the running hash as seed). One UTF8String fetch
+  * per shingle, H seeds precomputed once, zero lambda dispatch and no
+  * digesting/hex — the knob the measured 100× stage split points at
+  * (SCALE.md: signature compute = 82 % of MinHash LSH pipeline cost;
+  * md5 is kept as the oracle-parity family). Empty shingle arrays yield
+  * all-null entries, matching array_min of empty. */
+case class MinHashSignatureFast(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_signature_fast expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val shingles = input.asInstanceOf[ArrayData]
+    val s = shingles.numElements()
+    val out = new Array[Any](numHashes)
+    if (s > 0) {
+      // xxhash64(lit(h), sh) = hashUTF8String(sh, hashInt(h, 42))
+      val seeds = Array.tabulate(numHashes)(h => XXH64.hashInt(h, 42L))
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < s) {
+        val sh = shingles.getUTF8String(i)
+        var h = 0
+        while (h < numHashes) {
+          val v = XXH64.hashUTF8String(sh, seeds(h))
+          if (v < mins(h)) mins(h) = v
+          h += 1
+        }
+        i += 1
+      }
+      var h = 0
+      while (h < numHashes) { out(h) = mins(h); h += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Bloom-filter membership probe over a string column: the serialized
   * filter rides in the expression by value (one reference object,
   * broadcast with the task binary — same pattern as the centroid

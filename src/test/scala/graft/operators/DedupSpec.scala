@@ -36,6 +36,32 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(4L))
   }
 
+  test("fast xxhash64 LSH family: exact dups always caught; verified-output recall vs md5 pipeline on the fixture") {
+    // unit shape: exact dups share EVERY minhash under any family, so
+    // they co-bucket in every band — guaranteed candidates
+    val fastPairs = Dedup.minhashLshDupsFast(docs, shingleN = 3,
+        numHashes = 16, bands = 4, threshold = 0.5)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fastPairs.contains((1L, 2L)))
+    assert(!fastPairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // corpus gate: both pipelines exact-verify (precision 1 by
+    // construction); the fast family may co-bucket j < 1 pairs
+    // differently, so gate its verified-output recall against the md5
+    // pipeline on the real fixture (deterministic per fixture)
+    val fixture = spark.read.parquet(s"$sf0001/documents.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_a", $"doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5P = pairSet(Dedup.minhashLshDups(fixture))
+    val fastP = pairSet(Dedup.minhashLshDupsFast(fixture))
+    val recall =
+      if (md5P.isEmpty) 1.0
+      else (fastP intersect md5P).size.toDouble / md5P.size
+    info(f"md5 pairs=${md5P.size} fast pairs=${fastP.size} recall=$recall%.3f")
+    assert(recall >= 0.9,
+      s"fast-family verified output must recover >=90% of the md5 pipeline's pairs, got $recall")
+  }
+
   test("duplicateSpans: maximal shared token spans with positions, no false positives") {
     val spanDocs = Seq(
       // docs 10/11 share the 6-token span "a b c d e f" at offsets 0 and 2

@@ -115,6 +115,22 @@ class TextExpressionsSpec extends SparkSpec {
     assert(e == eh)
   }
 
+  test("fused MinHashSignatureFast is identical to the HOF xxhash64 family on real docs") {
+    val full = spark.read.parquet(s"$sf0001/documents.parquet")
+    val fast = Dedup.minhashSignatureFast(full, 3, 16)
+      .select($"doc_id", $"sig".as("fast"))
+    val hof = Dedup.minhashSignatureFastHof(full, 3, 16)
+      .select($"doc_id", $"sig".as("hof"))
+    val joined = fast.join(hof, Seq("doc_id"))
+    assert(joined.where(not($"fast" <=> $"hof")).count() == 0)
+    // empty shingle set → all-null entries in both forms
+    val empty = Seq("too short").toDF("text").withColumn("doc_id", lit(1L))
+    val e = Dedup.minhashSignatureFast(empty, 3, 4).select($"sig").head().getSeq[java.lang.Long](0)
+    val eh = Dedup.minhashSignatureFastHof(empty, 3, 4).select($"sig").head().getSeq[java.lang.Long](0)
+    assert(e.size == 4 && e.forall(_ == null))
+    assert(e == eh)
+  }
+
   test("fused TextStats fields equal the multi-pass built-in forms on real docs") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val st = TextFunctions.textStats($"text")
