@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{KnnSearch, VamanaIndex}
+import graft.operators.{HnswIndex, KnnSearch, VamanaIndex}
 
 /** Filtered-beam mitigation harness (local measurement tool, not part
   * of the driver contract — the [[Profile]] family): measures Vamana
@@ -15,14 +15,21 @@ import graft.operators.{KnnSearch, VamanaIndex}
   * are emittable, so serving raises ef/L by ~1/s — the harness records
   * what that buys at each rung.
   *
-  *   sbt "runMain graft.FilteredBeamScale /tmp/graft_scale_100x 64 160 640"
+  * Works for both persisted graph families — Vamana (default, the
+  * measured degradation case) and HNSW at a chosen shard count (HNSW at
+  * the default 32 shards holds 1000 pm at 100×; fewer/bigger shards are
+  * where its beam truncates too).
+  *
+  *   sbt "runMain graft.FilteredBeamScale /tmp/graft_scale_100x vamana 4 64 160 640"
   * Prints one JSON line with recall per (selectivity, beam) and the
-  * median serve seconds per beam.
+  * serve seconds per rung.
   */
 object FilteredBeamScale {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val beams = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(64, 160, 640)
+    val family = if (args.length > 1) args(1) else "vamana"
+    val parts = if (args.length > 2) args(2).toInt else 4
+    val beams = if (args.length > 3) args.drop(3).map(_.toInt).toSeq else Seq(64, 160, 640)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,9 +40,10 @@ object FilteredBeamScale {
     spark.sparkContext.setLogLevel("WARN")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val n = emb.count()
-    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_fbs_vamana_$n"
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_fbs_${family}_${parts}_$n"
     if (!new java.io.File(s"$idxDir/_SUCCESS_GRAFT").exists()) {
-      VamanaIndex.writeIndex(emb, idxDir, numPartitions = 4)
+      if (family == "hnsw") HnswIndex.writeIndex(emb, idxDir, numPartitions = parts)
+      else VamanaIndex.writeIndex(emb, idxDir, numPartitions = parts)
       new java.io.File(s"$idxDir/_SUCCESS_GRAFT").createNewFile()
     }
     val sels = Seq(("half", col("label") < 4), ("tenth", col("label") === 0))
@@ -56,12 +64,18 @@ object FilteredBeamScale {
     val rows = for (beam <- beams; (selName, pred) <- sels) yield {
       val allowed = emb.where(pred).select("vec_id")
       val t0 = System.nanoTime()
-      val r = recallOf(VamanaIndex.selfSearchFilteredPersisted(spark, idxDir,
-        allowed, numQueries = 8, k = 10, searchBeam = beam), exact(selName))
+      val run =
+        if (family == "hnsw")
+          HnswIndex.selfSearchFilteredPersisted(spark, idxDir, allowed,
+            numQueries = 8, k = 10, efFiltered = beam)
+        else
+          VamanaIndex.selfSearchFilteredPersisted(spark, idxDir, allowed,
+            numQueries = 8, k = 10, searchBeam = beam)
+      val r = recallOf(run, exact(selName))
       val dt = (System.nanoTime() - t0) / 1e9
       s""""${selName}_L$beam":{"recall":${f"$r%.3f"},"serve_s":${f"$dt%.2f"}}"""
     }
-    println(s"""{"dir":"$dir","rows":$n,${rows.mkString(",")}}""")
+    println(s"""{"dir":"$dir","family":"$family","parts":$parts,"rows":$n,${rows.mkString(",")}}""")
     spark.stop()
   }
 }

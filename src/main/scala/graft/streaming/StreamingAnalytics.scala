@@ -125,6 +125,88 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** T4 + S6/S7/J7 — the FULL §3.1 request lifecycle
+    * (`distributed_search`, vector_search_cluster.py:186-250) as a
+    * serving loop — the streaming twin of the batch
+    * `q_search_lifecycle` plan: every micro-batch of (query_id,
+    * cache_key, qvec) requests probes a PERSISTENT cache table (the
+    * Redis analog: a parquet-backed key table shared across batches and
+    * restarts — durable like Redis, unlike executor state), hits bypass
+    * the search (:206-211), misses run the k-NN search, serialize the
+    * ranked ids to a payload, and append SETEX rows (now + ttl,
+    * :399-412); the sink receives the per-query hit/miss union.
+    *
+    * SETEX overwrite on an append-only table is read-side latest-wins:
+    * the probe reads max(expires_at) per key (one small grouped
+    * aggregate over the key table — compact periodically at scale).
+    * Replay safety follows [[indexIngestLoop]]: a per-batch marker under
+    * `cacheDir/_batches/<batchId>` makes at-least-once re-deliveries
+    * skip the already-applied cache append. `clock` is injected so TTL
+    * semantics are deterministic under test (the reference's
+    * `time.time()`, :403). */
+  def cacheServeLoop(
+      queryStream: DataFrame,
+      embeddings: DataFrame,
+      cacheDir: String,
+      k: Int,
+      ttlSeconds: Long,
+      clock: () => Long)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val nowTs = clock()
+          // request-batch-sized (one micro-batch): same single-probe
+          // materialization discipline as the batch lifecycle plan
+          val b = batch.localCheckpoint(true)
+          val fs = new org.apache.hadoop.fs.Path(cacheDir).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val hasCache = fs.exists(new org.apache.hadoop.fs.Path(s"$cacheDir/data"))
+          val cache =
+            if (!hasCache)
+              spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                org.apache.spark.sql.types.StructType.fromDDL(
+                  "cache_key string, payload string, expires_at bigint"))
+            else
+              // latest-wins per key = SETEX overwrite on append storage
+              spark.read.parquet(s"$cacheDir/data")
+                .groupBy(col("cache_key"))
+                .agg(max(struct(col("expires_at"), col("payload"))).as("m"))
+                .select(col("cache_key"), col("m.payload").as("payload"),
+                  col("m.expires_at").as("expires_at"))
+          val probed = graft.operators.CacheSemantics
+            .lookup(b, cache, lit(nowTs)).localCheckpoint(true)
+          val misses = probed.where(!col("hit"))
+            .select(col("query_id"), col("cache_key"), col("qvec"))
+          val fresh = graft.operators.KnnSearch.topK(
+            misses.select(col("query_id"), col("qvec")),
+            embeddings.select(col("vec_id"), col("embedding").as("vec")), k)
+          val freshPayload = fresh.groupBy(col("query_id"))
+            .agg(md5(concat_ws(",",
+              transform(array_sort(collect_list(struct(col("rank"), col("vec_id")))),
+                x => x.getField("vec_id").cast("string")))).as("payload"))
+          val putRows = graft.operators.CacheSemantics.put(
+            misses.select(col("query_id"), col("cache_key"))
+              .join(freshPayload, Seq("query_id")),
+            keyCol = col("cache_key"), payloadCol = col("payload"),
+            now = lit(nowTs), ttlSeconds = ttlSeconds).localCheckpoint(true)
+          val marker = new org.apache.hadoop.fs.Path(s"$cacheDir/_batches/$batchId")
+          if (!fs.exists(marker)) {
+            putRows.write.mode("append").parquet(s"$cacheDir/data")
+            fs.create(marker, true).close()
+          }
+          val served = probed.where(col("hit"))
+            .select(col("query_id"), col("hit"), col("payload"))
+          val freshServed = misses.select(col("query_id"), col("cache_key"))
+            .join(putRows, Seq("cache_key"))
+            .select(col("query_id"), lit(false).as("hit"), col("payload"))
+          sink(served.unionByName(freshServed), batchId)
+        }
+      }
+      .start()
+
   /** The reference's background index-add loop (`index.add` on a live
     * index, vector_search_cluster.py:1210-1212 via :1047-1049) as
     * Structured Streaming: each micro-batch of arriving vectors is

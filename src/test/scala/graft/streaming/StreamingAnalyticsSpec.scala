@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
@@ -134,6 +135,52 @@ class StreamingAnalyticsSpec extends SparkSpec {
           s"$k decayed: streaming $d vs batch ${batch(k)._2}")
       }
     } finally q.stop()
+  }
+
+  test("cacheServeLoop: first batch misses and populates; repeat hits with the same payload; TTL expiry re-misses") {
+    implicit val sc = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 4)
+      .select($"vec_id".as("query_id"),
+        graft.operators.CacheSemantics.keyFor($"embedding", 5).as("cache_key"),
+        $"embedding".as("qvec"))
+      .as[(Long, String, Array[Float])].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("cacheserve").toString
+    val src = MemoryStream[(Long, String, Array[Float])]
+    var now = 1000L
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Boolean, String)]]
+    val q = StreamingAnalytics.cacheServeLoop(
+      src.toDF().toDF("query_id", "cache_key", "qvec"), emb, dir,
+      k = 5, ttlSeconds = 300L, clock = () => now) { (df, _) =>
+      batches += df.select($"query_id", $"hit", $"payload").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq.sortBy(_._1)
+    }
+    try {
+      src.addData(queries); q.processAllAvailable()   // all miss, cache fills
+      src.addData(queries); q.processAllAvailable()   // all hit, same payloads
+      now = 1400L                                     // past expires_at = 1300
+      src.addData(queries.take(2)); q.processAllAvailable() // expired → re-miss
+    } finally q.stop()
+    assert(batches.size == 3)
+    assert(batches(0).forall(!_._2), "first batch must be all misses")
+    assert(batches(1).forall(_._2), "second batch must be all cache hits")
+    assert(batches(0).map(r => (r._1, r._3)) == batches(1).map(r => (r._1, r._3)),
+      "hit payloads must be exactly the miss-computed payloads")
+    assert(batches(2).forall(!_._2), "expired entries must re-miss")
+    assert(batches(2).map(r => (r._1, r._3)) ==
+      batches(0).take(2).map(r => (r._1, r._3)),
+      "recomputed payloads must be deterministic")
+    // payload parity with the batch engine's serialization (md5 of
+    // rank-ordered ids from the same topK)
+    val expect = graft.operators.KnnSearch.topK(
+        emb.where($"vec_id" < 4).select($"vec_id".as("query_id"), $"embedding".as("qvec")),
+        emb.select($"vec_id", $"embedding".as("vec")), k = 5)
+      .groupBy($"query_id")
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct($"rank", $"vec_id"))),
+          x => x.getField("vec_id").cast("string")))).as("payload"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(batches(0).map(r => (r._1, r._3)) == expect)
   }
 
   test("knnServeLoop: streamed queries get the same top-k as the batch engine") {
