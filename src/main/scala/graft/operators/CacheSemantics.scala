@@ -34,20 +34,28 @@ object CacheSemantics {
 
   /** S7 — cache append entries for fresh results: key → payload with
     * `expires_at = now + ttl` (SETEX semantics, :407-410), errors skipped
-    * (P6, :403-405). */
+    * (P6, :403-405).
+    *
+    * `passThrough` names extra columns of `results` to carry alongside
+    * the cache triple. Servers that must hand each requester ITS row
+    * keep `query_id` here and project the triple off for the append —
+    * joining served rows back to put rows by cache_key instead fans out
+    * m×m when two in-flight misses share a key (duplicate embedding +
+    * same k), emitting duplicate responses per query (ADVICE r11). */
   def put(
       results: DataFrame,
       keyCol: Column,
       payloadCol: Column,
       now: Column,
-      ttlSeconds: Long): DataFrame = {
+      ttlSeconds: Long,
+      passThrough: Seq[String] = Nil): DataFrame = {
     val clean =
       if (results.columns.contains("error")) results.where(col("error").isNull)
       else results
-    clean.select(
+    clean.select(passThrough.map(col) ++ Seq(
       keyCol.as("cache_key"),
       payloadCol.as("payload"),
-      (now + lit(ttlSeconds)).as("expires_at"))
+      (now + lit(ttlSeconds)).as("expires_at")): _*)
   }
 
   /** Build a cache-key column for a vector+k query (P1). */

@@ -1017,15 +1017,19 @@ object Registry {
         .agg(md5(concat_ws(",",
           transform(array_sort(collect_list(struct(col("rank"), col("vec_id")))),
             x => x.getField("vec_id").cast("string")))).as("payload"))
+      // query_id rides through the put (passThrough) so served rows are
+      // keyed per REQUEST: two in-flight misses sharing a cache_key
+      // (duplicate embedding + same k) each serve exactly one row — the
+      // former join-back-by-key fanned out m×m and diverged from the
+      // oracle, which keys fresh rows by query_id (ADVICE r11)
       val putRows = CacheSemantics.put(
         misses.select(col("query_id"), col("cache_key"))
           .join(freshPayload, Seq("query_id")),
         keyCol = col("cache_key"), payloadCol = col("payload"),
-        now = now, ttlSeconds = 300L)
-      // the put rows are consumed IN-PLAN (joined back by key) so the
-      // S7 append is part of the one composed query, not dead code
-      val freshServed = misses.select(col("query_id"), col("cache_key"))
-        .join(putRows, Seq("cache_key"))
+        now = now, ttlSeconds = 300L, passThrough = Seq("query_id"))
+      // the put rows are consumed IN-PLAN (projected into the served
+      // union) so the S7 append is part of the one composed query
+      val freshServed = putRows
         .select(col("query_id"), lit(false).as("hit"), col("payload"),
           col("expires_at"))
       val served = probed.where(col("hit"))

@@ -183,6 +183,145 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(batches(0).map(r => (r._1, r._3)) == expect)
   }
 
+  // shared shape for the cache-serve tests below: (query_id, cache_key, qvec)
+  private def cacheQueries(ids: Long*): Seq[(Long, String, Array[Float])] = {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    emb.where($"vec_id".isin(ids: _*))
+      .select($"vec_id".as("query_id"),
+        graft.operators.CacheSemantics.keyFor($"embedding", 5).as("cache_key"),
+        $"embedding".as("qvec"))
+      .as[(Long, String, Array[Float])].collect().toSeq
+      .sortBy(q => ids.indexOf(q._1))
+  }
+
+  test("cacheServeLoop: compaction folds the tail into a versioned snapshot; reads stay bounded by live keys; payloads survive compaction") {
+    implicit val sc = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("cachecompact").toString
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def dataFiles = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/data")
+      if (fs.exists(p)) fs.listStatus(p).length else 0
+    }
+    val src = MemoryStream[(Long, String, Array[Float])]
+    val now = 1000L
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Boolean, String)]]
+    val q = StreamingAnalytics.cacheServeLoop(
+      src.toDF().toDF("query_id", "cache_key", "qvec"), emb, dir,
+      k = 5, ttlSeconds = 10000L, clock = () => now,
+      compactEvery = 2, capacity = 100) { (df, _) =>
+      batches += df.select($"query_id", $"hit", $"payload").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq.sortBy(_._1)
+    }
+    try {
+      src.addData(cacheQueries(0L, 1L)); q.processAllAvailable()   // b0: miss, tail grows
+      assert(dataFiles > 0, "append tail must exist before compaction")
+      src.addData(cacheQueries(2L, 3L)); q.processAllAvailable()   // b1: miss + COMPACT
+      assert(dataFiles == 0, "compaction must delete the folded tail files")
+      assert(graft.sources.IndexVersions.latest(spark, s"$dir/snapshot").contains(1L))
+      // an uncompacted loop would keep every SETEX row ever written; the
+      // snapshot holds exactly the live keys
+      val snap1 = spark.read.parquet(
+        graft.sources.IndexVersions.latestPath(spark, s"$dir/snapshot").get)
+      assert(snap1.count() == 4)
+      src.addData(cacheQueries(0L, 1L, 2L, 3L)); q.processAllAvailable() // b2: all HIT from snapshot
+      src.addData(cacheQueries(4L)); q.processAllAvailable()        // b3: miss + COMPACT again
+      assert(dataFiles == 0)
+      val snap2 = spark.read.parquet(
+        graft.sources.IndexVersions.latestPath(spark, s"$dir/snapshot").get)
+      assert(snap2.count() == 5, "snapshot row count == live keys, flat in history")
+    } finally q.stop()
+    assert(batches.size == 4)
+    assert(batches(0).forall(!_._2) && batches(1).forall(!_._2))
+    assert(batches(2).forall(_._2), "post-compaction batch must hit from the snapshot")
+    // hit payloads across the compaction boundary == the miss-computed ones
+    val fresh = (batches(0) ++ batches(1)).map(r => r._1 -> r._3).toMap
+    batches(2).foreach { case (id, _, p) => assert(p == fresh(id)) }
+  }
+
+  test("cacheServeLoop: compaction enforces capacity — oldest live keys evict and re-miss") {
+    implicit val sc = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("cachecap").toString
+    val src = MemoryStream[(Long, String, Array[Float])]
+    var now = 1000L
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Boolean, String)]]
+    val q = StreamingAnalytics.cacheServeLoop(
+      src.toDF().toDF("query_id", "cache_key", "qvec"), emb, dir,
+      k = 5, ttlSeconds = 100000L, clock = () => now,
+      compactEvery = 2, capacity = 2) { (df, _) =>
+      batches += df.select($"query_id", $"hit", $"payload").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq.sortBy(_._1)
+    }
+    try {
+      src.addData(cacheQueries(0L)); q.processAllAvailable(); now = 2000L // b0
+      src.addData(cacheQueries(1L)); q.processAllAvailable(); now = 3000L // b1 + compact: {0,1} kept
+      src.addData(cacheQueries(2L)); q.processAllAvailable(); now = 4000L // b2
+      src.addData(cacheQueries(3L)); q.processAllAvailable(); now = 4100L // b3 + compact: keep {2,3}
+      src.addData(cacheQueries(0L, 3L)); q.processAllAvailable()          // b4
+    } finally q.stop()
+    assert(batches.size == 5)
+    val b4 = batches(4).map(r => r._1 -> r._2).toMap
+    assert(!b4(0L), "key 0 was evicted by capacity (still within TTL) — must re-miss")
+    assert(b4(3L), "key 3 is among the capacity most-recent — must hit")
+    assert(batches(4).find(_._1 == 0L).get._3 == batches(0).head._3,
+      "re-computed payload must equal the original")
+  }
+
+  test("cacheServeLoop: an all-hit batch (the replay shape) never executes the corpus scan") {
+    implicit val sc = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val embDir = java.nio.file.Files.createTempDirectory("embcopy").toString
+    emb.write.mode("overwrite").parquet(embDir)
+    val embLazy = spark.read.schema(emb.schema).parquet(embDir)
+    val dir = java.nio.file.Files.createTempDirectory("cachereplay").toString
+    val src = MemoryStream[(Long, String, Array[Float])]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Boolean, String)]]
+    val q = StreamingAnalytics.cacheServeLoop(
+      src.toDF().toDF("query_id", "cache_key", "qvec"), embLazy, dir,
+      k = 5, ttlSeconds = 10000L, clock = () => 1000L) { (df, _) =>
+      batches += df.select($"query_id", $"hit", $"payload").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq.sortBy(_._1)
+    }
+    try {
+      src.addData(cacheQueries(0L, 1L)); q.processAllAvailable() // b0: misses scan the corpus
+      // delete the corpus files: any subsequent execution of the k-NN
+      // subtree would fail the stream with FileNotFound
+      val fs = new org.apache.hadoop.fs.Path(embDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(embDir), true)
+      assertThrows[Exception](embLazy.count()) // the deletion is real
+      src.addData(cacheQueries(0L, 1L)); q.processAllAvailable() // b1: all hit, no scan
+    } finally q.stop()
+    assert(batches.size == 2)
+    assert(batches(0).forall(!_._2) && batches(1).forall(_._2))
+    assert(batches(0).map(r => (r._1, r._3)) == batches(1).map(r => (r._1, r._3)))
+  }
+
+  test("cacheServeLoop: two misses sharing a cache_key serve one row per query_id (no m×m key join)") {
+    implicit val sc = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val one = cacheQueries(0L).head
+    val dup = Seq((100L, one._2, one._3), (101L, one._2, one._3)) // same key, two requests
+    val dir = java.nio.file.Files.createTempDirectory("cachedup").toString
+    val src = MemoryStream[(Long, String, Array[Float])]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Boolean, String)]]
+    val q = StreamingAnalytics.cacheServeLoop(
+      src.toDF().toDF("query_id", "cache_key", "qvec"), emb, dir,
+      k = 5, ttlSeconds = 10000L, clock = () => 1000L) { (df, _) =>
+      batches += df.select($"query_id", $"hit", $"payload").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq.sortBy(_._1)
+    }
+    try {
+      src.addData(dup); q.processAllAvailable()
+    } finally q.stop()
+    assert(batches.size == 1)
+    assert(batches(0).map(_._1) == Seq(100L, 101L),
+      s"exactly one served row per query_id, got ${batches(0).map(_._1)}")
+    assert(batches(0).map(_._3).distinct.size == 1, "identical vectors, identical payloads")
+  }
+
   test("knnServeLoop: streamed queries get the same top-k as the batch engine") {
     implicit val sc = spark.sqlContext
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
