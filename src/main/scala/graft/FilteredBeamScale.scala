@@ -40,7 +40,15 @@ object FilteredBeamScale {
     spark.sparkContext.setLogLevel("WARN")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val n = emb.count()
-    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_fbs_${family}_${parts}_$n"
+    // keyed by fixture path hash + newest fixture mtime, not just
+    // (family, parts, rowcount): regenerating the fixture in place with
+    // the same row count must invalidate the cached index instead of
+    // silently serving stale recall numbers into SCALE.md (ADVICE r11)
+    def newestMtime(f: java.io.File): Long =
+      (f.lastModified +: Option(f.listFiles()).toSeq.flatten.map(newestMtime)).max
+    val fixKey = Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.Long.toHexString(newestMtime(new java.io.File(s"$dir/embeddings.parquet")))
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_fbs_${family}_${parts}_${n}_$fixKey"
     if (!new java.io.File(s"$idxDir/_SUCCESS_GRAFT").exists()) {
       if (family == "hnsw") HnswIndex.writeIndex(emb, idxDir, numPartitions = parts)
       else VamanaIndex.writeIndex(emb, idxDir, numPartitions = parts)
@@ -61,19 +69,40 @@ object FilteredBeamScale {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       (got intersect ex).size.toDouble / ex.size
     }
-    val rows = for (beam <- beams; (selName, pred) <- sels) yield {
+    // fixed rungs + the AUTO rung (beam 0 sentinel in `beams` or always
+    // appended): production ef = 64 scaled by the measured selectivity —
+    // the rule FilteredSearchPlanner.autoBeam now applies in code
+    val selFrac = sels.map { case (name, pred) =>
+      name -> emb.where(pred).count().toDouble / n
+    }.toMap
+    // -1 = the selectivity auto rung (ef/s); -2 = selectivity + the k·m
+    // near-dup-multiplicity floor, m from GRAFT_DUP_MULT (the fixture's
+    // replica count — in production, the dedup family's mean cluster
+    // size)
+    val dupMult = sys.env.get("GRAFT_DUP_MULT").map(_.toDouble)
+    val rungs = beams ++ Seq(-1) ++ (if (dupMult.isDefined) Seq(-2) else Nil)
+    val rows = for (beam <- rungs; (selName, pred) <- sels) yield {
       val allowed = emb.where(pred).select("vec_id")
+      val base = if (beam < 0) 64 else beam
+      val selOpt = if (beam < 0) Some(selFrac(selName)) else None
+      val multOpt = if (beam == -2) dupMult else None
       val t0 = System.nanoTime()
       val run =
         if (family == "hnsw")
           HnswIndex.selfSearchFilteredPersisted(spark, idxDir, allowed,
-            numQueries = 8, k = 10, efFiltered = beam)
+            numQueries = 8, k = 10, efFiltered = base, selectivity = selOpt,
+            dupMultiplicity = multOpt)
         else
           VamanaIndex.selfSearchFilteredPersisted(spark, idxDir, allowed,
-            numQueries = 8, k = 10, searchBeam = beam)
+            numQueries = 8, k = 10, searchBeam = base, selectivity = selOpt,
+            dupMultiplicity = multOpt)
       val r = recallOf(run, exact(selName))
       val dt = (System.nanoTime() - t0) / 1e9
-      s""""${selName}_L$beam":{"recall":${f"$r%.3f"},"serve_s":${f"$dt%.2f"}}"""
+      val label =
+        if (beam == -2) s"${selName}_auto64_m${dupMult.get.toInt}"
+        else if (beam == -1) s"${selName}_auto64"
+        else s"${selName}_L$beam"
+      s""""$label":{"recall":${f"$r%.3f"},"serve_s":${f"$dt%.2f"}}"""
     }
     println(s"""{"dir":"$dir","family":"$family","parts":$parts,"rows":$n,${rows.mkString(",")}}""")
     spark.stop()

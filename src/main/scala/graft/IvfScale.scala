@@ -55,7 +55,14 @@ object IvfScale {
       .zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toArray) }
 
-    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfscale_${n}_$nl"
+    // keyed by fixture path hash + newest fixture mtime in addition to
+    // (rows, nlist): an in-place fixture regeneration with the same row
+    // count must not silently serve a stale index (ADVICE r11)
+    def newestMtime(f: java.io.File): Long =
+      (f.lastModified +: Option(f.listFiles()).toSeq.flatten.map(newestMtime)).max
+    val fixKey = Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.Long.toHexString(newestMtime(new java.io.File(s"$dir/embeddings.parquet")))
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfscale_${n}_${nl}_$fixKey"
     val (buildS, _) = time {
       if (!new java.io.File(s"$idxDir/_SUCCESS_GRAFT").exists()) {
         // cluster-clustered write: without it every write task sprays a
@@ -76,11 +83,49 @@ object IvfScale {
           nprobe = nprobe, k = k, excludeSelf = true)
         .write.format("noop").mode("overwrite").save())._1
     }
+
+    // optional 5th arg B: the cluster-bucket layout probe (r11 verdict
+    // item 7a) — partition by cluster_bucket = cluster_id % B instead of
+    // by cluster_id, so a probe lists ≤ nprobe directories instead of
+    // letting the scan's partition discovery walk nlist (7,812 at the
+    // 1000× deployment rule) directories; the cluster_id predicate
+    // remains as an in-file rowgroup filter (files are sorted by
+    // cluster_id within each bucket).
+    val bucketB = if (args.length > 4) args(4).toInt else 0
+    val bucketJson = if (bucketB <= 0) "" else {
+      val bDir = s"${idxDir}_b$bucketB"
+      val (bBuildS, _) = time {
+        if (!new java.io.File(s"$bDir/_SUCCESS_GRAFT").exists()) {
+          assignments
+            .withColumn("cluster_bucket",
+              pmod(col("cluster_id"), lit(bucketB.toLong)))
+            .repartition(col("cluster_bucket"))
+            .sortWithinPartitions(col("cluster_id"))
+            .write.partitionBy("cluster_bucket").mode("overwrite").parquet(bDir)
+          new java.io.File(s"$bDir/_SUCCESS_GRAFT").createNewFile()
+        }
+      }
+      val bAssign = spark.read.parquet(bDir)
+      val probedClusters = IvfIndex.probes(q, loadedCents, nprobe)
+        .select(col("cluster_id")).distinct().collect().map(_.getLong(0))
+      val buckets = probedClusters.map(c => math.floorMod(c, bucketB.toLong)).distinct
+      val bSearchT = (1 to reps).map { _ =>
+        time(IvfIndex.searchPruned(q, loadedCents,
+            bAssign.where(col("cluster_bucket").isin(buckets.toSeq: _*)),
+            nprobe = nprobe, k = k, excludeSelf = true)
+          .write.format("noop").mode("overwrite").save())._1
+      }
+      s""","bucket_B":$bucketB,"bucket_build_s":${f"$bBuildS%.3f"},""" +
+        s""""buckets_probed":${buckets.length},""" +
+        s""""bucketed_search_median_s":${f"${median(bSearchT)}%.3f"},""" +
+        s""""bucketed_search_iters":[${bSearchT.map(t => f"$t%.3f").mkString(",")}]"""
+    }
     println(s"""{"dir":"$dir","rows":$n,"nlist":$nl,"nprobe":$nprobe,""" +
       s""""literal_form":"${if (nl <= IvfIndex.LiteralCentroidMax) "per_element" else "single_literal"}",""" +
       s""""build_s":${f"$buildS%.3f"},""" +
       s""""search_median_s":${f"${median(searchT)}%.3f"},""" +
-      s""""search_iters":[${searchT.map(t => f"$t%.3f").mkString(",")}]}""")
+      s""""search_iters":[${searchT.map(t => f"$t%.3f").mkString(",")}]""" +
+      bucketJson + "}")
     spark.stop()
   }
 }

@@ -20,8 +20,11 @@ import graft.operators.Dedup
   *
   * Stages 2 and 3 read the PREVIOUS stage's checkpoint, so each number
   * is that stage's own cost, not a cumulative prefix. The verify stage
-  * replicates [[Dedup.minhashLshDups]]'s scoring join verbatim (same
-  * public helpers, same threshold).
+  * calls the PRODUCTION scoring functions ([[Dedup.verifyCandidates]]
+  * for md5, [[Dedup.scoreCandidates]] + [[Dedup.verifyScoredCandidates]]
+  * for fast — the same composition [[Dedup.minhashLshDupsFast]] runs),
+  * so the measured stage cannot drift from the pipeline it attributes
+  * (ADVICE r11).
   *
   *   sbt "runMain graft.MinhashStages /tmp/graft_scale_100x 3 [fast]"
   * Prints one JSON line {"sig":s,"band":s,"verify":s,"pairs":n,...}
@@ -70,21 +73,15 @@ object MinhashStages {
         Dedup.lshCandidates(bandSigs, bands, rowsPerBand).localCheckpoint(true))
       bandT += tb
       nPairs = pairs.count()
-      val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-        col("shingles").as("sh_a"))
-      val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-        col("shingles").as("sh_b"))
-      val scored = pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          round(size(filter(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => x === y), m => m)).cast("double") / numHashes, 4)
-            .as("est_jaccard"),
-          round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
-        .where(col("jaccard") >= threshold)
+      val verified =
+        if (fast)
+          Dedup.verifyScoredCandidates(docs,
+            Dedup.scoreCandidates(sigs, pairs, numHashes), shingleN, threshold)
+        else Dedup.verifyCandidates(sigs, pairs, numHashes, threshold)
       val (tv, _) = time(
-        scored.write.format("noop").mode("overwrite").save())
+        verified.write.format("noop").mode("overwrite").save())
       verifyT += tv
-      nDups = scored.count()
+      nDups = verified.count()
     }
     println(s"""{"dir":"$dir","family":"${if (fast) "xxhash64" else "md5"}","reps":$reps,""" +
       s""""sig":${f"${median(sigT.result().toSeq)}%.3f"},""" +

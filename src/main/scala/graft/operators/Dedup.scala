@@ -121,8 +121,10 @@ object Dedup {
     * to the signature table, estimate Jaccard from signature agreement,
     * verify with the exact shingle Jaccard, threshold. Signature element
     * type is irrelevant — agreement is plain equality (md5 hex strings
-    * and xxhash64 longs alike). */
-  private def verifyCandidates(sigs: DataFrame, pairs: DataFrame,
+    * and xxhash64 longs alike). Package-visible so the stage-attribution
+    * harness (graft.MinhashStages) times THIS function, not an inline
+    * re-implementation that could drift (ADVICE r11). */
+  private[graft] def verifyCandidates(sigs: DataFrame, pairs: DataFrame,
       numHashes: Int, threshold: Double): DataFrame = {
     val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("shingles").as("sh_a"))
@@ -170,18 +172,31 @@ object Dedup {
         transform(sequence(lit(0), lit(numHashes - 1), lit(1)), h =>
           array_min(transform(col("shingles"), sh => xxhash64(h, sh)))))
 
-  /** [[minhashLshDups]] over the fast xxhash64 family — same banding,
-    * same exact-Jaccard verification; measured at 500k docs
-    * (graft.MinhashStages): signature 84.3 → 14.9 s (5.7×), whole
-    * pipeline ~102 → ~30 s, with the identical 257 verified dup pairs.
-    * Banding reuses [[lshCandidates]] on the stringified longs (the
-    * bucket is an opaque equality key either way). */
-  def minhashLshDupsFast(
+  /** Signature-agreement scoring of a candidate pair table: join pairs
+    * back to the signature table, emit (doc_a, doc_b, est_jaccard).
+    * The xxhash64-dependent half of the fast pipeline's scoring. */
+  private[graft] def scoreCandidates(sigs: DataFrame, pairs: DataFrame,
+      numHashes: Int): DataFrame = {
+    val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)).cast("double") / numHashes, 4).as("est_jaccard"))
+  }
+
+  /** The fast family's banded candidate pairs WITH their signature
+    * est_jaccard — everything in the pipeline that depends on xxhash64
+    * (which has no DuckDB analog), split out so the driver contract can
+    * store it as an input artifact (q_minhash_fast_cands) and give the
+    * remaining verify stage a full SQL oracle. Banding reuses
+    * [[lshCandidates]] on the stringified longs (the bucket is an
+    * opaque equality key either way). */
+  def minhashFastCandidatesScored(
       docs: DataFrame,
       shingleN: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.8,
       textCol: String = "text"): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatureFast(docs, shingleN, numHashes, textCol)
@@ -189,8 +204,49 @@ object Dedup {
     val pairs = lshCandidates(
       sigs.withColumn("sig", transform(col("sig"), _.cast("string"))),
       bands, rowsPerBand)
-    verifyCandidates(sigs, pairs, numHashes, threshold)
+    scoreCandidates(sigs, pairs, numHashes)
   }
+
+  /** The family-neutral verify tail given SCORED candidates: exact
+    * shingle-Jaccard threshold over the pair table — pure relational
+    * SQL given (doc_a, doc_b, est_jaccard), which is exactly how the
+    * DuckDB oracle replays it from the stored candidate artifact.
+    * Shingles are recomputed only for docs that appear in a candidate
+    * pair (join-bounded), so this costs O(candidates), not O(corpus). */
+  def verifyScoredCandidates(
+      docs: DataFrame,
+      scored: DataFrame,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
+    scored
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** [[minhashLshDups]] over the fast xxhash64 family — same banding,
+    * same exact-Jaccard verification; measured at 500k docs
+    * (graft.MinhashStages): signature 84.3 → 14.9 s (5.7×), whole
+    * pipeline ~102 → ~30 s, with the identical 257 verified dup pairs.
+    * Composed from the two driver-contract halves; output identical to
+    * the former fused form (same est from the same sigs, same exact
+    * Jaccard from the same deterministic shingles). */
+  def minhashLshDupsFast(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.8,
+      textCol: String = "text"): DataFrame =
+    verifyScoredCandidates(docs,
+      minhashFastCandidatesScored(docs, shingleN, numHashes, bands, textCol),
+      shingleN, threshold, textCol)
 
   /** Group near-dup pairs into clusters: iterative min-label propagation
     * over the (undirected) pair graph — every doc converges to the

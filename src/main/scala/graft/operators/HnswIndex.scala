@@ -743,14 +743,22 @@ object HnswIndex {
       allowed: DataFrame,
       numQueries: Int,
       k: Int,
-      efFiltered: Int = 0): DataFrame = {
+      efFiltered: Int = 0,
+      selectivity: Option[Double] = None,
+      dupMultiplicity: Option[Double] = None): DataFrame = {
     import spark.implicits._
     val (p, parts) = readMeta(spark, dir, efSearch = Params().efSearch)
     val queries = spark.read.parquet(s"$dir/nodes")
       .where(col("vec_id") < numQueries).as[HnswNode]
       .map(n => (n.vec_id, n.vec)).collect().sortBy(_._1)
     val bcQueries = spark.sparkContext.broadcast(queries)
-    val efF = math.max(if (efFiltered > 0) efFiltered else p.efSearch, k + 1)
+    // ef ≈ max(ef/selectivity, k·dup-multiplicity) when the caller
+    // passes the predicate's survivor fraction / the corpus near-dup
+    // multiplicity (the measured rules — FilteredSearchPlanner.autoBeam);
+    // None keeps the fixed caller beam
+    val efF = FilteredSearchPlanner.autoBeam(
+      math.max(if (efFiltered > 0) efFiltered else p.efSearch, k + 1),
+      selectivity, k, dupMultiplicity)
     val allowByPart = allowed
       .select(pmod(hash(col("vec_id")), lit(parts)).cast("int").as("part_id"),
         col("vec_id"))

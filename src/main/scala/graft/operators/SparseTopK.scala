@@ -321,7 +321,14 @@ object SparseTopK {
       : (DataFrame, Int, Long, Long) = {
     require(k > 0, "taTopK: k must be positive")
     val qts = queryTerms.distinct
+    // materialized once: the loop's three jobs (seed scores, ladder
+    // tails, final scores — and scoresAt joins qPostings against ITSELF)
+    // would otherwise each re-scan the persisted index; the r12 stage
+    // attribution (graft.TaStages, SCALE.md) measured that re-scan term
+    // at ~28 % of the 100×-docs serve. Query-terms-sized × list length —
+    // the serve-plane working set, not the corpus.
     val qPostings = index.where(col("term").isin(qts: _*))
+      .localCheckpoint(true)
 
     // exact scores for the docs seen in the depth-p prefixes, folded in
     // sorted term order (Bm25 bit-parity discipline)

@@ -583,14 +583,22 @@ object VamanaIndex {
       allowed: DataFrame,
       numQueries: Int,
       k: Int,
-      searchBeam: Int = 0): DataFrame = {
+      searchBeam: Int = 0,
+      selectivity: Option[Double] = None,
+      dupMultiplicity: Option[Double] = None): DataFrame = {
     import spark.implicits._
     val (p, parts) = readMeta(spark, dir)
     val queries = spark.read.parquet(s"$dir/nodes")
       .where(col("vec_id") < numQueries).as[VamanaNode]
       .map(n => (n.vec_id, n.vec)).collect().sortBy(_._1)
     val bcQueries = spark.sparkContext.broadcast(queries)
-    val beam = searchBeam
+    // production serving passes the predicate's survivor fraction (the
+    // measured L ≈ ef/selectivity rule) and/or the corpus near-dup
+    // multiplicity (the k·m tie-bridging floor — see
+    // FilteredSearchPlanner.autoBeam); None keeps the caller's fixed
+    // beam (the exactness pins pass Int.MaxValue — a fixed point)
+    val beam = FilteredSearchPlanner.autoBeam(
+      searchBeam, selectivity, k, dupMultiplicity)
     val allowByPart = allowed
       .select(pmod(col("vec_id"), lit(parts)).cast("int").as("part_id"),
         col("vec_id"))

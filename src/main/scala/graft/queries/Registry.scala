@@ -349,6 +349,28 @@ object Registry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // SPANN serve-only (r11 verdict item 5): identical replicated-list
+    // semantics, but the index is a buildOnce artifact probed per call —
+    // the q_hnsw_serve pattern. q_spann_knn keeps timing the BUILD
+    // (rebuild + search per call); this row is what a deployment pays
+    // per query batch, and the number the 1000× scaling slot records
+    // instead of a build-write-dominated ratio. Same exact oracle.
+    "q_spann_serve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxDir = buildOnce("graft_spann_serve_idx", dir) { d =>
+        val cents = IvfIndex.seedCentroids(emb, 16)
+        IvfIndex.writeIndex(IvfIndex.assignMulti(emb, cents, r = 2), cents, d)
+      }
+      val (loadedCents, assignments) = IvfIndex.loadIndex(s, idxDir)
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      IvfIndex.searchMultiPruned(q, loadedCents, assignments, nprobe = 2,
+          k = 10, excludeSelf = true)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Milvus search-group_by / Vespa grouping: per query, at most 2 hits
     // per label then global top-10 — group diversity at serving time.
     // The group cap is one extra WindowGroupLimit keyed (query, group);
@@ -1312,6 +1334,38 @@ object Registry {
     "q_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshDups(t(s, dir, "documents"),
         shingleN = 3, numHashes = 16, bands = 4, threshold = 0.8)),
+
+    // The production (corpus-scale) xxhash64 MinHash family in the
+    // driver contract (r11 verdict item 3), split at the family
+    // boundary so the SQL-replayable half gets a REAL oracle:
+    //
+    //   q_minhash_fast_cands — banded candidate pairs + signature
+    //     est_jaccard: everything that depends on xxhash64, which has
+    //     no DuckDB analog → the documented no-oracle entry (rows-only
+    //     driver check; candidate QUALITY is recall-gated ≥ 0.9 vs the
+    //     md5 pipeline's verified truth in DedupSpec).
+    //   q_minhash_lsh_fast — the verify stage over those candidates:
+    //     exact shingle-Jaccard threshold, fully replayed by a DuckDB
+    //     oracle that reads the candidate artifact THIS verify run
+    //     dumped (the __GRAFT_VERIFY_OUT__ placeholder, substituted by
+    //     graft.Verify at dump time) and joins it to `documents`.
+    //
+    // Both serve one buildOnce artifact — generation (the 5.7×-faster
+    // signature stage) is timed in whichever consumer runs first, the
+    // lshPairsOnce discipline.
+    "q_minhash_fast_cands" -> ((s, dir) =>
+      s.read.parquet(buildOnce("graft_minhash_fast_cands", dir)(p =>
+          Dedup.minhashFastCandidatesScored(t(s, dir, "documents"),
+            shingleN = 3, numHashes = 16, bands = 4).write.parquet(p)))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q_minhash_lsh_fast" -> ((s, dir) => {
+      val cands = s.read.parquet(buildOnce("graft_minhash_fast_cands", dir)(p =>
+        Dedup.minhashFastCandidatesScored(t(s, dir, "documents"),
+          shingleN = 3, numHashes = 16, bands = 4).write.parquet(p)))
+      Dedup.verifyScoredCandidates(t(s, dir, "documents"), cands,
+        shingleN = 3, threshold = 0.8)
+    }),
 
     // near-dup clustering: connected components over the LSH pair graph,
     // canonical = min doc_id per cluster. The pair table is the persisted
@@ -3524,6 +3578,9 @@ s"""WITH cent AS (
     // exactly what the in-memory closure search returns
     "q_spann_knn" -> ivfVariantSql(2, 2, ""),
 
+    // serve-only form: same replicated-list semantics, same exact replay
+    "q_spann_serve" -> ivfVariantSql(2, 2, ""),
+
     "q_mutual_knn" -> mutualKnnSql,
 
     // group-capped ranking replayed with the same two-window shape
@@ -4832,6 +4889,30 @@ s"""WITH cent AS (
          |  FROM pairs p
          |  JOIN sig sa ON sa.doc_id = p.doc_a
          |  JOIN sig sb ON sb.doc_id = p.doc_b
+         |)
+         |SELECT doc_a, doc_b, est_jaccard, jaccard FROM scored
+         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Verify-stage replay for the fast xxhash64 family: the candidate
+    // table (the xxhash64-dependent half) is the q_minhash_fast_cands
+    // artifact THIS verify run dumped — graft.Verify substitutes
+    // __GRAFT_VERIFY_OUT__ with the dump directory at oracle-write time,
+    // so DuckDB reads the exact candidates Spark produced and replays
+    // the exact-Jaccard verification from `documents` in pure SQL.
+    "q_minhash_lsh_fast" ->
+      s"""WITH cand AS (
+         |  SELECT doc_a, doc_b, est_jaccard
+         |  FROM read_parquet('__GRAFT_VERIFY_OUT__/q_minhash_fast_cands/*.parquet')
+         |), t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+         |), shs AS (
+         |  SELECT doc_id, $shingles3 AS sh FROM t
+         |), scored AS (
+         |  SELECT c.doc_a, c.doc_b, c.est_jaccard,
+         |         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
+         |  FROM cand c
+         |  JOIN shs sa ON sa.doc_id = c.doc_a
+         |  JOIN shs sb ON sb.doc_id = c.doc_b
          |)
          |SELECT doc_a, doc_b, est_jaccard, jaccard FROM scored
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,

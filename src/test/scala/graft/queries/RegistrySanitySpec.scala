@@ -26,10 +26,17 @@ class RegistrySanitySpec extends AnyFunSuite {
   // q_recall_report's hnsw row and the q_hnsw_sweep rung pins. The five
   // remaining entries are legitimately permanent: LAPACK/seed-dependent
   // trained transforms, each drift-pinned.)
+  // q_minhash_fast_cands joined in r12: the xxhash64 signature/banding
+  // half of the fast MinHash family — DuckDB has no xxhash64, so the
+  // candidate artifact gets the rows-only check (its QUALITY is
+  // recall-gated vs the md5 pipeline in DedupSpec) while the verify
+  // stage over it is fully oracled as q_minhash_lsh_fast (the oracle
+  // reads the artifact this verify run dumped).
   private val documentedNoOracle =
     Set("q_ivf_trained_knn", "q_pca_reduce",
       "q_whiten",
-      "q_opq_knn", "q_opq_ivfpq_knn")
+      "q_opq_knn", "q_opq_ivfpq_knn",
+      "q_minhash_fast_cands")
 
   test("every oracle key has a matching query") {
     val orphans = Registry.oracleSql.keySet -- Registry.queries.keySet
