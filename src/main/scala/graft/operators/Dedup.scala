@@ -211,17 +211,35 @@ object Dedup {
     * shingle-Jaccard threshold over the pair table — pure relational
     * SQL given (doc_a, doc_b, est_jaccard), which is exactly how the
     * DuckDB oracle replays it from the stored candidate artifact.
-    * Shingles are recomputed only for docs that appear in a candidate
-    * pair (join-bounded), so this costs O(candidates), not O(corpus). */
+    * Docs are semi-join pruned to the ids that appear in a candidate
+    * pair BEFORE shingling (the candidate id set is pair-bounded, so
+    * the semi join broadcasts), making the shingle recompute genuinely
+    * O(candidates): without the prune, joining the full shingled corpus
+    * on each side costs two corpus-wide `wordShingles` passes — measured
+    * 34.6 s of a 67 s pipeline at 500k docs vs ~3 s pruned
+    * (graft.MinhashStages, SCALE.md round-12). */
   def verifyScoredCandidates(
       docs: DataFrame,
       scored: DataFrame,
       shingleN: Int = 3,
       threshold: Double = 0.8,
       textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
-    scored
+    // scored feeds the id set AND the final join — materialize once so
+    // a composed caller (minhashLshDupsFast) doesn't re-run its banding
+    // subtree; pair tables are bucket-bounded, so this is small
+    val sc = scored.localCheckpoint(true)
+    val candIds = sc.select(col("doc_a").as("doc_id"))
+      .unionByName(sc.select(col("doc_b").as("doc_id")))
+      .distinct()
+    // no broadcast hint: AQE picks broadcast while the candidate id set
+    // is small and degrades to a shuffle semi join when it isn't (a
+    // driver-side broadcast of a corpus-linear id set would not survive
+    // 100-TB candidate volumes)
+    val sh = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
+      .localCheckpoint(true)
+    sc
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
@@ -231,9 +249,10 @@ object Dedup {
   }
 
   /** [[minhashLshDups]] over the fast xxhash64 family — same banding,
-    * same exact-Jaccard verification; measured at 500k docs
-    * (graft.MinhashStages): signature 84.3 → 14.9 s (5.7×), whole
-    * pipeline ~102 → ~30 s, with the identical 257 verified dup pairs.
+    * same exact-Jaccard verification; measured at 500k docs with
+    * production calls (graft.MinhashStages, r12): signature 91.1 →
+    * 19.7 s (4.6×), verify 0.6 s (semi-join pruned), whole pipeline
+    * ~112 → ~35 s, with the identical 257 verified dup pairs.
     * Composed from the two driver-contract halves; output identical to
     * the former fused form (same est from the same sigs, same exact
     * Jaccard from the same deterministic shingles). */
