@@ -66,11 +66,9 @@ object MinhashStages {
          else Dedup.minhashSignature(docs, shingleN, numHashes))
           .localCheckpoint(true))
       sigT += ts
-      val bandSigs =
-        if (fast) sigs.withColumn("sig", transform(col("sig"), _.cast("string")))
-        else sigs
       val (tb, pairs) = time(
-        Dedup.lshCandidates(bandSigs, bands, rowsPerBand).localCheckpoint(true))
+        (if (fast) Dedup.lshCandidatesFast(sigs, bands, rowsPerBand)
+         else Dedup.lshCandidates(sigs, bands, rowsPerBand)).localCheckpoint(true))
       bandT += tb
       nPairs = pairs.count()
       val verified =

@@ -83,6 +83,30 @@ object Dedup {
       .distinct()
   }
 
+  /** [[lshCandidates]] for long signatures (the fast xxhash64 family):
+    * band b's bucket is xxhash64(b, signature slice) — two docs
+    * co-bucket iff their band slices are equal (modulo 64-bit hash
+    * collisions, as md5-of-joined-hex is modulo 128-bit ones), so the
+    * candidate set matches the string form's in practice. The join key
+    * is 8 bytes instead of a 32-char md5 hex and the per-row
+    * stringify+md5 pass is gone — at corpus scale the banding exchange
+    * shuffles ~4× fewer key bytes. */
+  def lshCandidatesFast(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1), lit(1)), b =>
+        struct(b.as("band"),
+          xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+            .as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Exact Jaccard similarity of two shingle-array columns — fused
     * one-pass expression (graft.plans.JaccardSim), value-identical to
     * size(array_intersect)/size(array_union). */
@@ -189,9 +213,9 @@ object Dedup {
     * est_jaccard — everything in the pipeline that depends on xxhash64
     * (which has no DuckDB analog), split out so the driver contract can
     * store it as an input artifact (q_minhash_fast_cands) and give the
-    * remaining verify stage a full SQL oracle. Banding reuses
-    * [[lshCandidates]] on the stringified longs (the bucket is an
-    * opaque equality key either way). */
+    * remaining verify stage a full SQL oracle. Banding is
+    * [[lshCandidatesFast]] on the longs directly (same co-bucket
+    * semantics as the string form; 8-byte keys, no stringify pass). */
   def minhashFastCandidatesScored(
       docs: DataFrame,
       shingleN: Int = 3,
@@ -201,9 +225,7 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatureFast(docs, shingleN, numHashes, textCol)
       .localCheckpoint(true)
-    val pairs = lshCandidates(
-      sigs.withColumn("sig", transform(col("sig"), _.cast("string"))),
-      bands, rowsPerBand)
+    val pairs = lshCandidatesFast(sigs, bands, rowsPerBand)
     scoreCandidates(sigs, pairs, numHashes)
   }
 
