@@ -234,12 +234,12 @@ object Dedup {
     * SQL given (doc_a, doc_b, est_jaccard), which is exactly how the
     * DuckDB oracle replays it from the stored candidate artifact.
     * Docs are semi-join pruned to the ids that appear in a candidate
-    * pair BEFORE shingling (the candidate id set is pair-bounded, so
-    * the semi join broadcasts), making the shingle recompute genuinely
-    * O(candidates): without the prune, joining the full shingled corpus
-    * on each side costs two corpus-wide `wordShingles` passes — measured
-    * 34.6 s of a 67 s pipeline at 500k docs vs ~3 s pruned
-    * (graft.MinhashStages, SCALE.md round-12). */
+    * pair BEFORE shingling ([[candidateShingles]]), making the shingle
+    * recompute genuinely O(candidates): without the prune, joining the
+    * full shingled corpus on each side costs two corpus-wide
+    * `wordShingles` passes — measured 34.6 s of a ~68 s pipeline at
+    * 500k docs vs 0.6 s pruned (graft.MinhashStages, SCALE.md
+    * round-12). */
   def verifyScoredCandidates(
       docs: DataFrame,
       scored: DataFrame,
@@ -250,17 +250,7 @@ object Dedup {
     // a composed caller (minhashLshDupsFast) doesn't re-run its banding
     // subtree; pair tables are bucket-bounded, so this is small
     val sc = scored.localCheckpoint(true)
-    val candIds = sc.select(col("doc_a").as("doc_id"))
-      .unionByName(sc.select(col("doc_b").as("doc_id")))
-      .distinct()
-    // no broadcast hint: AQE picks broadcast while the candidate id set
-    // is small and degrades to a shuffle semi join when it isn't (a
-    // driver-side broadcast of a corpus-linear id set would not survive
-    // 100-TB candidate volumes)
-    val sh = docs.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
-      .localCheckpoint(true)
+    val sh = candidateShingles(docs, sc, shingleN, textCol).localCheckpoint(true)
     sc
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -268,6 +258,25 @@ object Dedup {
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The semi-join-pruned shingle table verify consumes: docs restricted
+    * to ids appearing in a candidate pair BEFORE shingling, so the
+    * shingle recompute is O(candidates), not O(corpus). No broadcast
+    * hint: AQE picks broadcast while the candidate id set is small and
+    * degrades to a shuffle semi join when it isn't (a driver-side
+    * broadcast of a corpus-linear id set would not survive 100-TB
+    * candidate volumes). Package-visible so DedupSpec plan-gates the
+    * LeftSemi (the eager checkpoint in the caller hides it from the
+    * final plan). */
+  private[graft] def candidateShingles(docs: DataFrame, scored: DataFrame,
+      shingleN: Int, textCol: String): DataFrame = {
+    val candIds = scored.select(col("doc_a").as("doc_id"))
+      .unionByName(scored.select(col("doc_b").as("doc_id")))
+      .distinct()
+    docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
   }
 
   /** [[minhashLshDups]] over the fast xxhash64 family — same banding,

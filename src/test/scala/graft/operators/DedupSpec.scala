@@ -62,6 +62,20 @@ class DedupSpec extends SparkSpec {
       s"fast-family verified output must recover >=90% of the md5 pipeline's pairs, got $recall")
   }
 
+  test("candidateShingles: semi-join pruned to candidate ids (plan + output) — verify never shingles the corpus") {
+    val scored = Seq((1L, 2L, 1.0)).toDF("doc_a", "doc_b", "est_jaccard")
+    val sh = Dedup.candidateShingles(docs, scored, 3, "text")
+    // the plan gate: shingling happens on the SURVIVORS of a left-semi
+    // join, so verify cost is O(candidates) — the corpus-wide shingle
+    // regression (34.6 s of a ~68 s pipeline at 500k docs, SCALE.md
+    // round-12) must not come back
+    val plan = sh.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      "docs must be semi-join pruned to candidate ids before shingling")
+    val got = sh.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), s"only candidate docs shingled, got $got")
+  }
+
   test("duplicateSpans: maximal shared token spans with positions, no false positives") {
     val spanDocs = Seq(
       // docs 10/11 share the 6-token span "a b c d e f" at offsets 0 and 2
