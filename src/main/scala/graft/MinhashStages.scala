@@ -71,13 +71,20 @@ object MinhashStages {
          else Dedup.lshCandidates(sigs, bands, rowsPerBand)).localCheckpoint(true))
       bandT += tb
       nPairs = pairs.count()
-      val verified =
-        if (fast)
-          Dedup.verifyScoredCandidates(docs,
-            Dedup.scoreCandidates(sigs, pairs, numHashes), shingleN, threshold)
-        else Dedup.verifyCandidates(sigs, pairs, numHashes, threshold)
-      val (tv, _) = time(
-        verified.write.format("noop").mode("overwrite").save())
+      // construct INSIDE the timed block: DataFrame construction is lazy
+      // today, but an eager step introduced later (a checkpoint, a
+      // build-time job) must land in the stage it belongs to, not escape
+      // the clock (ADVICE r12 — an eager checkpoint in verify had done
+      // exactly that)
+      val (tv, verified) = time {
+        val v =
+          if (fast)
+            Dedup.verifyScoredCandidates(docs,
+              Dedup.scoreCandidates(sigs, pairs, numHashes), shingleN, threshold)
+          else Dedup.verifyCandidates(sigs, pairs, numHashes, threshold)
+        v.write.format("noop").mode("overwrite").save()
+        v
+      }
       verifyT += tv
       nDups = verified.count()
     }

@@ -65,14 +65,18 @@ object Dedup {
           array_min(transform(col("shingles"), sh =>
             md5(concat(h.cast("string"), lit(":"), sh))))))
 
-  /** LSH banding: band b's bucket is md5 of the joined signature slice.
-    * Docs sharing any band bucket become candidate pairs (doc_a < doc_b). */
-  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  /** The shared banding shape of both LSH families: explode each
+    * signature into (band, bucket) rows, self-join on (band, bucket),
+    * keep doc_a < doc_b, distinct. Only the bucket expression differs
+    * per family — `bucketFn(band, sigSlice)` (the band index is ALSO a
+    * join key, so a bucketFn may ignore it). */
+  private def bandedCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      bucketFn: (Column, Column) => Column): DataFrame = {
     val banded = sigs.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1), lit(1)), b =>
         struct(b.as("band"),
-          md5(concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+          bucketFn(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
             .as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     banded.as("a")
@@ -83,6 +87,12 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH banding: band b's bucket is md5 of the joined signature slice.
+    * Docs sharing any band bucket become candidate pairs (doc_a < doc_b). */
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    bandedCandidates(sigs, bands, rowsPerBand,
+      (_, sl) => md5(concat_ws("|", sl)))
+
   /** [[lshCandidates]] for long signatures (the fast xxhash64 family):
     * band b's bucket is xxhash64(b, signature slice) — two docs
     * co-bucket iff their band slices are equal (modulo 64-bit hash
@@ -91,21 +101,9 @@ object Dedup {
     * is 8 bytes instead of a 32-char md5 hex and the per-row
     * stringify+md5 pass is gone — at corpus scale the banding exchange
     * shuffles ~4× fewer key bytes. */
-  def lshCandidatesFast(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sigs.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1), lit(1)), b =>
-        struct(b.as("band"),
-          xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-            .as("bucket")))).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-  }
+  def lshCandidatesFast(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    bandedCandidates(sigs, bands, rowsPerBand,
+      (b, sl) => xxhash64(b, sl))
 
   /** Exact Jaccard similarity of two shingle-array columns — fused
     * one-pass expression (graft.plans.JaccardSim), value-identical to
@@ -238,20 +236,24 @@ object Dedup {
     * recompute genuinely O(candidates): without the prune, joining the
     * full shingled corpus on each side costs two corpus-wide
     * `wordShingles` passes — measured 34.6 s of a ~68 s pipeline at
-    * 500k docs vs 0.6 s pruned (graft.MinhashStages, SCALE.md
-    * round-12). */
+    * 500k docs vs 3.4 s pruned (graft.MinhashStages, SCALE.md
+    * round-12, honest re-measure round-13).
+    *
+    * This is a LAZY transformation (no jobs until an action) — ADVICE
+    * r12. `scored` appears three times in the plan (the two id-set
+    * projections and the final join) and the pruned shingle subtree
+    * twice (the sh_a / sh_b sides): both are candidate-bounded, so the
+    * duplicate work is small; a caller whose `scored` subtree is
+    * expensive to recompute (the banding pipeline) should checkpoint it
+    * first, as [[minhashLshDupsFast]] does. */
   def verifyScoredCandidates(
       docs: DataFrame,
       scored: DataFrame,
       shingleN: Int = 3,
       threshold: Double = 0.8,
       textCol: String = "text"): DataFrame = {
-    // scored feeds the id set AND the final join — materialize once so
-    // a composed caller (minhashLshDupsFast) doesn't re-run its banding
-    // subtree; pair tables are bucket-bounded, so this is small
-    val sc = scored.localCheckpoint(true)
-    val sh = candidateShingles(docs, sc, shingleN, textCol).localCheckpoint(true)
-    sc
+    val sh = candidateShingles(docs, scored, shingleN, textCol)
+    scored
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
@@ -267,8 +269,8 @@ object Dedup {
     * degrades to a shuffle semi join when it isn't (a driver-side
     * broadcast of a corpus-linear id set would not survive 100-TB
     * candidate volumes). Package-visible so DedupSpec plan-gates the
-    * LeftSemi (the eager checkpoint in the caller hides it from the
-    * final plan). */
+    * LeftSemi-below-shingling ordering on this helper in isolation as
+    * well as on the full verify plan. */
   private[graft] def candidateShingles(docs: DataFrame, scored: DataFrame,
       shingleN: Int, textCol: String): DataFrame = {
     val candIds = scored.select(col("doc_a").as("doc_id"))
@@ -282,8 +284,9 @@ object Dedup {
   /** [[minhashLshDups]] over the fast xxhash64 family — same banding,
     * same exact-Jaccard verification; measured at 500k docs with
     * production calls (graft.MinhashStages, r12): signature 91.1 →
-    * 19.7 s (4.6×), verify 0.6 s (semi-join pruned), whole pipeline
-    * ~112 → ~35 s, with the identical 257 verified dup pairs.
+    * 16.6 s (~5×), verify 34.6 → 3.4 s (semi-join pruned — r13 honest
+    * re-measure with the whole lazy verify inside the stage clock),
+    * whole pipeline ~112 → ~26 s, identical 257 verified dup pairs.
     * Composed from the two driver-contract halves; output identical to
     * the former fused form (same est from the same sigs, same exact
     * Jaccard from the same deterministic shingles). */
@@ -293,10 +296,16 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       threshold: Double = 0.8,
-      textCol: String = "text"): DataFrame =
-    verifyScoredCandidates(docs,
-      minhashFastCandidatesScored(docs, shingleN, numHashes, bands, textCol),
-      shingleN, threshold, textCol)
+      textCol: String = "text"): DataFrame = {
+    // the scored table feeds verify's final join AND its semi-join id
+    // prune (3 plan references) — checkpoint HERE, where the subtree
+    // being saved (the banding pipeline) lives, so verifyScoredCandidates
+    // itself stays a lazy transformation (ADVICE r12); pair tables are
+    // bucket-bounded, so the materialization is small
+    val scored = minhashFastCandidatesScored(docs, shingleN, numHashes, bands, textCol)
+      .localCheckpoint(true)
+    verifyScoredCandidates(docs, scored, shingleN, threshold, textCol)
+  }
 
   /** Group near-dup pairs into clusters: iterative min-label propagation
     * over the (undirected) pair graph — every doc converges to the

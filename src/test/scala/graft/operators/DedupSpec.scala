@@ -63,17 +63,40 @@ class DedupSpec extends SparkSpec {
   }
 
   test("candidateShingles: semi-join pruned to candidate ids (plan + output) — verify never shingles the corpus") {
-    val scored = Seq((1L, 2L, 1.0)).toDF("doc_a", "doc_b", "est_jaccard")
-    val sh = Dedup.candidateShingles(docs, scored, 3, "text")
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
     // the plan gate: shingling happens on the SURVIVORS of a left-semi
     // join, so verify cost is O(candidates) — the corpus-wide shingle
     // regression (34.6 s of a ~68 s pipeline at 500k docs, SCALE.md
-    // round-12) must not come back
-    val plan = sh.queryExecution.optimizedPlan.toString
-    assert(plan.contains("LeftSemi"),
-      "docs must be semi-join pruned to candidate ids before shingling")
+    // round-12) must not come back. A bare contains("LeftSemi") is too
+    // weak (a regression that shingles the corpus and THEN semi-joins
+    // also contains LeftSemi — ADVICE r12), so gate the ORDERING: the
+    // semi join exists AND no ShingleWindows expression is computed
+    // anywhere below it.
+    def semiJoinsBelowShingling(plan: LogicalPlan): Unit = {
+      val semis = plan.collect { case j: Join if j.joinType == LeftSemi => j }
+      assert(semis.nonEmpty,
+        "docs must be semi-join pruned to candidate ids before shingling")
+      val shingleBelowSemi = semis.exists(_.children.exists(_.exists(node =>
+        node.expressions.exists(_.exists(_.isInstanceOf[graft.plans.ShingleWindows])))))
+      assert(!shingleBelowSemi,
+        "shingling must run on the semi join's SURVIVORS — a ShingleWindows below " +
+          "the LeftSemi means the corpus is shingled before pruning")
+      val shingleAnywhere = plan.exists(node =>
+        node.expressions.exists(_.exists(_.isInstanceOf[graft.plans.ShingleWindows])))
+      assert(shingleAnywhere, "the pruned plan must still compute shingles (above the semi join)")
+    }
+    val scored = Seq((1L, 2L, 1.0)).toDF("doc_a", "doc_b", "est_jaccard")
+    val sh = Dedup.candidateShingles(docs, scored, 3, "text")
+    semiJoinsBelowShingling(sh.queryExecution.optimizedPlan)
     val got = sh.select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L), s"only candidate docs shingled, got $got")
+    // and the FULL verify plan (now a lazy transformation — ADVICE r12)
+    // carries the same ordering end-to-end: this is the plan the
+    // Registry's q_minhash_lsh_fast actually executes
+    val verify = Dedup.verifyScoredCandidates(docs, scored, shingleN = 3, threshold = 0.5)
+    semiJoinsBelowShingling(verify.queryExecution.optimizedPlan)
+    assert(verify.count() >= 1) // (1,2) are exact dups — survive any threshold
   }
 
   test("duplicateSpans: maximal shared token spans with positions, no false positives") {
