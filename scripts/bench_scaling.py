@@ -22,7 +22,8 @@ HEADLINE = ["q_flat_knn", "q_ivf_pruned_knn", "q_spann_knn", "q_binary_knn",
 # which fixture tables each query family reads — a vectors-only sweep
 # (the 1000x decade) must not pay for a 5M-document text fixture
 DOC_QUERIES = {"q_minhash_lsh", "q_dup_spans_capped", "q_ta_persisted",
-               "q_ta_topk", "q_bm25", "q_winnow_pairs", "q_dup_spans"}
+               "q_ta_topk", "q_bm25", "q_winnow_pairs", "q_dup_spans",
+               "q_minhash_lsh_fast", "q_minhash_fast_cands"}
 
 
 def tables_needed(queries):

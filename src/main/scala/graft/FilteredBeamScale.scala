@@ -54,6 +54,24 @@ object FilteredBeamScale {
       else VamanaIndex.writeIndex(emb, idxDir, numPartitions = parts)
       new java.io.File(s"$idxDir/_SUCCESS_GRAFT").createNewFile()
     }
+    // cached indexes built before the dup_multiplicity meta field (r13)
+    // get their meta upgraded IN PLACE — the nodes (the expensive part)
+    // are untouched, and the estimator is deterministic per corpus, so
+    // the upgraded value is exactly what writeIndex would store today
+    // GRAFT_REUP_META=1 forces a re-estimate (e.g. after an estimator
+    // change) without rebuilding the nodes
+    val meta0 = spark.read.parquet(s"$idxDir/meta")
+      .drop(if (sys.env.contains("GRAFT_REUP_META")) "dup_multiplicity" else "__none__")
+    if (!meta0.columns.contains("dup_multiplicity")) {
+      val est = graft.operators.FilteredSearchPlanner.estimateDupMultiplicity(emb)
+      println(s"[fbs] upgrading cached index meta: dup_multiplicity=$est")
+      val rows = meta0.withColumn("dup_multiplicity", lit(est)).collect().toSeq
+      val schema = org.apache.spark.sql.types.StructType(
+        meta0.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "dup_multiplicity", org.apache.spark.sql.types.DoubleType, nullable = false))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .write.mode("overwrite").parquet(s"$idxDir/meta")
+    }
     val sels = Seq(("half", col("label") < 4), ("tenth", col("label") === 0))
     def exactSet(pred: org.apache.spark.sql.Column): Set[(Long, Long)] =
       KnnSearch.topK(
@@ -78,14 +96,22 @@ object FilteredBeamScale {
     // -1 = the selectivity auto rung (ef/s); -2 = selectivity + the k·m
     // near-dup-multiplicity floor, m from GRAFT_DUP_MULT (the fixture's
     // replica count — in production, the dedup family's mean cluster
-    // size)
+    // size); -3 = the PLANNER-ALONE rung (r13): selectivity from the
+    // aggregate, m defaulted from the index meta's build-time estimate
+    // — no manual knob anywhere. Fixed and sel-only rungs pin
+    // dupMultiplicity = Some(1.0) so the meta default cannot silently
+    // change what they measure.
     val dupMult = sys.env.get("GRAFT_DUP_MULT").map(_.toDouble)
-    val rungs = beams ++ Seq(-1) ++ (if (dupMult.isDefined) Seq(-2) else Nil)
+    val rungs = beams ++ Seq(-1) ++ (if (dupMult.isDefined) Seq(-2) else Nil) ++ Seq(-3)
     val rows = for (beam <- rungs; (selName, pred) <- sels) yield {
       val allowed = emb.where(pred).select("vec_id")
       val base = if (beam < 0) 64 else beam
       val selOpt = if (beam < 0) Some(selFrac(selName)) else None
-      val multOpt = if (beam == -2) dupMult else None
+      val multOpt = beam match {
+        case -2 => dupMult
+        case -3 => None // defaults from the index meta — the planner path
+        case _ => Some(1.0)
+      }
       val t0 = System.nanoTime()
       val run =
         if (family == "hnsw")
@@ -99,7 +125,8 @@ object FilteredBeamScale {
       val r = recallOf(run, exact(selName))
       val dt = (System.nanoTime() - t0) / 1e9
       val label =
-        if (beam == -2) s"${selName}_auto64_m${dupMult.get.toInt}"
+        if (beam == -3) s"${selName}_planner64"
+        else if (beam == -2) s"${selName}_auto64_m${dupMult.get.toInt}"
         else if (beam == -1) s"${selName}_auto64"
         else s"${selName}_L$beam"
       s""""$label":{"recall":${f"$r%.3f"},"serve_s":${f"$dt%.2f"}}"""

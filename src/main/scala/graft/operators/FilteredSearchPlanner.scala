@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Selectivity-based filtered-search planning — the cardinality rule
@@ -41,6 +42,97 @@ object FilteredSearchPlanner {
   def chooseBruteForce(embeddings: DataFrame, predicate: Column,
       maxSelectivity: Double): Boolean =
     selectivityOf(embeddings, predicate) <= maxSelectivity
+
+  /** Build-time near-duplicate multiplicity estimate of a vector corpus
+    * — the m in the k·m filtered-beam floor ([[autoBeam]]), computed
+    * where the r12 ladder says it must live: at INDEX-BUILD time, so
+    * filtered serving can apply the measured rule without a manual knob
+    * (r12 verdict item 1).
+    *
+    * Estimator: TWO-WIDTH SimHash co-occupancy extrapolation. For a
+    * random (point, band) row, the expected number of OTHER points
+    * sharing its bucket at width b decays EXPONENTIALLY in bits for a
+    * jittered m-cloud: mates(b) ≈ (m−1)·(1−p₂)^b, where p₂ is the
+    * pairwise per-bit flip rate the corpus's own jitter induces.
+    * Measuring mates at two widths — b₂ sign bits and its b₁-bit
+    * PREFIX (same planes, one pass) — determines both unknowns, and
+    * extrapolating the fitted line back to b = 0 recovers m itself:
+    *
+    *   ln (m̂−1) = ln mates(b₁) + b₁ · (ln mates(b₁) − ln mates(b₂)) / (b₂ − b₁)
+    *
+    * (measured: a single width estimated a 100-way replica corpus at
+    * ~20 — every extra bit loses jittered cloud-mates — while the
+    * two-width fit recovers ≈ m on 16-, 64- and 100-way fixtures;
+    * FilteredRecallSpec gates the calibration). Design properties:
+    *
+    *   - NON-TRANSITIVE: connected-components snowball through a
+    *     corpus's own angular clusters (measured 26 on a 16-way
+    *     fixture); direct co-occupancy counts only the tie set a beam
+    *     actually wades through.
+    *   - BOUNDED AND CHEAP: only bucket COUNTS are aggregated — the
+    *     whole estimate is one count plus ONE aggregation chain
+    *     (bucket sizes → prefix rollup → three scalars; mates(b) =
+    *     Σc_b²/Σc_b − 1), never a pair join and no window sort — so a
+    *     boilerplate-heavy corpus cannot blow up its own index build
+    *     and the per-build cost is two skinny shuffles of numBands·n
+    *     key rows.
+    *   - GUARDED: a non-positive slope (unique corpus, sampling noise)
+    *     falls back to the measured width-b₁ estimate; the
+    *     extrapolation is capped at (1+mates(b₁))² (an angular-cluster
+    *     mixture is log-convex — blind extrapolation would count loose
+    *     cluster-mates as dups) and at n. A unique corpus
+    *     self-calibrates to ≈ 1.0 (singleton buckets ⇒ mates ≈ 0).
+    *
+    * b₁ scales with log₂(n) (random collisions stay negligible at any
+    * corpus size), b₂ = b₁ + 8; hyperplanes are the engine's seeded
+    * [[CosineLsh.planes]], so the estimate is deterministic per
+    * corpus. Empty corpus → 1.0 (no floor). */
+  def estimateDupMultiplicity(embeddings: DataFrame,
+      numBands: Int = 4, seed: Long = 42L): Double = {
+    val r0 = embeddings
+      .agg(count(lit(1)).as("n"), max(size(col("embedding"))).as("d")).head()
+    val n = r0.getLong(0)
+    if (n == 0L) return 1.0
+    val dim = r0.getInt(1)
+    val b1 = math.min(22,
+      math.max(8, (math.log(n.toDouble + 1) / math.log(2)).ceil.toInt + 2))
+    val b2 = b1 + 8
+    val ps = CosineLsh.planes(numBands * b2, dim, seed)
+    // ALL plane projections in one fused MatVec pass (a per-plane
+    // bucketExpr is numBands·b₂ separate dot expressions — measured
+    // ~1.8 s of pure expression overhead per call at sf0.1); the sign
+    // bits then derive from the projection array with cheap string ops.
+    // Bit values are identical to CosineLsh.bucketExpr's (same planes,
+    // same ascending double-fold dot, same [dot ≥ 0] rule).
+    val banded = embeddings
+      .select(Rotation.rotateExpr(col("embedding"), ps).as("mv"))
+      .select(explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band"),
+          array_join(transform(slice(col("mv"), b * b2 + 1, b2), x =>
+            when(x >= 0f, "1").otherwise("0")), "").as("bucket"))): _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // ONE chained aggregation: exact width-b2 bucket sizes, rolled up to
+    // their width-b1 prefixes, reduced to the three scalars the fit
+    // needs. mates(b) = E[bucket size − 1] over (point, band) rows
+    //               = Σ c_b² / Σ c_b − 1.
+    val row = banded
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("c2"))
+      .groupBy(col("band"), substring(col("bucket"), 1, b1).as("prefix"))
+      .agg(sum(col("c2") * col("c2")).as("s2sq"), sum(col("c2")).as("c1"))
+      .agg(sum(col("s2sq")).as("num2"),
+        sum(col("c1") * col("c1")).as("num1"),
+        sum(col("c1")).as("denom")).head()
+    val denom = row.getLong(2).toDouble
+    if (denom == 0.0) return 1.0
+    val mates1 = row.getLong(1) / denom - 1.0
+    val mates2 = row.getLong(0) / denom - 1.0
+    if (mates1 <= 1e-9 || mates2 <= 1e-9) return math.max(1.0, 1.0 + mates1)
+    val slope = (math.log(mates1) - math.log(mates2)) / (b2 - b1)
+    if (slope <= 0.0) return math.max(1.0, 1.0 + mates1)
+    val extrapolated = 1.0 + math.exp(math.log(mates1) + b1 * slope)
+    val cap = (1.0 + mates1) * (1.0 + mates1)
+    math.max(1.0, math.min(math.min(extrapolated, cap), n.toDouble))
+  }
 
   /** The measured filtered-beam rule (SCALE.md round-11 ladder, made
     * code in r12 — verdict item 4): under a selectivity-s predicate

@@ -540,8 +540,14 @@ object HnswIndex {
         graphToRows(graph, org.apache.spark.TaskContext.getPartitionId())
       }
       .write.mode("overwrite").partitionBy("part_id").parquet(s"$dir/nodes")
-    Seq((p.m, p.efConstruction, parts))
-      .toDF("m", "ef_construction", "num_partitions")
+    // the corpus's near-dup multiplicity rides in the meta so filtered
+    // serving can apply the k·m beam floor with no manual knob (r12
+    // verdict item 1) — one extra map-side aggregate at build time,
+    // estimated once (addToIndex batches don't update it; like the
+    // build params, it describes the corpus the index was built on)
+    val dupMult = FilteredSearchPlanner.estimateDupMultiplicity(embeddings)
+    Seq((p.m, p.efConstruction, parts, dupMult))
+      .toDF("m", "ef_construction", "num_partitions", "dup_multiplicity")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -554,6 +560,18 @@ object HnswIndex {
     (Params(m = r.getAs[Int]("m"),
        efConstruction = r.getAs[Int]("ef_construction"), efSearch = efSearch),
      r.getAs[Int]("num_partitions"))
+  }
+
+  /** The stored build-time near-dup multiplicity, None for indexes
+    * written before the field existed (schema-checked — the add-a-field
+    * tolerance [[readMeta]]'s by-name contract promises). Package-visible
+    * so FilteredRecallSpec can assert the stored estimate. */
+  private[operators] def readDupMultiplicity(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[Double] = {
+    val df = spark.read.parquet(s"$dir/meta")
+    if (df.schema.fieldNames.contains("dup_multiplicity"))
+      Some(df.head().getAs[Double]("dup_multiplicity"))
+    else None
   }
 
   /** The A1 partial+final top-k merge every self-search form shares.
@@ -752,13 +770,16 @@ object HnswIndex {
       .where(col("vec_id") < numQueries).as[HnswNode]
       .map(n => (n.vec_id, n.vec)).collect().sortBy(_._1)
     val bcQueries = spark.sparkContext.broadcast(queries)
-    // ef ≈ max(ef/selectivity, k·dup-multiplicity) when the caller
-    // passes the predicate's survivor fraction / the corpus near-dup
-    // multiplicity (the measured rules — FilteredSearchPlanner.autoBeam);
-    // None keeps the fixed caller beam
+    // ef ≈ max(ef/selectivity, k·dup-multiplicity) — the measured rules
+    // (FilteredSearchPlanner.autoBeam). dupMultiplicity = None defaults
+    // to the BUILD-TIME estimate stored in the index meta (r12 verdict
+    // item 1: the floor with no manual knob); pass Some(1.0) to pin the
+    // caller's beam. Indexes written before the meta field carry None →
+    // no floor, the pre-r13 behavior.
+    val mEff = dupMultiplicity.orElse(readDupMultiplicity(spark, dir))
     val efF = FilteredSearchPlanner.autoBeam(
       math.max(if (efFiltered > 0) efFiltered else p.efSearch, k + 1),
-      selectivity, k, dupMultiplicity)
+      selectivity, k, mEff)
     val allowByPart = allowed
       .select(pmod(hash(col("vec_id")), lit(parts)).cast("int").as("part_id"),
         col("vec_id"))

@@ -217,19 +217,22 @@ object SparseTopK {
       .select(col("query_id"), col("term"), col("doc_id"),
         col("impact"), col("impact_rank"))
 
+    // term-sorted exact score fold (the Bm25 bit-parity discipline)
+    // over whichever (query_id, doc_id) posting set the caller passes
+    def scoresOf(base: DataFrame): DataFrame = base
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("impact")))),
+        lit(0.0),
+        (acc, s) => acc + s.getField("impact")).as("score"))
+
     // exact scores of the docs inside each query's depth-p prefixes
-    // (p rides in as a per-query row of `depths`), term-sorted fold —
-    // the Bm25 bit-parity discipline
+    // (p rides in as a per-query row of `depths`)
     def scoresAt(depths: DataFrame): DataFrame = {
       val cands = qp.join(broadcast(depths), Seq("query_id"))
         .where(col("impact_rank") <= col("p"))
         .select(col("query_id"), col("doc_id")).distinct()
-      qp.join(cands, Seq("query_id", "doc_id"), "left_semi")
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("term"), col("impact")))),
-          lit(0.0),
-          (acc, s) => acc + s.getField("impact")).as("score"))
+      scoresOf(qp.join(cands, Seq("query_id", "doc_id"), "left_semi"))
     }
     def topkOf(scores: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("query_id"))
@@ -285,9 +288,23 @@ object SparseTopK {
       qid -> p
     }
 
-    // job 3: final scores at each query's own depth
+    // job 3: final scores at each query's own depth — with the same
+    // prune-bypass as the single-query loop (r12 verdict item 5): when
+    // the terminating prefixes cover most of the batch's postings, the
+    // per-query candidate prune is deadweight; scoring every (query,
+    // doc) posting group is row-identical by TA's certificate, applied
+    // per query
+    val depthOf = finalDepth.toMap
+    val batchPrefixRows = tailRows.map(r => math.min(r.getAs[Long]("len"),
+      depthOf.getOrElse(r.getAs[Long]("query_id"), Long.MaxValue / 2))).sum
+    val batchTotalRows = tailRows.map(_.getAs[Long]("len")).sum
     val depths = finalDepth.toDF("query_id", "p")
-    val result = topkOf(scoresAt(depths))
+    val finalScores =
+      if (batchTotalRows > 0 &&
+          batchPrefixRows.toDouble / batchTotalRows >= PruneSkipRatio)
+        scoresOf(qp)
+      else scoresAt(depths)
+    val result = topkOf(finalScores)
       .select(col("query_id"), col("rank"), col("doc_id"),
         round(col("score"), 6).as("score"))
       .orderBy(col("query_id"), col("rank"))
@@ -317,6 +334,18 @@ object SparseTopK {
     * tails pass, final scores (terminating depth). The trade vs a
     * per-round-refreshed θ is a possibly deeper final prefix — sorted
     * access is the cheap side, the scoring join is the expensive one. */
+  /** Final-job plan switch (r12 verdict item 5): when the terminating
+    * prefix already covers at least this fraction of the query postings,
+    * the candidate semi-join prune is deadweight — it pays a distinct +
+    * a semi-join shuffle to exclude docs whose aggregation rows are at
+    * most the complement fraction. Measured at 100× docs (replica
+    * corpora decay impacts slowly, driving the terminating depth to
+    * ~⅓ of list length): dropping the prune cuts the dominant final
+    * scoring job. EXACTNESS IS FREE either way — TA's certificate says
+    * every doc outside the depth-p prefixes scores ≤ τ(p) < θ, so
+    * scoring them too can never change the top-k rows. */
+  private val PruneSkipRatio = 0.5
+
   private def taLoop(index: DataFrame, queryTerms: Seq[String], k: Int)
       : (DataFrame, Int, Long, Long) = {
     require(k > 0, "taTopK: k must be positive")
@@ -330,17 +359,20 @@ object SparseTopK {
     val qPostings = index.where(col("term").isin(qts: _*))
       .localCheckpoint(true)
 
-    // exact scores for the docs seen in the depth-p prefixes, folded in
-    // sorted term order (Bm25 bit-parity discipline)
-    def scoresAt(p: Long): DataFrame = qPostings
-      .join(qPostings.where(col("impact_rank") <= p)
-        .select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    // exact scores folded in sorted term order (Bm25 bit-parity
+    // discipline) over whichever doc set the caller passes
+    def scoresOf(base: DataFrame): DataFrame = base
       .groupBy(col("doc_id"))
       .agg(aggregate(
         array_sort(collect_list(struct(col("term"), col("impact")))),
         lit(0.0),
         (acc, s) => acc + s.getField("impact")).as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(k)
+
+    // exact scores for the docs seen in the depth-p prefixes
+    def scoresAt(p: Long): DataFrame = scoresOf(qPostings
+      .join(qPostings.where(col("impact_rank") <= p)
+        .select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
 
     val seedRows = scoresAt(k.toLong).collect() // ≤ k rows — control plane
     val thetaSeed =
@@ -379,7 +411,20 @@ object SparseTopK {
       p = math.min(p * 2L, Long.MaxValue / 2)
       rounds += 1
     }
-    val top = scoresAt(p)
+    // final-job plan switch (r12 verdict item 5): the ladder's tail rows
+    // already tell us — driver-side, free — what fraction of the query
+    // postings the terminating prefix covers. Slow-decay corpora (near-
+    // dup replicas) drive p to a large fraction of the lists; there the
+    // candidate semi-join prunes almost nothing and its distinct +
+    // shuffle are pure overhead, so score ALL query postings instead.
+    // Identical rows either way: TA's certificate puts every out-of-
+    // prefix doc strictly below θ, so the top-k cannot change.
+    val prefixRows = lens.map(math.min(_, p)).sum
+    val totalRows = lens.sum
+    val top =
+      if (totalRows > 0 && prefixRows.toDouble / totalRows >= PruneSkipRatio)
+        scoresOf(qPostings)
+      else scoresAt(p)
     val result = top.join(
         HybridSearch.rankBounded(top, "doc_id", "score"), Seq("doc_id"))
       .select(col("rank"), col("doc_id"), round(col("score"), 6).as("score"))

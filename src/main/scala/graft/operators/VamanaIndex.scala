@@ -508,8 +508,11 @@ object VamanaIndex {
         graphToRows(graph, pid)
       }
       .write.mode("overwrite").partitionBy("part_id").parquet(s"$dir/nodes")
-    Seq((p.r, p.l, p.alpha, parts))
-      .toDF("r", "l", "alpha", "num_partitions")
+    // build-time near-dup multiplicity for the k·m filtered-beam floor
+    // (r12 verdict item 1) — the [[HnswIndex.writeIndex]] discipline
+    val dupMult = FilteredSearchPlanner.estimateDupMultiplicity(embeddings)
+    Seq((p.r, p.l, p.alpha, parts, dupMult))
+      .toDF("r", "l", "alpha", "num_partitions", "dup_multiplicity")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -522,6 +525,17 @@ object VamanaIndex {
     val r = spark.read.parquet(s"$dir/meta").head()
     (Params(r.getAs[Int]("r"), r.getAs[Int]("l"), r.getAs[Double]("alpha")),
      r.getAs[Int]("num_partitions"))
+  }
+
+  /** The stored build-time near-dup multiplicity, None for indexes
+    * written before the field existed — the
+    * [[HnswIndex.readDupMultiplicity]] contract. */
+  private[operators] def readDupMultiplicity(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[Double] = {
+    val df = spark.read.parquet(s"$dir/meta")
+    if (df.schema.fieldNames.contains("dup_multiplicity"))
+      Some(df.head().getAs[Double]("dup_multiplicity"))
+    else None
   }
 
   /** Shared persisted-search tail: reload every stored graph (direct
@@ -592,13 +606,15 @@ object VamanaIndex {
       .where(col("vec_id") < numQueries).as[VamanaNode]
       .map(n => (n.vec_id, n.vec)).collect().sortBy(_._1)
     val bcQueries = spark.sparkContext.broadcast(queries)
-    // production serving passes the predicate's survivor fraction (the
-    // measured L ≈ ef/selectivity rule) and/or the corpus near-dup
-    // multiplicity (the k·m tie-bridging floor — see
-    // FilteredSearchPlanner.autoBeam); None keeps the caller's fixed
-    // beam (the exactness pins pass Int.MaxValue — a fixed point)
+    // L ≈ max(L/selectivity, k·dup-multiplicity) — the measured rules
+    // (FilteredSearchPlanner.autoBeam). dupMultiplicity = None defaults
+    // to the BUILD-TIME estimate stored in the index meta (r12 verdict
+    // item 1: the floor with no manual knob); pass Some(1.0) to pin the
+    // caller's beam (the exactness pins' Int.MaxValue is a fixed point
+    // either way). Pre-r13 indexes carry no meta field → no floor.
+    val mEff = dupMultiplicity.orElse(readDupMultiplicity(spark, dir))
     val beam = FilteredSearchPlanner.autoBeam(
-      searchBeam, selectivity, k, dupMultiplicity)
+      searchBeam, selectivity, k, mEff)
     val allowByPart = allowed
       .select(pmod(col("vec_id"), lit(parts)).cast("int").as("part_id"),
         col("vec_id"))

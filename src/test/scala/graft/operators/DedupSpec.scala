@@ -99,6 +99,32 @@ class DedupSpec extends SparkSpec {
     assert(verify.count() >= 1) // (1,2) are exact dups — survive any threshold
   }
 
+  test("q_minhash_fast_cands drift pin: the deterministic candidate artifact's fingerprint at sf0.001 and sf0.01") {
+    // the 6th no-oracle entry's drift companion (r12 verdict item 3):
+    // the candidate table is fully deterministic (xxhash64 family, fixed
+    // knobs), so a silent drift in banding/scoring surfaces HERE even if
+    // it leaves the verified pairs unchanged. Same discipline as the
+    // q_vamana_medoids / OPQ-rotation fingerprints.
+    def pinOf(dir: String): (Long, String) = {
+      val rows = Dedup.minhashFastCandidatesScored(
+          spark.read.parquet(s"$dir/documents.parquet"),
+          shingleN = 3, numHashes = 16, bands = 4)
+        .orderBy($"doc_a", $"doc_b").collect()
+        .map(r => s"${r.getLong(0)}|${r.getLong(1)}|${r.getDouble(2)}")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (rows.length.toLong,
+       md.digest(rows.mkString("\n").getBytes("UTF-8"))
+         .map("%02x".format(_)).mkString)
+    }
+    val (n1, h1) = pinOf(sf0001)
+    val (n2, h2) = pinOf("/root/testdata/sf0.01")
+    info(s"sf0.001: n=$n1 md5=$h1; sf0.01: n=$n2 md5=$h2")
+    assert((n1, h1) == (26L, "b222a22082ff89123dc93b4f4646ac5d"),
+      s"sf0.001 candidate artifact drifted: n=$n1 md5=$h1")
+    assert((n2, h2) == (24L, "cbc85b41f34c0e69141695e44edef093"),
+      s"sf0.01 candidate artifact drifted: n=$n2 md5=$h2")
+  }
+
   test("duplicateSpans: maximal shared token spans with positions, no false positives") {
     val spanDocs = Seq(
       // docs 10/11 share the 6-token span "a b c d e f" at offsets 0 and 2

@@ -92,16 +92,21 @@ class FilteredRecallSpec extends SparkSpec {
       (got intersect exact).size.toDouble / exact.size
     }
     val beam = 12
+    // dupMultiplicity = Some(1.0) PINS the caller beam for the fixed /
+    // selectivity-only measurements (None now defaults the k·m floor
+    // from the index meta — the r13 planner wiring tested below)
     val vFixed = recall(VamanaIndex.selfSearchFilteredPersisted(
-      spark, vamanaDir, allowed, numQueries = 8, k = 10, searchBeam = beam))
+      spark, vamanaDir, allowed, numQueries = 8, k = 10, searchBeam = beam,
+      dupMultiplicity = Some(1.0)))
     val vAuto = recall(VamanaIndex.selfSearchFilteredPersisted(
       spark, vamanaDir, allowed, numQueries = 8, k = 10, searchBeam = beam,
-      selectivity = Some(sel)))
+      selectivity = Some(sel), dupMultiplicity = Some(1.0)))
     val hFixed = recall(HnswIndex.selfSearchFilteredPersisted(
-      spark, hnswDir, allowed, numQueries = 8, k = 10, efFiltered = beam))
+      spark, hnswDir, allowed, numQueries = 8, k = 10, efFiltered = beam,
+      dupMultiplicity = Some(1.0)))
     val hAuto = recall(HnswIndex.selfSearchFilteredPersisted(
       spark, hnswDir, allowed, numQueries = 8, k = 10, efFiltered = beam,
-      selectivity = Some(sel)))
+      selectivity = Some(sel), dupMultiplicity = Some(1.0)))
     // the second measured floor: k·m for an m-way near-dup corpus (the
     // 100× ladder shows recall tracks absolute beam when clouds share a
     // label — SCALE.md round 12); here m = 16 ⇒ beam ≥ 160
@@ -116,5 +121,98 @@ class FilteredRecallSpec extends SparkSpec {
       "auto beam must never score below the fixed beam it scales")
     assert(vFixed <= 0.95 || hFixed <= 0.95,
       s"fixture no longer truncates (vamana=$vFixed hnsw=$hFixed) — shrink the fixed beam")
+
+    // and the build-time estimate must recover the fixture's true
+    // multiplicity (jitter splits a single full-width SimHash — the
+    // banded+CC estimator exists exactly so this assert holds)
+    val storedV = VamanaIndex.readDupMultiplicity(spark, vamanaDir)
+    val storedH = HnswIndex.readDupMultiplicity(spark, hnswDir)
+    info(f"stored dup_multiplicity: vamana=${storedV.getOrElse(-1.0)}%.2f hnsw=${storedH.getOrElse(-1.0)}%.2f (fixture m=$mult)")
+    assert(storedV.isDefined && storedH.isDefined,
+      "writeIndex must persist the build-time multiplicity estimate")
+    assert(storedV.exists(m => m >= mult * 0.25 && m <= mult * 2.0),
+      s"stored multiplicity ${storedV.get} should track the fixture's m=$mult " +
+        "(jitter splits under-estimate; direct collisions never exceed 2m)")
+  }
+
+  test("the PLANNER ALONE (no manual m) recovers >= 0.9 where selectivity-only scaling truncates") {
+    // r12 verdict item 1 — the k·m floor with NO manual knob: the
+    // build-time multiplicity estimate rides in the index meta and
+    // defaults the floor when the caller passes None. The distinguishing
+    // geometry needs clouds LARGER than the selectivity-scaled beam: at
+    // a permissive predicate (≈ 40-50 % of clouds allowed, whole clouds
+    // share a label) the sel rule gives beam ≈ 12/0.5 = 24, but a query
+    // whose own 64-way cloud is DISALLOWED must bridge past ~64 near
+    // ties to reach its first allowed neighbor — the r12 ladder's
+    // absolute-beam regime. The meta floor k·m̂ ≈ 640 bridges it.
+    val mult = 64
+    val base = emb.where($"vec_id" < 125)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Array[Float], Int)].collect().toSeq
+    val repl = base.flatMap { case (id, v, l) =>
+      (0 until mult).map { r =>
+        val rr = new scala.util.Random(42000L + id * 1000 + r)
+        val vv = if (r == 0) v
+                 else v.map(x => x + (rr.nextFloat() - 0.5f) * 0.1f)
+        (id + r * 10000000L, vv, l)
+      }
+    }.toDF("vec_id", "embedding", "label").cache()
+    val hnswDir = s"${System.getProperty("java.io.tmpdir")}/graft_filtrec_meta_hnsw"
+    val vamanaDir = s"${System.getProperty("java.io.tmpdir")}/graft_filtrec_meta_vamana"
+    HnswIndex.writeIndex(repl, hnswDir, numPartitions = 1)
+    VamanaIndex.writeIndex(repl, vamanaDir, numPartitions = 1)
+    val storedV = VamanaIndex.readDupMultiplicity(spark, vamanaDir)
+    info(f"stored dup_multiplicity=${storedV.getOrElse(-1.0)}%.2f (fixture m=$mult)")
+    assert(storedV.exists(m => m >= mult * 0.25 && m <= mult * 2.0),
+      s"stored multiplicity ${storedV} should track the fixture's m=$mult")
+    val pred = $"label" < 4
+    val sel = FilteredSearchPlanner.selectivityOf(repl, pred)
+    assert(sel > 0.3 && sel < 0.7, s"fixture selectivity drifted: $sel")
+    val exact = KnnSearch.topK(
+        repl.where($"vec_id" < 8).select($"vec_id".as("query_id"), $"embedding".as("qvec")),
+        repl.where(pred).select($"vec_id", $"embedding".as("vec")),
+        k = 10, excludeSelf = true)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: DataFrame): Double = {
+      val got = df.select($"query_id", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got intersect exact).size.toDouble / exact.size
+    }
+    val allowed = repl.where(pred).select($"vec_id")
+    // beam 4 → selectivity-scaled ≈ 4/0.4 = 10 ≪ the 64-way cloud a
+    // disallowed-label query must bridge; the meta floor k·m̂ ≈ 250+
+    // bridges it (HNSW's walk floors its ef at k+1 ≈ 11 → sel-scaled
+    // ≈ 27, which this small single shard does not always starve — the
+    // truncation disjunction below holds through the Vamana side)
+    val beam = 4
+    val vSelOnly = recall(VamanaIndex.selfSearchFilteredPersisted(
+      spark, vamanaDir, allowed, numQueries = 8, k = 10, searchBeam = beam,
+      selectivity = Some(sel), dupMultiplicity = Some(1.0)))
+    val vPlanner = recall(VamanaIndex.selfSearchFilteredPersisted(
+      spark, vamanaDir, allowed, numQueries = 8, k = 10, searchBeam = beam,
+      selectivity = Some(sel))) // m defaults from the index meta
+    val hSelOnly = recall(HnswIndex.selfSearchFilteredPersisted(
+      spark, hnswDir, allowed, numQueries = 8, k = 10, efFiltered = beam,
+      selectivity = Some(sel), dupMultiplicity = Some(1.0)))
+    val hPlanner = recall(HnswIndex.selfSearchFilteredPersisted(
+      spark, hnswDir, allowed, numQueries = 8, k = 10, efFiltered = beam,
+      selectivity = Some(sel)))
+    info(f"sel=$sel%.3f vamana selOnly=$vSelOnly%.3f planner=$vPlanner%.3f; hnsw selOnly=$hSelOnly%.3f planner=$hPlanner%.3f")
+    assert(vPlanner >= 0.9, s"vamana planner-alone recall (meta k·m floor): $vPlanner")
+    assert(hPlanner >= 0.9, s"hnsw planner-alone recall (meta k·m floor): $hPlanner")
+    assert(vPlanner >= vSelOnly && hPlanner >= hSelOnly,
+      "the meta floor must never score below selectivity-only scaling")
+    // a single small shard only mildly starves the sel-scaled walk (its
+    // termination rule keeps exploring while fewer than k allowed nodes
+    // are in hand) — the crisp ~0.79 selectivity-only regime lives at
+    // the 100× fixture scale, measured by graft.FilteredBeamScale's
+    // meta-floor mode (SCALE.md round 13); here gate that the planner
+    // strictly improves on a measurably truncating sel-only walk
+    assert(vSelOnly <= 0.95 || hSelOnly <= 0.95,
+      s"fixture no longer truncates under selectivity-only scaling " +
+        s"(vamana=$vSelOnly hnsw=$hSelOnly) — the planner-alone case is not distinguishing")
+    assert(vPlanner > vSelOnly || hPlanner > hSelOnly,
+      "the meta floor should strictly improve at least one family on this fixture")
   }
 }

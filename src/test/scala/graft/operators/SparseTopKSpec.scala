@@ -109,6 +109,37 @@ class SparseTopKSpec extends SparkSpec {
     assert(ta(Seq(rare), k) == exhaustive(Seq(rare), k))
   }
 
+  test("prune-bypass: a slow-decay corpus takes the no-semi-join final job with identical rows") {
+    // replica-style corpus: every doc is a near-copy sharing the same
+    // terms, so per-term impacts decay slowly and the terminating prefix
+    // covers ≈ the whole list — the regime where the r13 final-job plan
+    // switch (PruneSkipRatio) drops the candidate semi join. Exactness
+    // is TA's certificate; this pins it on the bypass branch.
+    val repl = (0L until 400L).map { i =>
+      (i, s"alpha beta gamma delta w$i")
+    }.toDF("doc_id", "text")
+    val rIdx = SparseTopK.buildImpactIndex(repl).localCheckpoint(true)
+    val terms = Seq("alpha", "beta", "gamma")
+    val (got, stats) = SparseTopK.taTopKWithStats(rIdx, terms, 10)
+    // the audit proves the walk is in the bypass regime
+    assert(stats.postingsRead.toDouble / stats.queryPostings >= 0.5,
+      s"fixture no longer slow-decay: read=${stats.postingsRead} of ${stats.queryPostings}")
+    val exp = Bm25.rank(repl, terms, topN = 10)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .collect().zipWithIndex
+      .map { case (r, i) => (i + 1L, r.getAs[Long]("doc_id"), r.getAs[Double]("score")) }
+      .toSeq
+    val gotRows = got.select(col("rank"), col("doc_id"), col("score"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(gotRows == exp)
+    // batch twin: the same corpus through the batched walk's bypass
+    val qt = Seq((7L, "alpha"), (7L, "beta"), (7L, "gamma")).toDF("query_id", "term")
+    val batch = SparseTopK.taTopKBatch(rIdx, qt, 10)
+      .select(col("rank"), col("doc_id"), col("score"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(batch == exp)
+  }
+
   test("tf cache is a single reused process artifact: same-corpus rebuilds pin nothing new; release unpersists") {
     import org.apache.spark.storage.StorageLevel
     // The memo slot and the cache manager are JVM-global and OTHER

@@ -31,7 +31,11 @@ class RegistrySanitySpec extends AnyFunSuite {
   // candidate artifact gets the rows-only check (its QUALITY is
   // recall-gated vs the md5 pipeline in DedupSpec) while the verify
   // stage over it is fully oracled as q_minhash_lsh_fast (the oracle
-  // reads the artifact this verify run dumped).
+  // reads the artifact this verify run dumped). Since r13 it also
+  // carries a drift pin like the other five: DedupSpec fingerprints the
+  // deterministic candidate table at sf0.001 AND sf0.01 (row count +
+  // md5 of the canonicalized rows), so a silent candidate-set drift
+  // surfaces even when the verified pairs are unchanged.
   private val documentedNoOracle =
     Set("q_ivf_trained_knn", "q_pca_reduce",
       "q_whiten",
