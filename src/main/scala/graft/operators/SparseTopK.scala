@@ -227,11 +227,13 @@ object SparseTopK {
         (acc, s) => acc + s.getField("impact")).as("score"))
 
     // exact scores of the docs inside each query's depth-p prefixes
-    // (p rides in as a per-query row of `depths`)
+    // (p rides in as a per-query row of `depths`). No distinct on the
+    // candidate side: LeftSemi dedups by construction, so the explicit
+    // distinct was a pure extra shuffle (r13).
     def scoresAt(depths: DataFrame): DataFrame = {
       val cands = qp.join(broadcast(depths), Seq("query_id"))
         .where(col("impact_rank") <= col("p"))
-        .select(col("query_id"), col("doc_id")).distinct()
+        .select(col("query_id"), col("doc_id"))
       scoresOf(qp.join(cands, Seq("query_id", "doc_id"), "left_semi"))
     }
     def topkOf(scores: DataFrame): DataFrame = {
@@ -369,10 +371,12 @@ object SparseTopK {
         (acc, s) => acc + s.getField("impact")).as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(k)
 
-    // exact scores for the docs seen in the depth-p prefixes
+    // exact scores for the docs seen in the depth-p prefixes (no
+    // distinct on the candidate side — LeftSemi dedups by construction,
+    // so the explicit distinct was a pure extra shuffle; r13)
     def scoresAt(p: Long): DataFrame = scoresOf(qPostings
       .join(qPostings.where(col("impact_rank") <= p)
-        .select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi"))
 
     val seedRows = scoresAt(k.toLong).collect() // ≤ k rows — control plane
     val thetaSeed =
@@ -424,7 +428,37 @@ object SparseTopK {
     val top =
       if (totalRows > 0 && prefixRows.toDouble / totalRows >= PruneSkipRatio)
         scoresOf(qPostings)
-      else scoresAt(p)
+      else if (thetaSeed == Double.NegativeInfinity)
+        scoresAt(p)
+      else {
+        // the deep regime's second prune (r13): Fagin's random-access
+        // bound, per candidate. A doc's score is at most its EXACT
+        // prefix partial plus, for every non-exhausted term whose
+        // prefix it missed, that term's rank-p impact:
+        //   UB(d) = Σ_{t: d∈prefix_t} impact + Σ_{t: d∉prefix_t, len_t ≥ p} impact_t(p)
+        //         = partial(d) + τ(p) − Σ_{t: d∈prefix_t} resid_t
+        // Docs with UB < θ_seed ≤ θ_final cannot enter the top-k, so
+        // only survivors reach the expensive full-scoring join — at
+        // 1000× docs the prefix holds ~everything the clouds tied
+        // together, but only ~k docs survive the bound. The 1e-9 slack
+        // covers unordered-sum float noise against the sorted-fold
+        // scores (UB ≥ score holds in exact arithmetic; equal-impact
+        // ties make the bound TIGHT, so a bit-level undershoot must
+        // not prune a true member).
+        val resid = tailRows.map { r =>
+          val t = r.getAs[String]("term")
+          t -> (if (r.getAs[Long]("len") >= p) atRank((t, p)) else 0.0)
+        }.toMap
+        val tau = resid.values.sum
+        val cands = qPostings.where(col("impact_rank") <= p)
+          .select(col("doc_id"), col("impact"),
+            element_at(typedLit(resid), col("term")).as("resid"))
+          .groupBy(col("doc_id"))
+          .agg((sum(col("impact")) + lit(tau) - sum(col("resid"))).as("ub"))
+          .where(col("ub") >= thetaSeed - 1e-9)
+          .select(col("doc_id"))
+        scoresOf(qPostings.join(cands, Seq("doc_id"), "left_semi"))
+      }
     val result = top.join(
         HybridSearch.rankBounded(top, "doc_id", "score"), Seq("doc_id"))
       .select(col("rank"), col("doc_id"), round(col("score"), 6).as("score"))

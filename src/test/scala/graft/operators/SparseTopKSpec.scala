@@ -140,6 +140,39 @@ class SparseTopKSpec extends SparkSpec {
     assert(batch == exp)
   }
 
+  test("deep-regime UB prune: fast-decay and tie-heavy corpora take the upper-bound branch with exact rows") {
+    // fast-decay corpus: one shared term whose impact decays with doc
+    // length, so the ladder terminates at a prefix covering ≪ half the
+    // postings — the branch where the r13 Fagin random-access bound
+    // prunes candidates before the full-scoring join
+    def check(docs: org.apache.spark.sql.DataFrame, terms: Seq[String], k: Int): Unit = {
+      val idx = SparseTopK.buildImpactIndex(docs).localCheckpoint(true)
+      val (got, stats) = SparseTopK.taTopKWithStats(idx, terms, k)
+      assert(stats.postingsRead.toDouble / stats.queryPostings < 0.5,
+        s"fixture not in the deep regime: ${stats.postingsRead}/${stats.queryPostings}")
+      val exp = Bm25.rank(docs, terms, topN = k)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .collect().zipWithIndex
+        .map { case (r, i) => (i + 1L, r.getAs[Long]("doc_id"), r.getAs[Double]("score")) }
+        .toSeq
+      val gotRows = got.select(col("rank"), col("doc_id"), col("score"))
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(gotRows == exp)
+    }
+    val decay = (1L to 400L).map { i =>
+      (i, ("common" +: (1L to i).map(j => s"u${i}_$j")).mkString(" "))
+    }.toDF("doc_id", "text")
+    check(decay, Seq("common"), k = 5)
+    // tie-heavy corpus: 100 exact replicas make the bound TIGHT
+    // (UB == θ for every in-prefix replica) — the equal-impact edge the
+    // 1e-9 slack exists for; the remaining docs decay as above
+    val ties = ((1L to 100L).map(i => (i, "common aa bb cc")) ++
+      (101L to 400L).map { i =>
+        (i, ("common" +: (1L to (i - 100L)).map(j => s"u${i}_$j")).mkString(" "))
+      }).toDF("doc_id", "text")
+    check(ties, Seq("common"), k = 5)
+  }
+
   test("tf cache is a single reused process artifact: same-corpus rebuilds pin nothing new; release unpersists") {
     import org.apache.spark.storage.StorageLevel
     // The memo slot and the cache manager are JVM-global and OTHER
