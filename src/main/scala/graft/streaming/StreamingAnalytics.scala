@@ -288,7 +288,12 @@ object StreamingAnalytics {
     val live = liveCache(spark, cacheDir, nowTs)
       // capacity = the `capacity` most-recently-written live keys
       // (deterministic tie-break on key); a cache table is request-scale,
-      // so the global sort-limit is compaction-time small
+      // so the global sort-limit is compaction-time small. Note the
+      // tie-break's semantics: keys written within the SAME second (the
+      // expires_at resolution) evict alphabetically, not LRU-exactly —
+      // harmless at request scale, but if `capacity` is ever lowered to
+      // memory-pressure levels a sub-second write timestamp should join
+      // the sort key first (r12 verdict observation).
       .orderBy(col("expires_at").desc, col("cache_key"))
       .limit(capacity)
     graft.sources.IndexVersions.publish(spark, s"$cacheDir/snapshot") { vdir =>
