@@ -305,7 +305,44 @@ object SparseTopK {
       if (batchTotalRows > 0 &&
           batchPrefixRows.toDouble / batchTotalRows >= PruneSkipRatio)
         scoresOf(qp)
-      else scoresAt(depths)
+      else {
+        // the deep regime's per-query Fagin bound — the batched twin of
+        // the single-query UB prune: UB_q(d) = exact prefix partial +
+        // Σ over that query's non-exhausted terms whose prefix d
+        // missed of impact_t(p_q); docs with UB_q < θ_q-seed cannot
+        // enter that query's top-k. Per-query residuals/τ/θ ride in as
+        // broadcast control-plane rows (≤ Q×|terms|); queries that
+        // never seeded k results keep all candidates (θ = −∞).
+        val atRank: Map[(Long, String, Long), Double] = tailRows.flatMap { r =>
+          val qid = r.getAs[Long]("query_id")
+          val t = r.getAs[String]("term")
+          r.getSeq[org.apache.spark.sql.Row](3)
+            .map(s => (qid, t, s.getAs[Long]("impact_rank")) -> s.getAs[Double]("impact"))
+        }.toMap
+        val residRows = tailRows.toSeq.map { r =>
+          val qid = r.getAs[Long]("query_id")
+          val t = r.getAs[String]("term")
+          val pq = depthOf.getOrElse(qid, Long.MaxValue / 2)
+          val res = if (r.getAs[Long]("len") >= pq) atRank((qid, t, pq)) else 0.0
+          (qid, t, res)
+        }
+        val tauOf = residRows.groupBy(_._1).map { case (qid, rs) =>
+          qid -> rs.map(_._3).sum
+        }
+        val ctl = residRows.map { case (qid, t, res) =>
+          (qid, t, res, tauOf(qid),
+            thetaSeed.getOrElse(qid, Double.NegativeInfinity))
+        }.toDF("query_id", "term", "resid", "tau", "theta")
+        val cands = qp.join(broadcast(depths), Seq("query_id"))
+          .where(col("impact_rank") <= col("p"))
+          .join(broadcast(ctl), Seq("query_id", "term"))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg((sum(col("impact")) + first(col("tau")) - sum(col("resid"))).as("ub"),
+            first(col("theta")).as("theta"))
+          .where(col("ub") >= col("theta") - 1e-9)
+          .select(col("query_id"), col("doc_id"))
+        scoresOf(qp.join(cands, Seq("query_id", "doc_id"), "left_semi"))
+      }
     val result = topkOf(finalScores)
       .select(col("query_id"), col("rank"), col("doc_id"),
         round(col("score"), 6).as("score"))

@@ -158,6 +158,12 @@ class SparseTopKSpec extends SparkSpec {
       val gotRows = got.select(col("rank"), col("doc_id"), col("score"))
         .as[(Long, Long, Double)].collect().toSeq
       assert(gotRows == exp)
+      // batched twin: the same deep regime through the per-query UB path
+      val qt = terms.map(t => (9L, t)).toDF("query_id", "term")
+      val batch = SparseTopK.taTopKBatch(idx, qt, k)
+        .select(col("rank"), col("doc_id"), col("score"))
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(batch == exp, "batch walk must match through the UB branch")
     }
     val decay = (1L to 400L).map { i =>
       (i, ("common" +: (1L to i).map(j => s"u${i}_$j")).mkString(" "))
