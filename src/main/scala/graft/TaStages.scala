@@ -43,10 +43,11 @@ object TaStages {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // q_ta_persisted's exact knobs
+    // q_ta_persisted's exact knobs (numBuckets = 0 → the build-time
+    // scaling rule; the serve reads the chosen count from _ta_meta.json)
     val terms = Seq("merge", "vector", "batch", "slow", "spark")
     val k = 15
-    val numBuckets = 16
+    val numBuckets = 0
 
     def newestMtime(f: java.io.File): Long =
       (f.lastModified +: Option(f.listFiles()).toSeq.flatten.map(newestMtime)).max
@@ -66,11 +67,14 @@ object TaStages {
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
-    // the same bucket derivation taTopKPersisted runs
+    // the same bucket derivation taTopKPersisted runs (bucket count from
+    // the index's own meta — the r14 build-time scaling rule)
+    val nb = SparseTopK.readTaMeta(spark, idxDir)
+      .map(_.numBuckets).getOrElse(16)
     val bucketOf = {
       import spark.implicits._
       terms.distinct.toDF("term")
-        .select(pmod(xxhash64(col("term")), lit(numBuckets.toLong)).as("bucket"))
+        .select(pmod(xxhash64(col("term")), lit(nb.toLong)).as("bucket"))
         .collect().map(_.getLong(0)).distinct.toSeq
     }
 
@@ -97,7 +101,7 @@ object TaStages {
       loopT += tl
       depth = stats.prefixDepth
       val (tf, _) = time(
-        SparseTopK.taTopKPersisted(spark, idxDir, terms, k, numBuckets)
+        SparseTopK.taTopKPersisted(spark, idxDir, terms, k, nb)
           .write.format("noop").mode("overwrite").save())
       fullT += tf
     }

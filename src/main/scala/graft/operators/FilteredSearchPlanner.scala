@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Selectivity-based filtered-search planning — the cardinality rule
@@ -134,6 +133,36 @@ object FilteredSearchPlanner {
     math.max(1.0, math.min(math.min(extrapolated, cap), n.toDouble))
   }
 
+  /** [[estimateDupMultiplicity]] memoized per JVM (r13 verdict "what's
+    * wrong" 3: q_hnsw_persisted's exhaustive pin re-estimated an
+    * UNCHANGED corpus every iteration — the estimate is deterministic
+    * per (corpus, bands, seed), so the repeat was pure waste). Only
+    * FILE-BACKED corpora are memoized — keyed by the canonicalized plan
+    * PLUS the resolved input-file list, so a same-path rebuild (new
+    * part-file names) gets a fresh estimate. Plans with no input files
+    * (local relations, checkpoints) bypass the cache entirely: a
+    * LocalRelation's canonical form does not include its DATA, so two
+    * different in-memory corpora with one schema would falsely share an
+    * entry (caught by FilteredRecallSpec's two distinct fixtures).
+    * Incremental-add refreshes ([[HnswIndex.addToIndex]]) call the
+    * uncached estimator — their corpus genuinely changed. */
+  private val estimateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  def estimateDupMultiplicityCached(embeddings: DataFrame,
+      numBands: Int = 4, seed: Long = 42L): Double = {
+    val files = embeddings.inputFiles
+    if (files.isEmpty) return estimateDupMultiplicity(embeddings, numBands, seed)
+    val key = embeddings.queryExecution.analyzed.canonicalized.toString +
+      "|" + files.sorted.mkString(",") + s"|$numBands|$seed"
+    Option(estimateCache.get(key)).map(_.doubleValue()).getOrElse {
+      val v = estimateDupMultiplicity(embeddings, numBands, seed)
+      if (estimateCache.size > 64) estimateCache.clear() // corpus-count-bounded
+      estimateCache.put(key, v)
+      v
+    }
+  }
+
   /** The measured filtered-beam rule (SCALE.md round-11 ladder, made
     * code in r12 — verdict item 4): under a selectivity-s predicate
     * only ~s of a graph walk's visited nodes are emittable, so a
@@ -200,6 +229,37 @@ object FilteredSearchPlanner {
       VamanaIndex.selfSearchFiltered(embeddings, predicate, numQueries, k,
         numPartitions = numPartitions,
         searchBeam = autoBeam(searchBeam, Some(sel)))
+    }
+  }
+}
+
+/** Per-JVM memo for the graph families' stored `dup_multiplicity` reads
+  * (r13 verdict "what's wrong" 2: every filtered serve call paid a
+  * driver parquet read + head() of `dir/meta`). Keyed by (meta path,
+  * directory mtime): an `addToIndex` refresh rewrites the meta
+  * directory, bumping its mtime, so a staleness window never opens —
+  * the one extra getFileStatus per call is the price of that
+  * correctness. Values memo the full Option (a pre-r13 index's None is
+  * as cacheable as a value). */
+private[operators] object IndexMetaCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Option[Double]]()
+
+  def cachedDupMultiplicity(spark: org.apache.spark.sql.SparkSession,
+      metaDir: String)(load: => Option[Double]): Option[Double] = {
+    val p = new org.apache.hadoop.fs.Path(metaDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtime =
+      try fs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return load }
+    val key = (metaDir, mtime)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      if (cache.size > 256) cache.clear() // index-count-bounded
+      val v = load
+      cache.put(key, v)
+      v
     }
   }
 }

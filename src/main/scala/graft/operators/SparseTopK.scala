@@ -43,9 +43,14 @@ import graft.functions.TextFunctions
 object SparseTopK {
 
   /** Per-round trace of the TA loop (audited by `SparseTopKSpec`):
-    * `postingsRead` counts sorted-access postings actually consumed at
-    * the terminating depth; `queryPostings` is what exhaustive scoring
-    * would read. */
+    * `postingsRead` is the CERTIFICATE's prefix coverage — Σ_t
+    * min(len_t, p) at the terminating depth p, i.e. the sorted access
+    * TA's stopping proof accounts for. It is a regime indicator, not a
+    * row counter: when the final job takes the coverage bypass
+    * (prefix ≥ [[PruneSkipRatio]] of the postings) the scoring join
+    * deliberately scans ALL query postings (row-identical by the
+    * certificate), so actual rows scanned there equal `queryPostings`,
+    * not `postingsRead` (ADVICE r13). */
   final case class TaStats(
       rounds: Int, prefixDepth: Long, postingsRead: Long, queryPostings: Long)
 
@@ -153,32 +158,148 @@ object SparseTopK {
     * so a query's scan prunes to its terms' bucket DIRECTORIES
     * (PartitionFilters) and its `impact_rank <= p` prefix prunes row
     * groups via parquet min/max stats on the sorted column
-    * (PushedFilters). The lexical twin of [[IvfIndex.writeIndex]]. */
-  def writeIndex(index: DataFrame, path: String, numBuckets: Int = 16): Unit = {
-    index
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(numBuckets.toLong)))
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("term"), col("impact_rank"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    * (PushedFilters). The lexical twin of [[IvfIndex.writeIndex]].
+    *
+    * `numBuckets = 0` (the default) applies the BUILD-TIME SCALING RULE
+    * (r13 verdict item 1 — the lexical analog of IVF's nlist ≈ √n,
+    * vector_search_cluster.py:1027): buckets = the power of two that
+    * keeps ~`targetPostingsPerBucket` postings per bucket directory,
+    * clamped to [16, 4096]. A fixed bucket count makes the per-serve
+    * scan grow LINEARLY in corpus size (each bucket holds 1/buckets of
+    * every posting) — the r12/r13 scaling decades measured exactly that
+    * tail on the persisted TA serve. The chosen count rides in
+    * `path/_ta_meta.json` and [[taTopKPersisted]] reads it by name, so
+    * no caller carries the knob. Two sidecar artifacts (underscore
+    * prefix — invisible to the data scan's partition discovery):
+    *
+    *   - `_ta_meta.json` — {num_buckets, total_postings};
+    *   - `_termstats`    — per-term list length + the exact impact at
+    *     every power-of-two rank (≤ ~log₂(len) rows of ladder per
+    *     term), partitioned by the same term-hash bucket. This is the
+    *     serve-time tails table: the TA walk reads ≤ |queryTerms| rows
+    *     from it instead of aggregating the full query postings per
+    *     serve (the 19.4M-row working-set term the r13 attribution
+    *     measured at 1000× docs). */
+  def writeIndex(index: DataFrame, path: String, numBuckets: Int = 0,
+      targetPostingsPerBucket: Long = 500000L): Unit = {
+    val spark = index.sparkSession
+    // one build-time materialization: the bucket count needs the total
+    // posting count, and the nodes write + termstats aggregate both
+    // re-read the index — persist once, three consumers, unpersist
+    val idx = index.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = idx.count()
+      val nb =
+        if (numBuckets > 0) numBuckets
+        else {
+          val want = math.max(1L,
+            (total + targetPostingsPerBucket - 1) / targetPostingsPerBucket)
+          math.min(4096, math.max(16, Integer.highestOneBit(
+            math.min(want, 4096L).toInt * 2 - 1)))
+        }
+      val bucket = pmod(xxhash64(col("term")), lit(nb.toLong))
+      idx
+        .withColumn("bucket", bucket)
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("term"), col("impact_rank"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(path)
+      // per-term tails: exact impact at every power-of-two rank. The
+      // serve-time ladder walk is driver arithmetic over these rows —
+      // EXACT at each rung, so TA's certificate is unchanged; only the
+      // rung positions differ from the in-memory loop's k-doubling
+      // ladder (any increasing rung sequence terminates and certifies).
+      idx.groupBy(col("term"))
+        .agg(max(col("impact_rank")).as("len"),
+          sort_array(collect_list(when(
+            col("impact_rank").bitwiseAND(col("impact_rank") - 1) === 0L,
+            struct(col("impact_rank").as("r"), col("impact").as("impact")))))
+            .as("ladder"))
+        .withColumn("bucket", bucket)
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("term"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/_termstats")
+      writeTaMeta(spark, path, nb, total)
+    } finally idx.unpersist(blocking = false)
+  }
+
+  /** The serve-time index descriptor: bucket count + total postings. */
+  final case class TaIndexMeta(numBuckets: Int, totalPostings: Long)
+
+  private def writeTaMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, numBuckets: Int, totalPostings: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_ta_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"num_buckets":$numBuckets,"total_postings":$totalPostings}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** None for indexes written before the sidecar existed (pre-r14) —
+    * those serve with the caller's `numBuckets` and the aggregate-tails
+    * loop, the old behavior. */
+  private[graft] def readTaMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[TaIndexMeta] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_ta_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val re = """"num_buckets"\s*:\s*(\d+).*"total_postings"\s*:\s*(\d+)""".r
+      re.findFirstMatchIn(s).map(m => TaIndexMeta(m.group(1).toInt, m.group(2).toLong))
+    }
   }
 
   /** TA over a persisted index: bucket the query terms driver-side and
     * read only those partitions — result identical to the in-memory
-    * form (same oracle). */
+    * form (same oracle). `numBuckets` is a FALLBACK for pre-r14 indexes
+    * without `_ta_meta.json`; indexes carrying the sidecar serve with
+    * their stored bucket count and the `_termstats` tails (no per-serve
+    * tails aggregate over the query postings). */
   def taTopKPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
       queryTerms: Seq[String], k: Int, numBuckets: Int = 16): DataFrame = {
+    val meta = readTaMeta(spark, path)
+    val nb = meta.map(_.numBuckets).getOrElse(numBuckets)
     // rather than duplicating xxhash64's internals driver-side, evaluate
     // the same bucket expression over the |terms|-row query set (one
     // local job — control plane)
+    val qts = queryTerms.distinct
     val bucketOf = {
       import spark.implicits._
-      queryTerms.distinct.toDF("term")
-        .select(pmod(xxhash64(col("term")), lit(numBuckets.toLong)).as("bucket"))
+      qts.toDF("term")
+        .select(pmod(xxhash64(col("term")), lit(nb.toLong)).as("bucket"))
         .collect().map(_.getLong(0)).distinct.toSeq
     }
     val idx = spark.read.parquet(path)
       .where(col("bucket").isin(bucketOf: _*))
-    taTopK(idx, queryTerms, k)
+    if (meta.isEmpty) taTopK(idx, queryTerms, k)
+    else {
+      // stored-tails serve: the ladder walk's per-term (len, impact-at-
+      // rung) rows come from the _termstats sidecar — ≤ |terms| control-
+      // plane rows — instead of a grouped aggregate over every query
+      // posting. Rungs are the stored powers of two ≥ k; every rung
+      // impact is EXACT, so the stopping certificate and the final-job
+      // regime switch are the in-memory loop's verbatim (rows identical
+      // at any terminating depth — only the audited depth can differ).
+      val statRows = spark.read.parquet(s"$path/_termstats")
+        .where(col("bucket").isin(bucketOf: _*))
+        .where(col("term").isin(qts: _*))
+        .select(col("term"), col("len"), col("ladder"))
+        .collect()
+      val tails = statRows.toSeq.map { r =>
+        TermTail(r.getAs[String]("term"), r.getAs[Long]("len"),
+          r.getSeq[org.apache.spark.sql.Row](2)
+            .map(s => s.getAs[Long]("r") -> s.getAs[Double]("impact")).toMap)
+      }
+      val start = java.lang.Long.highestOneBit(math.max(1L, 2L * k - 1))
+      val ladder = Iterator.iterate(start)(d => math.min(d * 2L, Long.MaxValue / 2))
+        .take(64).toSeq.distinct
+      val qPostings = idx.where(col("term").isin(qts: _*)).localCheckpoint(true)
+      taLoopCore(qPostings, k, tails, ladder)._1
+    }
   }
 
   /** Batch-query TA (verdict r7 item 6 — the lexical counterpart of the
@@ -291,20 +412,31 @@ object SparseTopK {
     }
 
     // job 3: final scores at each query's own depth — with the same
-    // prune-bypass as the single-query loop (r12 verdict item 5): when
-    // the terminating prefixes cover most of the batch's postings, the
-    // per-query candidate prune is deadweight; scoring every (query,
-    // doc) posting group is row-identical by TA's certificate, applied
-    // per query
+    // prune-bypass as the single-query loop (r12 verdict item 5),
+    // decided PER QUERY (r13 verdict "what's wrong" 1: the batch-global
+    // ratio let one slow-decay query drag every fast-decay query onto
+    // one branch, or vice versa): each query whose terminating prefixes
+    // cover ≥ PruneSkipRatio of ITS OWN postings scores all its
+    // postings (the prune is deadweight there); the rest go through the
+    // per-query Fagin UB prune. Row-identical by TA's certificate on
+    // each query independently; the two branches partition the
+    // query_id space, so the union is exactly one score row set per
+    // (query, doc).
     val depthOf = finalDepth.toMap
-    val batchPrefixRows = tailRows.map(r => math.min(r.getAs[Long]("len"),
-      depthOf.getOrElse(r.getAs[Long]("query_id"), Long.MaxValue / 2))).sum
-    val batchTotalRows = tailRows.map(_.getAs[Long]("len")).sum
-    val depths = finalDepth.toDF("query_id", "p")
-    val finalScores =
-      if (batchTotalRows > 0 &&
-          batchPrefixRows.toDouble / batchTotalRows >= PruneSkipRatio)
-        scoresOf(qp)
+    val coverageOf: Map[Long, Double] = qids.toSeq.map { qid =>
+      val rows = byQuery.getOrElse(qid, Array.empty)
+      val total = rows.map(_.getAs[Long]("len")).sum
+      val prefix = rows.map(r => math.min(r.getAs[Long]("len"),
+        depthOf.getOrElse(qid, Long.MaxValue / 2))).sum
+      qid -> (if (total > 0) prefix.toDouble / total else 1.0)
+    }.toMap
+    val (bypassQids, deepQids) =
+      qids.toSeq.partition(coverageOf(_) >= PruneSkipRatio)
+    val bypassScores =
+      if (bypassQids.isEmpty) None
+      else Some(scoresOf(qp.where(col("query_id").isin(bypassQids: _*))))
+    val deepScores =
+      if (deepQids.isEmpty) None
       else {
         // the deep regime's per-query Fagin bound — the batched twin of
         // the single-query UB prune: UB_q(d) = exact prefix partial +
@@ -313,13 +445,16 @@ object SparseTopK {
         // enter that query's top-k. Per-query residuals/τ/θ ride in as
         // broadcast control-plane rows (≤ Q×|terms|); queries that
         // never seeded k results keep all candidates (θ = −∞).
-        val atRank: Map[(Long, String, Long), Double] = tailRows.flatMap { r =>
+        val deepSet = deepQids.toSet
+        val deepTails = tailRows.filter(r => deepSet(r.getAs[Long]("query_id")))
+        val depths = finalDepth.filter(d => deepSet(d._1)).toDF("query_id", "p")
+        val atRank: Map[(Long, String, Long), Double] = deepTails.flatMap { r =>
           val qid = r.getAs[Long]("query_id")
           val t = r.getAs[String]("term")
           r.getSeq[org.apache.spark.sql.Row](3)
             .map(s => (qid, t, s.getAs[Long]("impact_rank")) -> s.getAs[Double]("impact"))
         }.toMap
-        val residRows = tailRows.toSeq.map { r =>
+        val residRows = deepTails.toSeq.map { r =>
           val qid = r.getAs[Long]("query_id")
           val t = r.getAs[String]("term")
           val pq = depthOf.getOrElse(qid, Long.MaxValue / 2)
@@ -333,7 +468,8 @@ object SparseTopK {
           (qid, t, res, tauOf(qid),
             thetaSeed.getOrElse(qid, Double.NegativeInfinity))
         }.toDF("query_id", "term", "resid", "tau", "theta")
-        val cands = qp.join(broadcast(depths), Seq("query_id"))
+        val deepQp = qp.where(col("query_id").isin(deepQids: _*))
+        val cands = deepQp.join(broadcast(depths), Seq("query_id"))
           .where(col("impact_rank") <= col("p"))
           .join(broadcast(ctl), Seq("query_id", "term"))
           .groupBy(col("query_id"), col("doc_id"))
@@ -341,8 +477,14 @@ object SparseTopK {
             first(col("theta")).as("theta"))
           .where(col("ub") >= col("theta") - 1e-9)
           .select(col("query_id"), col("doc_id"))
-        scoresOf(qp.join(cands, Seq("query_id", "doc_id"), "left_semi"))
+        Some(scoresOf(deepQp.join(cands, Seq("query_id", "doc_id"), "left_semi")))
       }
+    val finalScores = (bypassScores, deepScores) match {
+      case (Some(b), Some(d)) => b.unionByName(d)
+      case (Some(b), None) => b
+      case (None, Some(d)) => d
+      case (None, None) => scoresOf(qp) // no queries — empty either way
+    }
     val result = topkOf(finalScores)
       .select(col("query_id"), col("rank"), col("doc_id"),
         round(col("score"), 6).as("score"))
@@ -385,6 +527,13 @@ object SparseTopK {
     * scoring them too can never change the top-k rows. */
   private val PruneSkipRatio = 0.5
 
+  /** Per-term tail state the ladder walk consumes: list length + the
+    * exact impact at each ladder rank present in the list. Produced by
+    * the in-memory tails aggregate OR read from the `_termstats`
+    * sidecar (≤ |queryTerms| rows either way). */
+  private[operators] final case class TermTail(
+      term: String, len: Long, atRank: Map[Long, Double])
+
   private def taLoop(index: DataFrame, queryTerms: Seq[String], k: Int)
       : (DataFrame, Int, Long, Long) = {
     require(k > 0, "taTopK: k must be positive")
@@ -397,6 +546,39 @@ object SparseTopK {
     // the serve-plane working set, not the corpus.
     val qPostings = index.where(col("term").isin(qts: _*))
       .localCheckpoint(true)
+    // 64 overflow-clamped doublings cover ANY Long impact_rank, and the
+    // walk below clamps identically, so the loop and the collected ranks
+    // cannot diverge (ADVICE r7 — the 42-rung ladder left an implicit
+    // k·2^42 invariant)
+    val ladder = Iterator.iterate(k.toLong)(d => math.min(d * 2L, Long.MaxValue / 2))
+      .take(64).toSeq.distinct
+    // one pass: per term, the full list length and the impact at every
+    // geometric-ladder rank — ≤ |terms| × ~60 values of driver state
+    val tailRows = qPostings.groupBy(col("term"))
+      .agg(
+        max(col("impact_rank")).as("len"),
+        collect_list(when(col("impact_rank").isin(ladder: _*),
+          struct(col("impact_rank"), col("impact")))).as("ladder_impacts"))
+      .collect()
+    val tails = tailRows.toSeq.map { r =>
+      TermTail(r.getAs[String]("term"), r.getAs[Long]("len"),
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(s => s.getAs[Long]("impact_rank") -> s.getAs[Double]("impact"))
+          .toMap)
+    }
+    taLoopCore(qPostings, k, tails, ladder)
+  }
+
+  /** Seed + driver ladder walk + adaptive final job over ALREADY
+    * term-filtered, materialized postings, with the per-term tails and
+    * the rung sequence injected (the in-memory loop aggregates them per
+    * serve; the persisted serve reads them from `_termstats`). Any
+    * increasing rung sequence is exact — TA's certificate holds at
+    * every depth — so the two callers' results are row-identical; only
+    * the audited terminating depth can differ. */
+  private def taLoopCore(qPostings: DataFrame, k: Int,
+      tails: Seq[TermTail], ladder: Seq[Long]): (DataFrame, Int, Long, Long) = {
+    require(k > 0, "taTopK: k must be positive")
 
     // exact scores folded in sorted term order (Bm25 bit-parity
     // discipline) over whichever doc set the caller passes
@@ -420,36 +602,20 @@ object SparseTopK {
       if (seedRows.length >= k) seedRows.last.getAs[Double]("score")
       else Double.NegativeInfinity
 
-    // one pass: per term, the full list length and the impact at every
-    // geometric-ladder rank — ≤ |terms| × ~60 values of driver state.
-    // 64 overflow-clamped doublings cover ANY Long impact_rank, and the
-    // walk below clamps identically, so the loop and the collected ranks
-    // cannot diverge (ADVICE r7 — the 42-rung ladder left an implicit
-    // k·2^42 invariant)
-    val ladder = Iterator.iterate(k.toLong)(d => math.min(d * 2L, Long.MaxValue / 2))
-      .take(64).toSeq.distinct
-    val tailRows = qPostings.groupBy(col("term"))
-      .agg(
-        max(col("impact_rank")).as("len"),
-        collect_list(when(col("impact_rank").isin(ladder: _*),
-          struct(col("impact_rank"), col("impact")))).as("ladder_impacts"))
-      .collect()
-    val lens = tailRows.map(_.getAs[Long]("len"))
-    val atRank: Map[(String, Long), Double] = tailRows.flatMap { r =>
-      val t = r.getAs[String]("term")
-      r.getSeq[org.apache.spark.sql.Row](2)
-        .map(s => (t, s.getAs[Long]("impact_rank")) -> s.getAs[Double]("impact"))
+    val lens = tails.map(_.len)
+    val atRank: Map[(String, Long), Double] = tails.flatMap { t =>
+      t.atRank.map { case (r, imp) => (t.term, r) -> imp }
     }.toMap
     // driver-side ladder walk — identical stopping rule to the
     // one-aggregate-per-round form, minus the per-round jobs
-    def tauAt(p: Long): Double = tailRows.collect {
-      case r if r.getAs[Long]("len") >= p =>
-        atRank((r.getAs[String]("term"), p))
-    }.sum
-    var p = k.toLong
+    def tauAt(p: Long): Double =
+      tails.collect { case t if t.len >= p => atRank((t.term, p)) }.sum
+    var rung = 0
+    var p = ladder(rung)
     var rounds = 1
-    while (p < Long.MaxValue / 2 && lens.exists(_ >= p) && thetaSeed <= tauAt(p)) {
-      p = math.min(p * 2L, Long.MaxValue / 2)
+    while (rung + 1 < ladder.length && lens.exists(_ >= p) && thetaSeed <= tauAt(p)) {
+      rung += 1
+      p = ladder(rung)
       rounds += 1
     }
     // final-job plan switch (r12 verdict item 5): the ladder's tail rows
@@ -482,9 +648,8 @@ object SparseTopK {
         // scores (UB ≥ score holds in exact arithmetic; equal-impact
         // ties make the bound TIGHT, so a bit-level undershoot must
         // not prune a true member).
-        val resid = tailRows.map { r =>
-          val t = r.getAs[String]("term")
-          t -> (if (r.getAs[Long]("len") >= p) atRank((t, p)) else 0.0)
+        val resid = tails.map { t =>
+          t.term -> (if (t.len >= p) atRank((t.term, p)) else 0.0)
         }.toMap
         val tau = resid.values.sum
         val cands = qPostings.where(col("impact_rank") <= p)

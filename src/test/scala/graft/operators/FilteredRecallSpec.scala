@@ -135,6 +135,61 @@ class FilteredRecallSpec extends SparkSpec {
         "(jitter splits under-estimate; direct collisions never exceed 2m)")
   }
 
+  test("incremental adds refresh the stored multiplicity: a replicated batch restores planner-alone filtered recall") {
+    // r13 verdict item 3: the build-time dup_multiplicity described the
+    // corpus at write time; a FreshDiskANN-style deployment that streams
+    // in a heavily-duplicated batch must not silently under-floor its
+    // filtered beams. Build on the UNIQUE corpus (m̂ ≈ 1), addToIndex a
+    // 64-way-replicated batch (growth ≫ the 1.1 refresh threshold), and
+    // the planner-alone serve (dupMultiplicity = None) must bridge the
+    // new clouds where the stale floor could not.
+    val mult = 64
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_filtrec_add_vamana"
+    VamanaIndex.writeIndex(emb, dir, numPartitions = 1)
+    val before = VamanaIndex.readDupMultiplicity(spark, dir).get
+    assert(before < 4.0, s"unique corpus should estimate near 1 (got $before)")
+    // the added batch: 63 jittered replicas of base rows 0..59 — base
+    // row 0 (replica 0) is already in the index, so after the add the
+    // low query ids sit inside 64-way clouds
+    val added = emb.where($"vec_id" < 60)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Array[Float], Int)].collect().toSeq.flatMap {
+        case (id, v, l) =>
+          (1 until mult).map { r =>
+            val rr = new scala.util.Random(42000L + id * 1000 + r)
+            (id + r * 10000000L,
+              v.map(x => x + (rr.nextFloat() - 0.5f) * 0.1f), l)
+          }
+      }.toDF("vec_id", "embedding", "label")
+    VamanaIndex.addToIndex(added.select($"vec_id", $"embedding"), dir)
+    val after = VamanaIndex.readDupMultiplicity(spark, dir).get
+    info(f"stored dup_multiplicity before=$before%.2f after=$after%.2f (batch m=$mult)")
+    assert(after >= 4 * before && after >= 8.0,
+      s"addToIndex did not refresh the stale estimate ($before -> $after)")
+    // planner-alone recall on the now-duplicated corpus: the exact
+    // baseline runs over everything the index holds (base ∪ added)
+    val full = emb.select($"vec_id", $"embedding", $"label").unionByName(added)
+    val pred = $"label" < 4
+    val exact = KnnSearch.topK(
+        full.where($"vec_id" < 8).select($"vec_id".as("query_id"), $"embedding".as("qvec")),
+        full.where(pred).select($"vec_id", $"embedding".as("vec")),
+        k = 10, excludeSelf = true)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allowed = full.where(pred).select($"vec_id")
+    val planner = recallOf(VamanaIndex.selfSearchFilteredPersisted(
+      spark, dir, allowed, numQueries = 8, k = 10, searchBeam = 4), exact)
+    val pinned = recallOf(VamanaIndex.selfSearchFilteredPersisted(
+      spark, dir, allowed, numQueries = 8, k = 10, searchBeam = 4,
+      dupMultiplicity = Some(1.0)), exact)
+    info(f"planner-alone=$planner%.3f pinned-beam=$pinned%.3f")
+    assert(planner >= 0.9, s"planner-alone recall after the add: $planner")
+    assert(planner >= pinned,
+      "the refreshed floor must never score below the pinned beam")
+    assert(pinned <= 0.95,
+      s"fixture no longer truncates at the pinned beam ($pinned) — not distinguishing")
+  }
+
   test("the PLANNER ALONE (no manual m) recovers >= 0.9 where selectivity-only scaling truncates") {
     // r12 verdict item 1 — the k·m floor with NO manual knob: the
     // build-time multiplicity estimate rides in the index meta and

@@ -63,6 +63,56 @@ class SparseTopKSpec extends SparkSpec {
     assert(per == mem)
   }
 
+  test("build-time bucket rule: numBuckets scales with total postings, persists in the meta, and the serve reads it by name") {
+    // default target (500k/bucket) keeps a small corpus at the 16 floor
+    val dir16 = java.nio.file.Files.createTempDirectory("taidx_auto").toString
+    SparseTopK.writeIndex(index, dir16)
+    val total = index.count()
+    val m16 = SparseTopK.readTaMeta(spark, dir16).get
+    assert(m16.numBuckets == 16 && m16.totalPostings == total)
+    // a tiny per-bucket target forces the rule past the floor: buckets
+    // must be the next power of two ≥ postings/target (clamped), the
+    // meta must carry it, and the serve — given NO bucket knob — must
+    // still match the in-memory walk row-for-row
+    val dirN = java.nio.file.Files.createTempDirectory("taidx_scaled").toString
+    SparseTopK.writeIndex(index, dirN, targetPostingsPerBucket = 50L)
+    val mN = SparseTopK.readTaMeta(spark, dirN).get
+    assert(mN.numBuckets > 16, s"rule did not scale: ${mN.numBuckets}")
+    assert(Integer.bitCount(mN.numBuckets) == 1, "bucket count must be a power of two")
+    assert(mN.numBuckets >= (total + 49) / 50 && mN.numBuckets <= 4096)
+    val terms = Seq("merge", "vector", "batch", "slow", "spark")
+    val mem = SparseTopK.taTopK(index, terms, 15).collect().map(_.toSeq).toSeq
+    val per = SparseTopK.taTopKPersisted(spark, dirN, terms, 15)
+      .collect().map(_.toSeq).toSeq
+    assert(per == mem)
+  }
+
+  test("_termstats sidecar carries exact power-of-two rung impacts (the serve-time tails)") {
+    val dir = java.nio.file.Files.createTempDirectory("taidx_stats").toString
+    SparseTopK.writeIndex(index, dir)
+    val stats = spark.read.parquet(s"$dir/_termstats")
+      .select(col("term"), col("len"), explode(col("ladder")).as("rung"))
+      .select(col("term"), col("len"), col("rung.r").as("r"), col("rung.impact").as("impact"))
+    val rows = stats.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rank = r.getAs[Long]("r")
+      assert(java.lang.Long.bitCount(rank) == 1, s"non-pow2 rung $rank")
+      assert(rank <= r.getAs[Long]("len"))
+    }
+    // every rung impact equals the index's impact at that (term, rank)
+    val fromIdx = index.select(col("term"), col("impact_rank").as("r"), col("impact"))
+    val joined = stats.as("s").join(fromIdx.as("i"), Seq("term", "r"))
+      .where(col("s.impact") =!= col("i.impact"))
+    assert(joined.count() == 0, "stored rung impact diverges from the index")
+    // and per term, every pow2 rank ≤ len is present (no missing rung
+    // the ladder walk could query)
+    val missing = spark.read.parquet(s"$dir/_termstats")
+      .select(col("term"), col("len"), size(col("ladder")).as("nr"))
+      .where(col("nr") =!= (floor(log(2.0, col("len").cast("double"))) + 1))
+    assert(missing.count() == 0, "a term is missing a power-of-two rung")
+  }
+
   test("batch TA: one plan over a query-terms table equals per-query single-query TA") {
     val queries = Seq(
       0L -> Seq("merge", "vector", "batch", "slow", "spark"),
@@ -177,6 +227,41 @@ class SparseTopKSpec extends SparkSpec {
         (i, ("common" +: (1L to (i - 100L)).map(j => s"u${i}_$j")).mkString(" "))
       }).toDF("doc_id", "text")
     check(ties, Seq("common"), k = 5)
+  }
+
+  test("mixed-regime batch: each query takes its OWN final-job branch and matches its single-query walk") {
+    // one corpus, two regimes (r13 verdict "what's wrong" 1): query 0's
+    // terms live on replica docs (slow decay — terminating prefix covers
+    // its lists → bypass), query 1's term decays fast (deep → UB prune).
+    // The r13 batch-global ratio forced ONE branch for both; the
+    // per-query split must route each through its own regime and still
+    // equal the single-query results exactly.
+    val mixed = ((0L until 400L).map(i => (i, s"alpha beta gamma delta w$i")) ++
+      (1001L to 1400L).map { i =>
+        (i, ("common" +: (1L to (i - 1000L)).map(j => s"u${i}_$j")).mkString(" "))
+      }).toDF("doc_id", "text")
+    val mIdx = SparseTopK.buildImpactIndex(mixed).localCheckpoint(true)
+    val qt = (Seq("alpha", "beta", "gamma").map(0L -> _) ++ Seq(1L -> "common"))
+      .toDF("query_id", "term")
+    val k = 7
+    val (batch, stats) = SparseTopK.taTopKBatchWithStats(mIdx, qt, k)
+    val got = batch
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._1)).toMap
+    // the fixture is genuinely mixed: the two queries sit on opposite
+    // sides of PruneSkipRatio (coverage = certificate prefix / postings)
+    val cov0 = stats(0L).postingsRead.toDouble / stats(0L).queryPostings
+    val cov1 = stats(1L).postingsRead.toDouble / stats(1L).queryPostings
+    assert(cov0 >= 0.5, s"query 0 no longer slow-decay (coverage $cov0)")
+    assert(cov1 < 0.5, s"query 1 no longer deep-regime (coverage $cov1)")
+    for ((qid, terms) <- Seq(0L -> Seq("alpha", "beta", "gamma"), 1L -> Seq("common"))) {
+      val single = SparseTopK.taTopK(mIdx, terms, k)
+        .select(col("rank"), col("doc_id"), col("score"))
+        .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+      assert(got.getOrElse(qid, Nil) == single,
+        s"mixed-regime query $qid diverges from its single-query walk")
+    }
   }
 
   test("tf cache is a single reused process artifact: same-corpus rebuilds pin nothing new; release unpersists") {
