@@ -21,11 +21,16 @@ keep PER-ROW workload difficulty constant as rows grow:
 Query ids (vec_id/doc_id < 8 etc.) stay the original low ids: the
 serving contract is a FIXED query batch against a GROWING corpus.
 
-Usage: python3 scripts/gen_scale_fixture.py <mult> [outDir] [tables]
+Usage: python3 scripts/gen_scale_fixture.py <mult> [outDir] [tables] [verbatim_frac]
 Writes <outDir>/{embeddings,documents}.parquet
 (default /tmp/graft_scale_<mult>x). `tables` = both (default) |
 embeddings | documents — the 1000x vector-family sweep needs no 5M-doc
-text table. Data is generated, never committed.
+text table. `verbatim_frac` (documents only, default 0): fraction of
+replicas that copy text VERBATIM instead of shuffled — the
+boilerplate-heavy-crawl profile (r13 verdict item 2: the dedup band
+join's quadratic term lives in verbatim clouds; a fixture with 0
+verbatim dups cannot measure the collapse mitigation). Data is
+generated, never committed.
 """
 import os, sys
 
@@ -37,12 +42,13 @@ SRC = "/root/testdata/sf0.1"
 ID_STRIDE = 10_000_000  # replica id offset — far above any real id
 
 
-def gen(mult: int, out: str, tables: str = "both") -> None:
+def gen(mult: int, out: str, tables: str = "both",
+        verbatim_frac: float = 0.0) -> None:
     os.makedirs(out, exist_ok=True)
     if tables in ("both", "embeddings"):
         gen_embeddings(mult, out)
     if tables in ("both", "documents"):
-        gen_documents(mult, out)
+        gen_documents(mult, out, verbatim_frac)
 
 
 def gen_embeddings(mult: int, out: str) -> None:
@@ -69,33 +75,42 @@ def gen_embeddings(mult: int, out: str) -> None:
     print(f"[fixture] {out}: embeddings={emb.num_rows * mult}")
 
 
-def gen_documents(mult: int, out: str) -> None:
+def gen_documents(mult: int, out: str, verbatim_frac: float = 0.0) -> None:
     doc = pq.read_table(f"{SRC}/documents.parquet")
     doc_id = doc["doc_id"].to_numpy()
     texts = doc["text"].to_pylist()
     lang, source = doc["lang"], doc["source"]
     parts_d = [doc]
+    # replicas 1..ceil(mult*frac) copy verbatim (boilerplate clouds of
+    # that size, replica 0 included); the rest are per-doc shuffles
+    n_verbatim = int(round((mult - 1) * verbatim_frac))
     for i in range(1, mult):
-        rng = np.random.default_rng(43_000 + i)
-        shuffled = []
-        for t in texts:
-            w = (t or "").split()
-            rng.shuffle(w)
-            shuffled.append(" ".join(w))
+        if i <= n_verbatim:
+            new_texts = texts
+        else:
+            rng = np.random.default_rng(43_000 + i)
+            shuffled = []
+            for t in texts:
+                w = (t or "").split()
+                rng.shuffle(w)
+                shuffled.append(" ".join(w))
+            new_texts = shuffled
         parts_d.append(pa.table({
             "doc_id": pa.array(doc_id + i * ID_STRIDE, type=pa.int64()),
-            "text": pa.array(shuffled, type=pa.string()),
+            "text": pa.array(new_texts, type=pa.string()),
             "lang": lang,
             "source": source,
-            "n_chars": pa.array([len(s) for s in shuffled], type=pa.int64()),
+            "n_chars": pa.array([len(s) for s in new_texts], type=pa.int64()),
         }))
     pq.write_table(pa.concat_tables(parts_d, promote_options="default"),
                    f"{out}/documents.parquet")
-    print(f"[fixture] {out}: documents={len(texts) * mult}")
+    print(f"[fixture] {out}: documents={len(texts) * mult} "
+          f"(verbatim replicas per doc: {n_verbatim + 1})")
 
 
 if __name__ == "__main__":
     mult = int(sys.argv[1])
     out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/graft_scale_{mult}x"
     tables = sys.argv[3] if len(sys.argv) > 3 else "both"
-    gen(mult, out, tables)
+    frac = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
+    gen(mult, out, tables, frac)

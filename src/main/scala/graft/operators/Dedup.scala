@@ -211,10 +211,164 @@ object Dedup {
     * est_jaccard — everything in the pipeline that depends on xxhash64
     * (which has no DuckDB analog), split out so the driver contract can
     * store it as an input artifact (q_minhash_fast_cands) and give the
-    * remaining verify stage a full SQL oracle. Banding is
-    * [[lshCandidatesFast]] on the longs directly (same co-bucket
-    * semantics as the string form; 8-byte keys, no stringify pass). */
+    * remaining verify stage a full SQL oracle.
+    *
+    * Since r14 the generation ADAPTIVELY COLLAPSES VERBATIM REPLICAS
+    * before banding (r13 verdict item 2): on a dup-heavy corpus the
+    * direct band join is quadratic in verbatim-cloud size — byte-
+    * identical texts band, co-bucket and pair redundantly, because
+    * signatures and band buckets are pure functions of the text — so
+    * one representative per distinct text goes through the band join
+    * and the emitted pair set is recovered by closure
+    * ([[collapsedScoredCandidates]]), IDENTICAL to direct banding
+    * row-for-row (the sf0.001/sf0.01 drift pins and the equality spec
+    * hold over the change; the proof is that co-bucketing, est_jaccard
+    * and exact Jaccard are all class properties of the exact-duplicate
+    * groups). Mostly-unique corpora and small-cloud corpora keep the
+    * pre-r14 direct plan (the two-gate switch on
+    * [[collapsedScoredCandidates]]): there the collapse machinery is
+    * measured overhead with nothing to collapse. On a boilerplate-heavy
+    * crawl corpus at 100 TB this makes band-join cost quadratic in
+    * DISTINCT-cloud size, not cloud size. The reference's dedup has no
+    * analog (its corpus is vectors); the discipline is the engine's own
+    * exactDedup-before-LSH guidance (SCALE.md round 13), made code. */
   def minhashFastCandidatesScored(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      textCol: String = "text"): DataFrame =
+    collapsedScoredCandidates(
+      minhashCollapsedSigs(docs, shingleN, numHashes, textCol),
+      numHashes, bands)
+
+  /** Stage 1 of the collapsed generation (package-visible so the
+    * MinhashStages harness times the PRODUCTION stage): one map pass
+    * over the corpus emitting (doc_id, ghash = md5(text), sig) —
+    * signature via the fused xxhash64 expression, the md5 group hash
+    * for the verbatim-replica collapse. No shingle column is
+    * materialized (scoring never needs it; verify recomputes shingles
+    * candidate-bounded), so this checkpoint is SMALLER than the
+    * pre-r14 (doc_id, shingles, sig) one. */
+  private[graft] def minhashCollapsedSigs(docs: DataFrame, shingleN: Int,
+      numHashes: Int, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs.select(
+      col("doc_id"),
+      md5(col(textCol)).as("ghash"),
+      ColumnBridge.column(graft.plans.MinHashSignatureFast(
+        ColumnBridge.expression(TextFunctions.wordShingles(col(textCol), shingleN)),
+        numHashes)).as("sig"))
+      .localCheckpoint(true)
+  }
+
+  /** The collapse regime switch, two measured gates (the PruneSkipRatio
+    * / FilteredSearchPlanner crossover discipline; both branches emit
+    * identical rows, so the switch can never change a result):
+    *
+    *   1. distinct/rows > [[CollapseSkipDistinctRatio]] → DIRECT with
+    *      no further work: a mostly-unique corpus has nothing to
+    *      collapse, and the reps aggregate alone is measured overhead
+    *      (+18 % band stage on the 5M-doc shuffled-unique fixture).
+    *      One approx_count_distinct pass over the checkpoint.
+    *   2. size-biased mean group size Σg²/n < [[CollapseMinCloud]] →
+    *      DIRECT: the quadratic term the collapse removes is the
+    *      within-bucket g² band volume, and below ~modest clouds the
+    *      direct join's g² rows through ONE in-memory join beat the
+    *      collapse's extra shuffles (measured: verbatim clouds of 51 →
+    *      direct band 7.0 s vs collapsed 9.2 s at 500k docs; clouds of
+    *      300 → direct's pre-distinct volume is 1.8 B rows and the
+    *      collapse wins outright). Needs the group-size aggregate —
+    *      which IS the collapse's reps table, so a dup-heavy corpus
+    *      that still lands direct has paid one group-count aggregate,
+    *      bounded by the band join it avoided mis-sizing. */
+  private val CollapseSkipDistinctRatio = 0.9
+  private val CollapseMinCloud = 64.0
+
+  /** Stage 2: regime-switched candidate generation. Boilerplate-heavy
+    * corpora go representatives → band join → closure expansion;
+    * mostly-unique or small-cloud corpora band every doc directly (the
+    * pre-r14 plan). The collapsed branch's output is identical to
+    * direct banding, because signatures (and so band buckets) are
+    * functions of the text: a pair (a, b) is a direct-banding candidate
+    * iff their groups' representatives co-bucket (cross-group) or
+    * a = b's group (within-group — identical sigs co-bucket in EVERY
+    * band), and est_jaccard is constant on each group pair.
+    * Within-group pairs carry the rep sig's self-agreement (1.0, except
+    * 0 for empty-shingle docs whose sig positions are all null —
+    * exactly what direct scoring yields on those pairs).
+    *
+    * `forceCollapse` pins the branch (specs pin row identity of both;
+    * the MinhashStages A/B pins one per run); None = the two-gate
+    * adaptive decision. */
+  private[graft] def collapsedScoredCandidates(sigsAll: DataFrame,
+      numHashes: Int, bands: Int,
+      forceCollapse: Option[Boolean] = None): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def direct(): DataFrame = scoreCandidates(sigsAll,
+      lshCandidatesFast(sigsAll, bands, rowsPerBand), numHashes)
+    if (forceCollapse.contains(false)) return direct()
+    if (forceCollapse.isEmpty) {
+      val r = sigsAll.agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("ghash")).as("d")).head()
+      val (nRows, nDistinct) = (r.getLong(0), r.getLong(1))
+      if (nRows == 0 || nDistinct.toDouble / nRows > CollapseSkipDistinctRatio)
+        return direct()
+    }
+    // one row per distinct text: min doc_id + the group's (identical)
+    // signature and size — a (ghash, id, sig) shuffle, NOT a full-text
+    // shuffle
+    val reps = sigsAll.groupBy(col("ghash"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("sig"), col("doc_id")).as("sig"),
+        count(lit(1)).as("gsize"))
+      .localCheckpoint(true)
+    if (forceCollapse.isEmpty) {
+      val sb = reps.agg(sum(col("gsize") * col("gsize")).as("sq"),
+        sum(col("gsize")).as("n")).head()
+      if (sb.getLong(0).toDouble / sb.getLong(1) < CollapseMinCloud)
+        return direct()
+    }
+    val repSigs = reps.select(col("doc_id"), col("sig"))
+    val repPairs = lshCandidatesFast(repSigs, bands, rowsPerBand)
+    val scoredReps = scoreCandidates(repSigs, repPairs, numHashes)
+    val members = sigsAll.select(col("ghash"), col("doc_id"))
+    val repOf = reps.select(col("ghash"), col("doc_id").as("rep_id"))
+    // cross-group closure: every member pair of a candidate rep pair,
+    // re-oriented doc_a < doc_b (member ids interleave across groups)
+    val cross = scoredReps
+      .join(repOf.select(col("rep_id").as("doc_a"), col("ghash").as("gh_a")),
+        Seq("doc_a"))
+      .join(repOf.select(col("rep_id").as("doc_b"), col("ghash").as("gh_b")),
+        Seq("doc_b"))
+      .join(members.select(col("ghash").as("gh_a"), col("doc_id").as("id_a")),
+        Seq("gh_a"))
+      .join(members.select(col("ghash").as("gh_b"), col("doc_id").as("id_b")),
+        Seq("gh_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        col("est_jaccard"))
+    // within-group closure: per-group member self-join (doc_a < doc_b) —
+    // the only place group size enters quadratically, and those pairs
+    // ARE the required output
+    val selfEst = reps.select(col("ghash"),
+      round(size(filter(zip_with(col("sig"), col("sig"), (x, y) => x === y),
+        m => m)).cast("double") / numHashes, 4).as("est_jaccard"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.ghash") === col("y.ghash") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.ghash").as("ghash"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+      .join(selfEst, Seq("ghash"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    cross.unionByName(within)
+  }
+
+  /** The pre-r14 DIRECT generation — every doc through the band join.
+    * Kept as the reference form for the collapse-equality spec (the
+    * same role the HOF signature forms play for the fused
+    * expressions). */
+  private[graft] def minhashFastCandidatesScoredDirect(
       docs: DataFrame,
       shingleN: Int = 3,
       numHashes: Int = 16,

@@ -99,6 +99,59 @@ class DedupSpec extends SparkSpec {
     assert(verify.count() >= 1) // (1,2) are exact dups — survive any threshold
   }
 
+  test("replica collapse: collapsed candidate generation is row-identical to direct banding") {
+    // r13 verdict item 2 — the band join must pay per DISTINCT text,
+    // not per doc, without changing a single output row. The fixture
+    // stresses every closure case: verbatim groups of size 2 and 3 with
+    // INTERLEAVED ids (least/greatest re-orientation), a cross-group
+    // near-dup pair, singletons, an identical-text empty-shingle group
+    // and two DIFFERENT-text empty-shingle singletons (all-null sigs
+    // co-bucket with est 0 — the degenerate case direct banding emits
+    // and the closure must reproduce).
+    val fx = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "pack my box with five dozen brown liquor jugs"),
+      (3L, "the quick brown fox jumps over the lazy dog today"), // near-dup of group A
+      (5L, "the quick brown fox jumps over the lazy dog tonight"), // = 1
+      (6L, "pack my box with five dozen brown liquor jugs"), // = 2
+      (7L, "completely unrelated text about vector search engines"),
+      (9L, "the quick brown fox jumps over the lazy dog tonight"), // = 1
+      (10L, "tiny doc"), // empty shingles
+      (11L, "tiny doc"), // empty shingles, = 10
+      (12L, "small one")) // empty shingles, unique text
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select($"doc_a", $"doc_b", $"est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = rows(Dedup.minhashFastCandidatesScoredDirect(fx))
+    val collapsed = rows(Dedup.minhashFastCandidatesScored(fx))
+    assert(collapsed == direct,
+      s"collapse changed the candidate rows:\n only direct: ${direct -- collapsed}\n only collapsed: ${collapsed -- direct}")
+    // pin BOTH regime branches on the same fixture (forced — the
+    // adaptive switch must be row-invisible in either direction)
+    val sigsAll = Dedup.minhashCollapsedSigs(fx, 3, 16, "text")
+    val forcedCollapse = rows(Dedup.collapsedScoredCandidates(
+      sigsAll, numHashes = 16, bands = 4, forceCollapse = Some(true)))
+    val forcedDirect = rows(Dedup.collapsedScoredCandidates(
+      sigsAll, numHashes = 16, bands = 4, forceCollapse = Some(false)))
+    assert(forcedCollapse == direct && forcedDirect == direct,
+      "the regime switch changed rows in one of its branches")
+    // the cases actually occurred: a within-group pair (1,5), a
+    // re-oriented cross pair touching a non-rep member (5 or 9 with 3),
+    // and the empty-shingle group pair at est 0
+    assert(collapsed.exists(p => p._1 == 1L && p._2 == 5L && p._3 == 1.0))
+    assert(collapsed.exists(p => (p._1 == 3L && p._2 >= 5L) || (p._1 <= 3L && p._2 == 9L)))
+    assert(collapsed.exists(p => p._1 == 10L && p._2 == 11L && p._3 == 0.0))
+    // and the FULL pipeline (verify included) is equally unchanged
+    val fullDirect = rows(Dedup.verifyScoredCandidates(fx,
+        Dedup.minhashFastCandidatesScoredDirect(fx).localCheckpoint(true),
+        shingleN = 3, threshold = 0.5)
+      .select($"doc_a", $"doc_b", $"est_jaccard"))
+    val fullCollapsed = rows(Dedup.minhashLshDupsFast(fx, threshold = 0.5)
+      .select($"doc_a", $"doc_b", $"est_jaccard"))
+    assert(fullCollapsed == fullDirect, "verified pairs changed under the collapse")
+  }
+
   test("q_minhash_fast_cands drift pin: the deterministic candidate artifact's fingerprint at sf0.001 and sf0.01") {
     // the 6th no-oracle entry's drift companion (r12 verdict item 3):
     // the candidate table is fully deterministic (xxhash64 family, fixed
