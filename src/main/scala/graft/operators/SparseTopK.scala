@@ -297,8 +297,10 @@ object SparseTopK {
       val start = java.lang.Long.highestOneBit(math.max(1L, 2L * k - 1))
       val ladder = Iterator.iterate(start)(d => math.min(d * 2L, Long.MaxValue / 2))
         .take(64).toSeq.distinct
-      val qPostings = idx.where(col("term").isin(qts: _*)).localCheckpoint(true)
-      taLoopCore(qPostings, k, tails, ladder)._1
+      val dict = termDict(qts)
+      val qPostings = withTermIds(idx.where(col("term").isin(qts: _*)), dict)
+        .localCheckpoint(true)
+      taLoopCore(qPostings, k, tails, ladder, dict)._1
     }
   }
 
@@ -534,17 +536,37 @@ object SparseTopK {
   private[operators] final case class TermTail(
       term: String, len: Long, atRank: Map[Long, Double])
 
+  /** Order-preserving dense term ids for a query's term set (r14): the
+    * scoring fold sorts (term, impact) structs per doc, so replacing
+    * the term STRING with its rank in the sorted query-term list keeps
+    * the fold order — and therefore the float sums — bit-identical,
+    * while the materialized working set and the two corpus-side
+    * aggregates shuffle 4-byte keys instead of strings. Driver-side
+    * maps (tails, residuals) stay string-keyed; only the DataFrame
+    * column carries the id. */
+  private def termDict(qts: Seq[String]): Map[String, Int] =
+    qts.sorted.zipWithIndex.toMap
+
+  /** Project the postings' term column to its dense id — applied BEFORE
+    * the working-set checkpoint so the materialization is slimmer. */
+  private def withTermIds(postings: DataFrame, dict: Map[String, Int]): DataFrame =
+    postings.select(
+      element_at(typedLit(dict), col("term")).as("term"),
+      col("doc_id"), col("impact"), col("impact_rank"))
+
   private def taLoop(index: DataFrame, queryTerms: Seq[String], k: Int)
       : (DataFrame, Int, Long, Long) = {
     require(k > 0, "taTopK: k must be positive")
     val qts = queryTerms.distinct
+    val dict = termDict(qts)
+    val byId = dict.map(_.swap)
     // materialized once: the loop's three jobs (seed scores, ladder
     // tails, final scores — and scoresAt joins qPostings against ITSELF)
     // would otherwise each re-scan the persisted index; the r12 stage
     // attribution (graft.TaStages, SCALE.md) measured that re-scan term
     // at ~28 % of the 100×-docs serve. Query-terms-sized × list length —
     // the serve-plane working set, not the corpus.
-    val qPostings = index.where(col("term").isin(qts: _*))
+    val qPostings = withTermIds(index.where(col("term").isin(qts: _*)), dict)
       .localCheckpoint(true)
     // 64 overflow-clamped doublings cover ANY Long impact_rank, and the
     // walk below clamps identically, so the loop and the collected ranks
@@ -561,12 +583,12 @@ object SparseTopK {
           struct(col("impact_rank"), col("impact")))).as("ladder_impacts"))
       .collect()
     val tails = tailRows.toSeq.map { r =>
-      TermTail(r.getAs[String]("term"), r.getAs[Long]("len"),
+      TermTail(byId(r.getAs[Int]("term")), r.getAs[Long]("len"),
         r.getSeq[org.apache.spark.sql.Row](2)
           .map(s => s.getAs[Long]("impact_rank") -> s.getAs[Double]("impact"))
           .toMap)
     }
-    taLoopCore(qPostings, k, tails, ladder)
+    taLoopCore(qPostings, k, tails, ladder, dict)
   }
 
   /** Seed + driver ladder walk + adaptive final job over ALREADY
@@ -575,9 +597,14 @@ object SparseTopK {
     * serve; the persisted serve reads them from `_termstats`). Any
     * increasing rung sequence is exact — TA's certificate holds at
     * every depth — so the two callers' results are row-identical; only
-    * the audited terminating depth can differ. */
+    * the audited terminating depth can differ. `qPostings.term` carries
+    * the [[termDict]] dense id (order-preserving — the fold stays
+    * bit-identical); driver-side tails stay string-keyed and map
+    * through `dict` at the one expression that needs a column-typed
+    * literal (the UB residuals). */
   private def taLoopCore(qPostings: DataFrame, k: Int,
-      tails: Seq[TermTail], ladder: Seq[Long]): (DataFrame, Int, Long, Long) = {
+      tails: Seq[TermTail], ladder: Seq[Long],
+      dict: Map[String, Int]): (DataFrame, Int, Long, Long) = {
     require(k > 0, "taTopK: k must be positive")
 
     // exact scores folded in sorted term order (Bm25 bit-parity
@@ -652,9 +679,10 @@ object SparseTopK {
           t.term -> (if (t.len >= p) atRank((t.term, p)) else 0.0)
         }.toMap
         val tau = resid.values.sum
+        val residById = resid.map { case (t, v) => dict(t) -> v }
         val cands = qPostings.where(col("impact_rank") <= p)
           .select(col("doc_id"), col("impact"),
-            element_at(typedLit(resid), col("term")).as("resid"))
+            element_at(typedLit(residById), col("term")).as("resid"))
           .groupBy(col("doc_id"))
           .agg((sum(col("impact")) + lit(tau) - sum(col("resid"))).as("ub"))
           .where(col("ub") >= thetaSeed - 1e-9)
