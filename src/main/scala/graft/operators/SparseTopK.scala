@@ -330,15 +330,78 @@ object SparseTopK {
   final case class TaBatchStats(depth: Long, postingsRead: Long, queryPostings: Long)
 
   def taTopKBatchWithStats(index: DataFrame, queryTerms: DataFrame,
-      k: Int): (DataFrame, Map[Long, TaBatchStats]) = {
+      k: Int): (DataFrame, Map[Long, TaBatchStats]) =
+    taTopKBatchCore(index, queryTerms, k, storedTails = None)
+
+  /** Batch TA over a persisted index (r14): the batch twin of
+    * [[taTopKPersisted]]. Bucket-prunes the scan to the batch's terms
+    * (the pre-r14 batch query read ALL bucket directories) and, when
+    * the index carries the `_termstats` sidecar, eliminates the
+    * per-serve tails aggregate outright — per-term tails are
+    * query-independent, so the batch's (query, term) tail rows are the
+    * stored per-term rows fanned out over the collected query pairs
+    * (micro-batch-small driver state). Rows identical to
+    * [[taTopKBatch]] over the same index read: TA's certificate holds
+    * per query at any terminating rung sequence, and both final-job
+    * branches are row-identical by construction — only the audited
+    * depth can differ. `numBuckets` is the pre-sidecar fallback. */
+  def taTopKBatchPersisted(spark: org.apache.spark.sql.SparkSession,
+      path: String, queryTerms: DataFrame, k: Int,
+      numBuckets: Int = 16): DataFrame = {
+    val meta = readTaMeta(spark, path)
+    val nb = meta.map(_.numBuckets).getOrElse(numBuckets)
+    // ONE control-plane job for terms + their buckets (each extra local
+    // job is ~0.1 s of scheduler latency at suite scale — the A/B that
+    // sized this serve counted jobs, not bytes)
+    val termBuckets = queryTerms.select(col("term")).distinct()
+      .select(col("term"),
+        pmod(xxhash64(col("term")), lit(nb.toLong)).as("bucket"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val terms = termBuckets.map(_._1).toSeq
+    val bucketOf = termBuckets.map(_._2).distinct.toSeq
+    val idx = spark.read.parquet(path)
+      .where(col("bucket").isin(bucketOf: _*))
+    if (meta.isEmpty) taTopKBatch(idx, queryTerms, k)
+    else {
+      val statRows = spark.read.parquet(s"$path/_termstats")
+        .where(col("bucket").isin(bucketOf: _*))
+        .where(col("term").isin(terms: _*))
+        .select(col("term"), col("len"), col("ladder"))
+        .collect()
+      val tails = statRows.toSeq.map { r =>
+        TermTail(r.getAs[String]("term"), r.getAs[Long]("len"),
+          r.getSeq[org.apache.spark.sql.Row](2)
+            .map(s => s.getAs[Long]("r") -> s.getAs[Double]("impact")).toMap)
+      }
+      taTopKBatchCore(idx, queryTerms, k, storedTails = Some(tails))._1
+    }
+  }
+
+  /** Per-(query, term) tail state of the batch walk — the batched
+    * [[TermTail]]. */
+  private final case class BatchTail(
+      qid: Long, term: String, len: Long, atRank: Map[Long, Double])
+
+  private def taTopKBatchCore(index: DataFrame, queryTerms: DataFrame,
+      k: Int, storedTails: Option[Seq[TermTail]])
+      : (DataFrame, Map[Long, TaBatchStats]) = {
     require(k > 0, "taTopKBatch: k must be positive")
     val spark = index.sparkSession
     val q = queryTerms.select(col("query_id"), col("term")).distinct()
     // every query's postings, tagged — ONE plan for all queries; the
-    // query-terms side is micro-batch-small by construction → broadcast
+    // query-terms side is micro-batch-small by construction → broadcast.
+    // Materialized once (r14, the single-query loop's r12 discipline —
+    // its re-scan term measured ~28 % of the 100× serve): the walk's
+    // three jobs reference qp up to SIX times (seed candidates + the
+    // seed scoring semi-join, the tails aggregate, and the final job's
+    // bypass/deep branches — 2-3 subtrees when regimes mix), and
+    // without a materialization point every reference re-reads the
+    // bucket-pruned parquet and re-runs the broadcast join. Batch-
+    // working-set-sized (Σ_q query postings), not corpus-sized.
     val qp = index.join(broadcast(q), Seq("term"))
       .select(col("query_id"), col("term"), col("doc_id"),
         col("impact"), col("impact_rank"))
+      .localCheckpoint(true)
 
     // term-sorted exact score fold (the Bm25 bit-parity discipline)
     // over whichever (query_id, doc_id) posting set the caller passes
@@ -367,8 +430,12 @@ object SparseTopK {
     }
 
     import spark.implicits._
-    val qids = q.select(col("query_id").cast("long")).distinct()
-      .as[Long].collect().sorted
+    // one control-plane collect serves BOTH the query-id list and (on
+    // the stored-tails path) the (query, term) fan-out — q is
+    // micro-batch-small by contract
+    val qPairs = q.select(col("query_id").cast("long"), col("term"))
+      .as[(Long, String)].collect().toSeq
+    val qids = qPairs.map(_._1).distinct.sorted.toArray
     val seedDepths = qids.toSeq.toDF("query_id").withColumn("p", lit(k.toLong))
     // job 1: seed scores at depth k — ≤ Q×k control-plane rows
     val seedRows = topkOf(scoresAt(seedDepths)).collect()
@@ -380,36 +447,58 @@ object SparseTopK {
         else Double.NegativeInfinity)
       }
 
-    // job 2: per (query, term) list length + ladder impacts. The ladder
-    // is long enough BY CONSTRUCTION for any Long impact_rank (ADVICE
-    // r7: 64 overflow-clamped doublings ≥ any list length — the walk
-    // below clamps identically, so loop and collected ranks cannot
-    // diverge)
-    val ladder = Iterator.iterate(k.toLong)(d => math.min(d * 2L, Long.MaxValue / 2))
-      .take(64).toSeq.distinct
-    val tailRows = qp.groupBy(col("query_id"), col("term"))
-      .agg(
-        max(col("impact_rank")).as("len"),
-        collect_list(when(col("impact_rank").isin(ladder: _*),
-          struct(col("impact_rank"), col("impact")))).as("ladder_impacts"))
-      .collect()
-    val byQuery = tailRows.groupBy(_.getAs[Long]("query_id"))
+    // job 2 (in-memory tails): per (query, term) list length + ladder
+    // impacts — OR, serving a persisted index with `_termstats`
+    // ([[taTopKBatchPersisted]]), NO job at all: the stored per-term
+    // rows fan out over the collected query pairs driver-side. The
+    // in-memory ladder is long enough BY CONSTRUCTION for any Long
+    // impact_rank (ADVICE r7: 64 overflow-clamped doublings ≥ any list
+    // length — the walk below steps the same rungs, so loop and
+    // collected ranks cannot diverge); stored tails carry impacts at
+    // power-of-two ranks, so that path walks pow2 rungs ≥ k — any
+    // increasing rung sequence terminates and certifies (rows
+    // identical; only the audited depth can differ).
+    val ladder = storedTails match {
+      case None =>
+        Iterator.iterate(k.toLong)(d => math.min(d * 2L, Long.MaxValue / 2))
+          .take(64).toSeq.distinct
+      case Some(_) =>
+        val start = java.lang.Long.highestOneBit(math.max(1L, 2L * k - 1))
+        Iterator.iterate(start)(d => math.min(d * 2L, Long.MaxValue / 2))
+          .take(64).toSeq.distinct
+    }
+    val tails: Seq[BatchTail] = storedTails match {
+      case None =>
+        qp.groupBy(col("query_id"), col("term"))
+          .agg(
+            max(col("impact_rank")).as("len"),
+            collect_list(when(col("impact_rank").isin(ladder: _*),
+              struct(col("impact_rank"), col("impact")))).as("ladder_impacts"))
+          .collect().toSeq.map { r =>
+            BatchTail(r.getAs[Long]("query_id"), r.getAs[String]("term"),
+              r.getAs[Long]("len"),
+              r.getSeq[org.apache.spark.sql.Row](3)
+                .map(s => s.getAs[Long]("impact_rank") -> s.getAs[Double]("impact"))
+                .toMap)
+          }
+      case Some(ts) =>
+        val byTerm = ts.map(t => t.term -> t).toMap
+        qPairs.flatMap { case (qid, t) =>
+          byTerm.get(t).map(tt => BatchTail(qid, t, tt.len, tt.atRank))
+        }
+    }
+    val byQuery = tails.groupBy(_.qid)
     val finalDepth: Seq[(Long, Long)] = qids.toSeq.map { qid =>
-      val rows = byQuery.getOrElse(qid, Array.empty)
-      val lens = rows.map(_.getAs[Long]("len"))
-      val atRank: Map[(String, Long), Double] = rows.flatMap { r =>
-        val t = r.getAs[String]("term")
-        r.getSeq[org.apache.spark.sql.Row](3)
-          .map(s => (t, s.getAs[Long]("impact_rank")) -> s.getAs[Double]("impact"))
-      }.toMap
-      def tauAt(p: Long): Double = rows.collect {
-        case r if r.getAs[Long]("len") >= p =>
-          atRank((r.getAs[String]("term"), p))
-      }.sum
+      val rows = byQuery.getOrElse(qid, Seq.empty)
+      val lens = rows.map(_.len)
+      def tauAt(p: Long): Double =
+        rows.collect { case t if t.len >= p => t.atRank(p) }.sum
       val theta = thetaSeed.getOrElse(qid, Double.NegativeInfinity)
-      var p = k.toLong
-      while (p < Long.MaxValue / 2 && lens.exists(_ >= p) && theta <= tauAt(p))
-        p = math.min(p * 2L, Long.MaxValue / 2)
+      var ri = 0
+      var p = ladder(ri)
+      while (ri + 1 < ladder.length && lens.exists(_ >= p) && theta <= tauAt(p)) {
+        ri += 1; p = ladder(ri)
+      }
       qid -> p
     }
 
@@ -426,9 +515,9 @@ object SparseTopK {
     // (query, doc).
     val depthOf = finalDepth.toMap
     val coverageOf: Map[Long, Double] = qids.toSeq.map { qid =>
-      val rows = byQuery.getOrElse(qid, Array.empty)
-      val total = rows.map(_.getAs[Long]("len")).sum
-      val prefix = rows.map(r => math.min(r.getAs[Long]("len"),
+      val rows = byQuery.getOrElse(qid, Seq.empty)
+      val total = rows.map(_.len).sum
+      val prefix = rows.map(t => math.min(t.len,
         depthOf.getOrElse(qid, Long.MaxValue / 2))).sum
       qid -> (if (total > 0) prefix.toDouble / total else 1.0)
     }.toMap
@@ -448,20 +537,12 @@ object SparseTopK {
         // broadcast control-plane rows (≤ Q×|terms|); queries that
         // never seeded k results keep all candidates (θ = −∞).
         val deepSet = deepQids.toSet
-        val deepTails = tailRows.filter(r => deepSet(r.getAs[Long]("query_id")))
+        val deepTails = tails.filter(t => deepSet(t.qid))
         val depths = finalDepth.filter(d => deepSet(d._1)).toDF("query_id", "p")
-        val atRank: Map[(Long, String, Long), Double] = deepTails.flatMap { r =>
-          val qid = r.getAs[Long]("query_id")
-          val t = r.getAs[String]("term")
-          r.getSeq[org.apache.spark.sql.Row](3)
-            .map(s => (qid, t, s.getAs[Long]("impact_rank")) -> s.getAs[Double]("impact"))
-        }.toMap
-        val residRows = deepTails.toSeq.map { r =>
-          val qid = r.getAs[Long]("query_id")
-          val t = r.getAs[String]("term")
-          val pq = depthOf.getOrElse(qid, Long.MaxValue / 2)
-          val res = if (r.getAs[Long]("len") >= pq) atRank((qid, t, pq)) else 0.0
-          (qid, t, res)
+        val residRows = deepTails.map { t =>
+          val pq = depthOf.getOrElse(t.qid, Long.MaxValue / 2)
+          val res = if (t.len >= pq) t.atRank(pq) else 0.0
+          (t.qid, t.term, res)
         }
         val tauOf = residRows.groupBy(_._1).map { case (qid, rs) =>
           qid -> rs.map(_._3).sum
@@ -492,7 +573,7 @@ object SparseTopK {
         round(col("score"), 6).as("score"))
       .orderBy(col("query_id"), col("rank"))
     val stats = finalDepth.map { case (qid, p) =>
-      val lens = byQuery.getOrElse(qid, Array.empty).map(_.getAs[Long]("len"))
+      val lens = byQuery.getOrElse(qid, Seq.empty).map(_.len)
       qid -> TaBatchStats(p, lens.map(math.min(_, p)).sum, lens.sum)
     }.toMap
     (result, stats)

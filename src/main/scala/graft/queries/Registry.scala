@@ -1647,7 +1647,12 @@ object Registry {
     // persisted impact index as q_ta_persisted (built once per JVM —
     // the build itself is q_ta_topk's benchmark); identical rows to the
     // in-memory index by the persisted row-identity contract. Same
-    // exhaustive oracle per query_id.
+    // exhaustive oracle per query_id. Since r14 the serve goes through
+    // taTopKBatchPersisted: the scan bucket-prunes to the batch's terms
+    // (the old form read EVERY bucket directory) and the per-serve
+    // tails aggregate is replaced by the stored `_termstats` rows —
+    // rows identical by TA's certificate (oracle unchanged), one fewer
+    // corpus-side job per serve.
     "q_ta_batch" -> ((s, dir) => {
       val idxDir = tmpIndexDir("graft_ta_idx", dir)
       if (!new java.io.File(s"$idxDir/_SUCCESS").exists()) {
@@ -1655,7 +1660,7 @@ object Registry {
           SparseTopK.buildImpactIndex(t(s, dir, "documents")), idxDir)
       }
       import s.implicits._
-      SparseTopK.taTopKBatch(s.read.parquet(idxDir),
+      SparseTopK.taTopKBatchPersisted(s, idxDir,
         taBatchQueryTerms.toDF("query_id", "term"), k = 15)
     }),
 

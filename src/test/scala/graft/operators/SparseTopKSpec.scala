@@ -264,6 +264,37 @@ class SparseTopKSpec extends SparkSpec {
     }
   }
 
+  test("persisted batch serve (stored tails, bucket-pruned) is row-identical to the in-memory batch walk — mixed regimes included") {
+    // the mixed fixture again: one bypass-regime query, one deep-regime
+    // query — the persisted walk reads its tails from `_termstats`
+    // (pow2 rungs, no tails job) and bucket-prunes the scan, and must
+    // still match the in-memory batch walk row-for-row on both regimes
+    val mixed = ((0L until 400L).map(i => (i, s"alpha beta gamma delta w$i")) ++
+      (1001L to 1400L).map { i =>
+        (i, ("common" +: (1L to (i - 1000L)).map(j => s"u${i}_$j")).mkString(" "))
+      }).toDF("doc_id", "text")
+    val mIdx = SparseTopK.buildImpactIndex(mixed)
+    val dir = java.nio.file.Files.createTempDirectory("taidx_batch").toString
+    SparseTopK.writeIndex(mIdx, dir)
+    val qt = (Seq("alpha", "beta", "gamma").map(0L -> _) ++ Seq(1L -> "common"))
+      .toDF("query_id", "term")
+    val mem = SparseTopK.taTopKBatch(spark.read.parquet(dir), qt, 7)
+      .collect().map(_.toSeq).toSeq
+    val per = SparseTopK.taTopKBatchPersisted(spark, dir, qt, 7)
+      .collect().map(_.toSeq).toSeq
+    assert(per == mem)
+    // and on the standard corpus fixture (multi-term, multi-query)
+    val dir2 = java.nio.file.Files.createTempDirectory("taidx_batch2").toString
+    SparseTopK.writeIndex(index, dir2)
+    val qt2 = (Seq("merge", "vector", "batch", "slow", "spark").map(0L -> _) ++
+      Seq("join", "hash", "filter", "scan").map(1L -> _)).toDF("query_id", "term")
+    val mem2 = SparseTopK.taTopKBatch(spark.read.parquet(dir2), qt2, 10)
+      .collect().map(_.toSeq).toSeq
+    val per2 = SparseTopK.taTopKBatchPersisted(spark, dir2, qt2, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(per2 == mem2)
+  }
+
   test("tf cache is a single reused process artifact: same-corpus rebuilds pin nothing new; release unpersists") {
     import org.apache.spark.storage.StorageLevel
     // The memo slot and the cache manager are JVM-global and OTHER
