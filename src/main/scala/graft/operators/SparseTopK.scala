@@ -70,11 +70,23 @@ object SparseTopK {
   private val lastTfCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
+  /** Control-plane scalars of the cached tf (r15, guide §5): (analyzed
+    * tf plan, n docs, Σ tf). Same lifecycle as [[lastTfCache]] — the
+    * scalars are pure functions of the cached table, so a same-corpus
+    * rebuild reuses them without re-running the one-row aggregate job
+    * (the build's only remaining corpus action besides the caller's
+    * index job); a different-corpus build swaps them out with the tf
+    * slot. Keyed by `sameResult` on the analyzed plan, exactly the
+    * equality the cache manager uses for the tf blocks themselves. */
+  private val lastTfScalars = new java.util.concurrent.atomic.AtomicReference[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Long)]()
+
   /** Explicit lifecycle hook: unpersist the current tf cache (e.g. a
     * pipeline done with its sparse stage). Safe any time — an
     * un-consumed index recomputes through lineage. */
   def releaseBuildCache(): Unit = lastTfCache.synchronized {
     val tf = lastTfCache.getAndSet(null)
+    lastTfScalars.set(null)
     if (tf != null) tf.unpersist(blocking = false)
   }
 
@@ -87,7 +99,6 @@ object SparseTopK {
       textCol: String = "text"): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val n = docs.count() // control-plane scalars, as in Bm25.rank
     // tf is the one corpus-sized intermediate every downstream branch
     // (lens, totalLen, df, the final join) reads; without a
     // materialization point the totalLen action below and the caller's
@@ -98,6 +109,23 @@ object SparseTopK {
     // pass and its ranking pass (MEMORY_AND_DISK — spills, lineage kept).
     val tfRaw = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    // len (per doc) and df (per term) attached INSIDE the cached table
+    // (r15): window aggregates over tf — same values the old
+    // groupBy+join form produced row for row (long sums / counts, then
+    // identical double expressions downstream) — paid ONCE at cache
+    // materialization instead of per build call. Two exchanges total
+    // (doc_id, then term) replace the old plan's two aggregate
+    // exchanges plus two join re-shuffles; and because the cache comes
+    // out hash-partitioned by `term`, a same-corpus rebuild's
+    // impact_rank window re-uses that clustering — the per-call index
+    // job is a single exchange-free stage over cached blocks. Docs with
+    // no tokens have no tf rows, exactly as the old inner joins dropped
+    // them.
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val wTerm = Window.partitionBy(col("term"))
+    val statsRaw = tfRaw
+      .withColumn("len", sum(col("tf")).over(wDoc).cast("long"))
+      .withColumn("df", count(lit(1)).over(wTerm))
     // Deliberate process-level stored artifact (the lshPairsOnce
     // discipline): if an EQUAL-plan tf is already cached (same corpus —
     // Dataset.storageLevel consults the cache manager by canonicalized
@@ -112,26 +140,46 @@ object SparseTopK {
     // shared entry the cache exists to provide (perf-only race: results
     // recompute through lineage, but the reuse is silently lost).
     val tf = lastTfCache.synchronized {
-      if (tfRaw.storageLevel != org.apache.spark.storage.StorageLevel.NONE) tfRaw
+      if (statsRaw.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        statsRaw
       else {
-        val t = tfRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val t = statsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val prior = lastTfCache.getAndSet(t)
         if (prior != null) prior.unpersist(blocking = false)
         t
       }
     }
-    // doc length = Σ tf over the doc's terms — derived from the tf
-    // table instead of a second tokenize pass over the corpus. Docs
-    // with no tokens have no tf rows and so no lens row, exactly like
-    // their null/zero size() was ignored by the old sum and dropped by
-    // the inner join below; every produced value is identical.
-    val lens = tf.groupBy(col("doc_id"))
-      .agg(sum(col("tf")).cast("long").as("len"))
-    val totalLen = lens.agg(sum(col("len"))).head().getLong(0)
+    // ONE control-plane job for BOTH scalars (r15, guide §5): n (doc
+    // count) and totalLen = Σ_doc len = Σ tf — the latter directly from
+    // the tf table, the SAME integer sum (order-free, value-identical
+    // to summing per-doc lens). The union's two one-row aggregate
+    // subtrees run in one action, which also doubles as the tf-cache
+    // materialization job (the old form paid docs.count() + a lens
+    // aggregate + head — two corpus actions). A same-corpus rebuild
+    // skips even that: the scalars are pure functions of the cached tf
+    // table and ride in the [[lastTfScalars]] slot next to it (fresh
+    // JVMs and different corpora always recompute).
+    val tfPlan = tf.queryExecution.analyzed
+    val memo = Option(lastTfScalars.get).filter(_._1.sameResult(tfPlan))
+    val (n, totalLen) = memo match {
+      case Some((_, mn, ml)) => (mn, ml)
+      case None =>
+        val scalars = docs.agg(count(lit(1)).cast("long").as("v"))
+          .withColumn("k", lit("n"))
+          .unionByName(tf.agg(sum(col("tf")).cast("long").as("v"))
+            .withColumn("k", lit("len")))
+          .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+        val vals = (scalars("n"), scalars("len"))
+        lastTfCache.synchronized {
+          // memoize only while this tf is still the cached slot (a
+          // concurrent different-corpus build may have swapped it)
+          val cur = lastTfCache.get
+          if (cur != null && cur.queryExecution.analyzed.sameResult(tfPlan))
+            lastTfScalars.set((tfPlan, vals._1, vals._2))
+        }
+        vals
+    }
     val avgdl = totalLen.toDouble / n
-    // vocab-sized (Heaps' law) but unbounded at corpus scale — a shuffle
-    // join on term, NOT a broadcast (unlike the per-query df in Bm25)
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log((lit(n.toDouble) - col("df").cast("double") + 0.5) /
       (col("df").cast("double") + 0.5) + 1.0)
     val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("len").cast("double") / avgdl)
@@ -139,9 +187,7 @@ object SparseTopK {
       (col("tf").cast("double") + norm)
     val w = Window.partitionBy(col("term"))
       .orderBy(col("impact").desc, col("doc_id"))
-    tf.join(lens, Seq("doc_id"))
-      .join(df, Seq("term"))
-      .select(col("term"), col("doc_id"), impact.as("impact"))
+    tf.select(col("term"), col("doc_id"), impact.as("impact"))
       .withColumn("impact_rank", row_number().over(w).cast("long"))
   }
 
@@ -198,26 +244,49 @@ object SparseTopK {
             math.min(want, 4096L).toInt * 2 - 1)))
         }
       val bucket = pmod(xxhash64(col("term")), lit(nb.toLong))
-      idx
-        .withColumn("bucket", bucket)
-        .repartition(col("bucket"))
-        .sortWithinPartitions(col("term"), col("impact_rank"))
-        .write.partitionBy("bucket").mode("overwrite").parquet(path)
+      // the nodes table and the `_termstats` sidecar are INDEPENDENT
+      // consumers of the just-materialized idx cache — run the two
+      // write jobs concurrently (guide §2.6: overlap independent jobs;
+      // at build scale the tails aggregate hides entirely under the
+      // nodes write, at bench scale the wall cost is max, not sum)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val nodesF = Future {
+        idx
+          .withColumn("bucket", bucket)
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("term"), col("impact_rank"))
+          .write.partitionBy("bucket").mode("overwrite").parquet(path)
+      }
       // per-term tails: exact impact at every power-of-two rank. The
       // serve-time ladder walk is driver arithmetic over these rows —
       // EXACT at each rung, so TA's certificate is unchanged; only the
       // rung positions differ from the in-memory loop's k-doubling
       // ladder (any increasing rung sequence terminates and certifies).
-      idx.groupBy(col("term"))
-        .agg(max(col("impact_rank")).as("len"),
-          sort_array(collect_list(when(
-            col("impact_rank").bitwiseAND(col("impact_rank") - 1) === 0L,
-            struct(col("impact_rank").as("r"), col("impact").as("impact")))))
-            .as("ladder"))
-        .withColumn("bucket", bucket)
-        .repartition(col("bucket"))
-        .sortWithinPartitions(col("term"))
-        .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/_termstats")
+      // Written to a SIBLING temp dir (the nodes write's overwrite
+      // deletes `path` itself at job start — writing the sidecar inside
+      // it concurrently would race that delete) and renamed into place
+      // once both jobs commit.
+      val statsTmp = s"${path}__termstats_tmp"
+      val statsF = Future {
+        idx.groupBy(col("term"))
+          .agg(max(col("impact_rank")).as("len"),
+            sort_array(collect_list(when(
+              col("impact_rank").bitwiseAND(col("impact_rank") - 1) === 0L,
+              struct(col("impact_rank").as("r"), col("impact").as("impact")))))
+              .as("ladder"))
+          .withColumn("bucket", bucket)
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("term"))
+          .write.partitionBy("bucket").mode("overwrite").parquet(statsTmp)
+      }
+      Await.result(nodesF, Duration.Inf)
+      Await.result(statsF, Duration.Inf)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.rename(new org.apache.hadoop.fs.Path(statsTmp),
+        new org.apache.hadoop.fs.Path(s"$path/_termstats"))
       writeTaMeta(spark, path, nb, total)
     } finally idx.unpersist(blocking = false)
   }
@@ -253,6 +322,46 @@ object SparseTopK {
     }
   }
 
+  /** The serve-time bucket of a term, evaluated DRIVER-SIDE through
+    * Spark's own `XxHash64` expression (not a re-implementation — the
+    * identical Catalyst evaluator the `pmod(xxhash64(term), nb)` write
+    * expression runs, seed 42 like the SQL function), so resolving a
+    * query's bucket directories costs zero Spark jobs (r15, guide §5:
+    * the old |terms|-row DataFrame collect was ~a scheduler round-trip
+    * per serve purely to hash a handful of strings). Spec-pinned equal
+    * to the SQL expression over a term sample. */
+  private[graft] def bucketOfTerm(term: String, numBuckets: Int): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term),
+        org.apache.spark.sql.types.StringType)),
+      42L // the SQL xxhash64 function's fixed seed — the write expression's
+    ).eval(null).asInstanceOf[Long]
+    val m = h % numBuckets
+    if (m < 0) m + numBuckets else m
+  }
+
+  /** The persisted serve's SMALL-SERVE floor (r15, r14 verdict items 1
+    * and 7): working sets at or above this many postings keep the full
+    * TA machinery — eager localCheckpoint (the seed/final jobs would
+    * otherwise re-scan the pruned read: ~28 % of the 100×-docs serve in
+    * the r12 TaStages attribution, a 19.4M-row working set at 1000×)
+    * plus the depth-k seed job that powers the ladder walk's early
+    * stop. BELOW the floor both are driver-job deadweight: ~4M postings
+    * (≈ one advisory shuffle partition of ~32-byte rows) score
+    * exhaustively in one aggregate faster than the seed round-trip +
+    * checkpoint jobs they'd save, so the serve reads the bucket-pruned
+    * parquet directly and takes the exhaustive bypass branch — EXACT by
+    * TA's certificate (scoring every query posting is the algorithm's
+    * trivial case; the top-k rows cannot change). DATA-derived — the
+    * stored `_termstats` lens decide per serve before any corpus job,
+    * no core-count term — and sys-prop overridable so specs can force
+    * both shapes on one fixture. Applies only to stored-tails serves;
+    * the in-memory loop keeps its seed (its pruning audit is
+    * spec-pinned and its tails already cost a job). */
+  private[graft] def SmallServeFloorPostings: Long =
+    sys.props.get("graft.ta.serveFloorPostings").map(_.toLong).getOrElse(1L << 22)
+
   /** TA over a persisted index: bucket the query terms driver-side and
     * read only those partitions — result identical to the in-memory
     * form (same oracle). `numBuckets` is a FALLBACK for pre-r14 indexes
@@ -263,16 +372,8 @@ object SparseTopK {
       queryTerms: Seq[String], k: Int, numBuckets: Int = 16): DataFrame = {
     val meta = readTaMeta(spark, path)
     val nb = meta.map(_.numBuckets).getOrElse(numBuckets)
-    // rather than duplicating xxhash64's internals driver-side, evaluate
-    // the same bucket expression over the |terms|-row query set (one
-    // local job — control plane)
     val qts = queryTerms.distinct
-    val bucketOf = {
-      import spark.implicits._
-      qts.toDF("term")
-        .select(pmod(xxhash64(col("term")), lit(nb.toLong)).as("bucket"))
-        .collect().map(_.getLong(0)).distinct.toSeq
-    }
+    val bucketOf = qts.map(bucketOfTerm(_, nb)).distinct
     val idx = spark.read.parquet(path)
       .where(col("bucket").isin(bucketOf: _*))
     if (meta.isEmpty) taTopK(idx, queryTerms, k)
@@ -298,9 +399,21 @@ object SparseTopK {
       val ladder = Iterator.iterate(start)(d => math.min(d * 2L, Long.MaxValue / 2))
         .take(64).toSeq.distinct
       val dict = termDict(qts)
-      val qPostings = withTermIds(idx.where(col("term").isin(qts: _*)), dict)
-        .localCheckpoint(true)
-      taLoopCore(qPostings, k, tails, ladder, dict)._1
+      // small-serve gate (r15): the stored lens say EXACTLY how big the
+      // working set is before any corpus job runs. Small sets skip the
+      // materialization job AND the seed job — one exhaustive-bypass
+      // final job reads the pruned parquet directly (the bucket
+      // PartitionFilters + term pushdown then sit in the SERVE plan
+      // itself — the r14 dossier gap); big sets keep the checkpoint
+      // that kills the 1000× re-scan term and the seed that powers the
+      // early stop.
+      val postings = tails.map(_.len).sum
+      val small = postings < SmallServeFloorPostings
+      val qpLazy = withTermIds(idx.where(col("term").isin(qts: _*)), dict)
+      val qPostings = if (small) qpLazy else qpLazy.localCheckpoint(true)
+      taLoopCore(qPostings, k,
+        scala.concurrent.Future.successful(tails), ladder, dict,
+        skipSeed = small)._1
     }
   }
 
@@ -350,15 +463,17 @@ object SparseTopK {
       numBuckets: Int = 16): DataFrame = {
     val meta = readTaMeta(spark, path)
     val nb = meta.map(_.numBuckets).getOrElse(numBuckets)
-    // ONE control-plane job for terms + their buckets (each extra local
-    // job is ~0.1 s of scheduler latency at suite scale — the A/B that
-    // sized this serve counted jobs, not bytes)
-    val termBuckets = queryTerms.select(col("term")).distinct()
-      .select(col("term"),
-        pmod(xxhash64(col("term")), lit(nb.toLong)).as("bucket"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val terms = termBuckets.map(_._1).toSeq
-    val bucketOf = termBuckets.map(_._2).distinct.toSeq
+    // ZERO control-plane jobs for terms + buckets (r15; the r14 form
+    // paid one distinct+collect job — each extra local job is ~0.1 s of
+    // scheduler latency at suite scale): the micro-batch query table
+    // collects driver-side (a LocalRelation collect launches no job;
+    // any other source is one plain collect), dedup and bucketing are
+    // Scala over those few rows, and the bucket hash is Spark's own
+    // XxHash64 evaluated in-process ([[bucketOfTerm]]).
+    val qPairs = queryTerms.select(col("query_id").cast("long"), col("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.distinct
+    val terms = qPairs.map(_._2).distinct
+    val bucketOf = terms.map(bucketOfTerm(_, nb)).distinct
     val idx = spark.read.parquet(path)
       .where(col("bucket").isin(bucketOf: _*))
     if (meta.isEmpty) taTopKBatch(idx, queryTerms, k)
@@ -373,7 +488,8 @@ object SparseTopK {
           r.getSeq[org.apache.spark.sql.Row](2)
             .map(s => s.getAs[Long]("r") -> s.getAs[Double]("impact")).toMap)
       }
-      taTopKBatchCore(idx, queryTerms, k, storedTails = Some(tails))._1
+      taTopKBatchCore(idx, queryTerms, k, storedTails = Some(tails),
+        precollectedPairs = Some(qPairs))._1
     }
   }
 
@@ -383,25 +499,47 @@ object SparseTopK {
       qid: Long, term: String, len: Long, atRank: Map[Long, Double])
 
   private def taTopKBatchCore(index: DataFrame, queryTerms: DataFrame,
-      k: Int, storedTails: Option[Seq[TermTail]])
+      k: Int, storedTails: Option[Seq[TermTail]],
+      precollectedPairs: Option[Seq[(Long, String)]] = None)
       : (DataFrame, Map[Long, TaBatchStats]) = {
     require(k > 0, "taTopKBatch: k must be positive")
     val spark = index.sparkSession
-    val q = queryTerms.select(col("query_id"), col("term")).distinct()
+    import spark.implicits._
+    // one control-plane collect serves BOTH the query-id list and (on
+    // the stored-tails path) the (query, term) fan-out — q is
+    // micro-batch-small by contract. The persisted caller already
+    // collected the pairs job-free; rebuild the broadcast side from
+    // them as a LocalRelation so neither the distinct nor the broadcast
+    // launches a scan job.
+    val qPairs: Seq[(Long, String)] = precollectedPairs.getOrElse(
+      queryTerms.select(col("query_id").cast("long"), col("term"))
+        .distinct().as[(Long, String)].collect().toSeq)
+    val q = qPairs.toDF("query_id", "term")
     // every query's postings, tagged — ONE plan for all queries; the
     // query-terms side is micro-batch-small by construction → broadcast.
-    // Materialized once (r14, the single-query loop's r12 discipline —
-    // its re-scan term measured ~28 % of the 100× serve): the walk's
-    // three jobs reference qp up to SIX times (seed candidates + the
-    // seed scoring semi-join, the tails aggregate, and the final job's
-    // bypass/deep branches — 2-3 subtrees when regimes mix), and
-    // without a materialization point every reference re-reads the
-    // bucket-pruned parquet and re-runs the broadcast join. Batch-
-    // working-set-sized (Σ_q query postings), not corpus-sized.
-    val qp = index.join(broadcast(q), Seq("term"))
+    // Materialized once WHEN BIG (r14 + the r15 checkpoint gate, the
+    // single-query loop's r12 discipline — its re-scan term measured
+    // ~28 % of the 100× serve): the walk's jobs reference qp up to SIX
+    // times (seed candidates + the seed scoring semi-join, the tails
+    // aggregate, and the final job's bypass/deep branches — 2-3
+    // subtrees when regimes mix), and without a materialization point
+    // every reference re-reads the bucket-pruned parquet and re-runs
+    // the broadcast join. Batch-working-set-sized (Σ_q query postings),
+    // not corpus-sized. With stored tails the lens give that size
+    // driver-side BEFORE any corpus job: working sets under
+    // [[CheckpointFloorPostings]] skip the materialization job — the
+    // duplicate pruned-parquet read costs less than the checkpoint's
+    // own job + block-store round trip, and the serve plan then shows
+    // the bucket prune directly.
+    val qpLazy = index.join(broadcast(q), Seq("term"))
       .select(col("query_id"), col("term"), col("doc_id"),
         col("impact"), col("impact_rank"))
-      .localCheckpoint(true)
+    val smallServe = storedTails.exists { ts =>
+      val lenOf = ts.map(t => t.term -> t.len).toMap
+      qPairs.map { case (_, t) => lenOf.getOrElse(t, 0L) }.sum <
+        SmallServeFloorPostings
+    }
+    val qp = if (smallServe) qpLazy else qpLazy.localCheckpoint(true)
 
     // term-sorted exact score fold (the Bm25 bit-parity discipline)
     // over whichever (query_id, doc_id) posting set the caller passes
@@ -429,25 +567,10 @@ object SparseTopK {
         .where(col("rank") <= k)
     }
 
-    import spark.implicits._
-    // one control-plane collect serves BOTH the query-id list and (on
-    // the stored-tails path) the (query, term) fan-out — q is
-    // micro-batch-small by contract
-    val qPairs = q.select(col("query_id").cast("long"), col("term"))
-      .as[(Long, String)].collect().toSeq
     val qids = qPairs.map(_._1).distinct.sorted.toArray
     val seedDepths = qids.toSeq.toDF("query_id").withColumn("p", lit(k.toLong))
-    // job 1: seed scores at depth k — ≤ Q×k control-plane rows
-    val seedRows = topkOf(scoresAt(seedDepths)).collect()
-    val thetaSeed: Map[Long, Double] = seedRows
-      .groupBy(_.getAs[Long]("query_id"))
-      .map { case (qid, rows) =>
-        qid -> (if (rows.length >= k)
-          rows.map(_.getAs[Double]("score")).min
-        else Double.NegativeInfinity)
-      }
 
-    // job 2 (in-memory tails): per (query, term) list length + ladder
+    // (in-memory tails): per (query, term) list length + ladder
     // impacts — OR, serving a persisted index with `_termstats`
     // ([[taTopKBatchPersisted]]), NO job at all: the stored per-term
     // rows fan out over the collected query pairs driver-side. The
@@ -467,8 +590,16 @@ object SparseTopK {
         Iterator.iterate(start)(d => math.min(d * 2L, Long.MaxValue / 2))
           .take(64).toSeq.distinct
     }
-    val tails: Seq[BatchTail] = storedTails match {
-      case None =>
+    // the seed job and the in-memory tails job are INDEPENDENT reads of
+    // the (checkpointed) working set — overlap them (r15, guide §2.6:
+    // actions are only sequential because the driver calls them
+    // sequentially); on the stored-tails path the tails future is
+    // already resolved and only the seed job runs.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tailsF: Future[Seq[BatchTail]] = storedTails match {
+      case None => Future {
         qp.groupBy(col("query_id"), col("term"))
           .agg(
             max(col("impact_rank")).as("len"),
@@ -481,12 +612,30 @@ object SparseTopK {
                 .map(s => s.getAs[Long]("impact_rank") -> s.getAs[Double]("impact"))
                 .toMap)
           }
+      }
       case Some(ts) =>
         val byTerm = ts.map(t => t.term -> t).toMap
-        qPairs.flatMap { case (qid, t) =>
+        Future.successful(qPairs.flatMap { case (qid, t) =>
           byTerm.get(t).map(tt => BatchTail(qid, t, tt.len, tt.atRank))
-        }
+        })
     }
+    // job 1: seed scores at depth k — ≤ Q×k control-plane rows. In the
+    // small-serve regime (r15) the seed is SKIPPED: θ = −∞ for every
+    // query makes the ladder walk exhaust and coverage hit 1.0, so the
+    // final job takes the exhaustive bypass branch for all queries —
+    // exactly the rows TA certifies at any θ, for one corpus job
+    // instead of two over a working set cheaper to score than to seed.
+    val seedRows =
+      if (smallServe) Array.empty[org.apache.spark.sql.Row]
+      else topkOf(scoresAt(seedDepths)).collect()
+    val thetaSeed: Map[Long, Double] = seedRows
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (qid, rows) =>
+        qid -> (if (rows.length >= k)
+          rows.map(_.getAs[Double]("score")).min
+        else Double.NegativeInfinity)
+      }
+    val tails: Seq[BatchTail] = Await.result(tailsF, Duration.Inf)
     val byQuery = tails.groupBy(_.qid)
     val finalDepth: Seq[(Long, Long)] = qids.toSeq.map { qid =>
       val rows = byQuery.getOrElse(qid, Seq.empty)
@@ -656,20 +805,26 @@ object SparseTopK {
     val ladder = Iterator.iterate(k.toLong)(d => math.min(d * 2L, Long.MaxValue / 2))
       .take(64).toSeq.distinct
     // one pass: per term, the full list length and the impact at every
-    // geometric-ladder rank — ≤ |terms| × ~60 values of driver state
-    val tailRows = qPostings.groupBy(col("term"))
-      .agg(
-        max(col("impact_rank")).as("len"),
-        collect_list(when(col("impact_rank").isin(ladder: _*),
-          struct(col("impact_rank"), col("impact")))).as("ladder_impacts"))
-      .collect()
-    val tails = tailRows.toSeq.map { r =>
-      TermTail(byId(r.getAs[Int]("term")), r.getAs[Long]("len"),
-        r.getSeq[org.apache.spark.sql.Row](2)
-          .map(s => s.getAs[Long]("impact_rank") -> s.getAs[Double]("impact"))
-          .toMap)
+    // geometric-ladder rank — ≤ |terms| × ~60 values of driver state.
+    // Launched as a FUTURE so the tails job overlaps the seed job inside
+    // taLoopCore (r15, guide §2.6) — both are independent reads of the
+    // eager checkpoint above.
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tailsF = Future {
+      qPostings.groupBy(col("term"))
+        .agg(
+          max(col("impact_rank")).as("len"),
+          collect_list(when(col("impact_rank").isin(ladder: _*),
+            struct(col("impact_rank"), col("impact")))).as("ladder_impacts"))
+        .collect().toSeq.map { r =>
+          TermTail(byId(r.getAs[Int]("term")), r.getAs[Long]("len"),
+            r.getSeq[org.apache.spark.sql.Row](2)
+              .map(s => s.getAs[Long]("impact_rank") -> s.getAs[Double]("impact"))
+              .toMap)
+        }
     }
-    taLoopCore(qPostings, k, tails, ladder, dict)
+    taLoopCore(qPostings, k, tailsF, ladder, dict)
   }
 
   /** Seed + driver ladder walk + adaptive final job over ALREADY
@@ -684,8 +839,9 @@ object SparseTopK {
     * through `dict` at the one expression that needs a column-typed
     * literal (the UB residuals). */
   private def taLoopCore(qPostings: DataFrame, k: Int,
-      tails: Seq[TermTail], ladder: Seq[Long],
-      dict: Map[String, Int]): (DataFrame, Int, Long, Long) = {
+      tailsF: scala.concurrent.Future[Seq[TermTail]], ladder: Seq[Long],
+      dict: Map[String, Int],
+      skipSeed: Boolean = false): (DataFrame, Int, Long, Long) = {
     require(k > 0, "taTopK: k must be positive")
 
     // exact scores folded in sorted term order (Bm25 bit-parity
@@ -705,10 +861,19 @@ object SparseTopK {
       .join(qPostings.where(col("impact_rank") <= p)
         .select(col("doc_id")), Seq("doc_id"), "left_semi"))
 
-    val seedRows = scoresAt(k.toLong).collect() // ≤ k rows — control plane
+    // ≤ k rows — control plane. `skipSeed` (the r15 small-serve regime,
+    // stored-tails callers only): θ = −∞ exhausts the ladder walk and
+    // drives coverage to 1.0, so the final job below is the exhaustive
+    // bypass — the rows TA certifies at any θ, minus one driver job.
+    val seedRows =
+      if (skipSeed) Array.empty[org.apache.spark.sql.Row]
+      else scoresAt(k.toLong).collect()
     val thetaSeed =
       if (seedRows.length >= k) seedRows.last.getAs[Double]("score")
       else Double.NegativeInfinity
+    // the tails job (if any) ran concurrently with the seed job above
+    val tails = scala.concurrent.Await.result(
+      tailsF, scala.concurrent.duration.Duration.Inf)
 
     val lens = tails.map(_.len)
     val atRank: Map[(String, Long), Double] = tails.flatMap { t =>

@@ -1625,20 +1625,15 @@ object Registry {
     // oracle shape as exhaustive scoring. The index build checkpoints
     // once (it is the stored artifact; TA rounds re-read it).
     "q_ta_topk" -> ((s, dir) => {
-      // The TA walk references the index FIVE times (seed self-join ×2,
-      // ladder tails, final self-join ×2), and a LAZY checkpoint's first
-      // consumer is the seed SELF-join — its two branches can each
-      // evaluate the O(corpus) build before blocks land (the r9 isolated
-      // creep). Filter to the query terms FIRST (per-query postings are
-      // control-plane-sized) and materialize those eagerly: the build
-      // pipeline runs exactly once, and every TA job reads block-store
-      // rows. taLoop's own term filter is a no-op on the pre-filtered
-      // set, so the rows — and the oracle hash — are unchanged.
-      val terms = Seq("merge", "vector", "batch", "slow", "spark")
-      val idx = SparseTopK.buildImpactIndex(t(s, dir, "documents"))
-        .where(col("term").isin(terms: _*))
-        .localCheckpoint(true)
-      SparseTopK.taTopK(idx, queryTerms = terms, k = 15)
+      // taLoop itself filters to the query terms and EAGERLY checkpoints
+      // that control-plane-sized working set before its first self-join
+      // (the r9 isolated-creep fix lives inside the operator since r12),
+      // so the registry-side filter+checkpoint this entry used to add
+      // was a second, redundant materialization job per call (r15,
+      // guide §5: one fewer driver job, rows — and the oracle hash —
+      // unchanged).
+      SparseTopK.taTopK(SparseTopK.buildImpactIndex(t(s, dir, "documents")),
+        queryTerms = Seq("merge", "vector", "batch", "slow", "spark"), k = 15)
     }),
 
     // Batch-query TA (verdict r7 item 6): four bag-of-words queries run

@@ -295,6 +295,50 @@ class SparseTopKSpec extends SparkSpec {
     assert(per2 == mem2)
   }
 
+  test("driver-side bucket hash equals the write-time pmod(xxhash64) expression") {
+    // the serve resolves bucket directories with Spark's own XxHash64
+    // expression evaluated in-process (zero jobs, r15); it must agree
+    // with the SQL expression writeIndex partitions by for ANY term
+    val terms = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .distinct().limit(500).as[String].collect().toSeq ++
+      Seq("", "a", "zzz_not_in_vocab", "ünïcödé-ストリング", "\ttab\nnl")
+    for (nb <- Seq(8, 16, 4096)) {
+      val viaSql = terms.toDF("term")
+        .select(col("term"), pmod(xxhash64(col("term")), lit(nb.toLong)).as("b"))
+        .as[(String, Long)].collect().toMap
+      terms.foreach { t =>
+        assert(SparseTopK.bucketOfTerm(t, nb) == viaSql(t),
+          s"bucket mismatch for '$t' at nb=$nb")
+      }
+    }
+  }
+
+  test("checkpoint floor: the no-checkpoint serve shape is row-identical to the forced-checkpoint shape") {
+    // r15 gate: small working sets serve straight off the bucket-pruned
+    // parquet scan (no materialization job); this forces BOTH shapes on
+    // the same fixture and pins row identity — single-query and batch
+    val dir = java.nio.file.Files.createTempDirectory("taidx_floor").toString
+    SparseTopK.writeIndex(index, dir)
+    val terms = Seq("merge", "vector", "batch", "slow", "spark")
+    val qt = (terms.map(0L -> _) ++
+      Seq("join", "hash", "filter", "scan").map(1L -> _)).toDF("query_id", "term")
+    def bothShapes[T](run: => T): (T, T) = {
+      val prop = "graft.ta.serveFloorPostings"
+      System.setProperty(prop, Long.MaxValue.toString) // never checkpoint
+      val skip = try run finally System.clearProperty(prop)
+      System.setProperty(prop, "0") // always checkpoint
+      val ckpt = try run finally System.clearProperty(prop)
+      (skip, ckpt)
+    }
+    val (s1, c1) = bothShapes(
+      SparseTopK.taTopKPersisted(spark, dir, terms, 15).collect().map(_.toSeq).toSeq)
+    assert(s1 == c1, "single-query serve diverges across the checkpoint gate")
+    val (s2, c2) = bothShapes(
+      SparseTopK.taTopKBatchPersisted(spark, dir, qt, 10).collect().map(_.toSeq).toSeq)
+    assert(s2 == c2, "batch serve diverges across the checkpoint gate")
+  }
+
   test("tf cache is a single reused process artifact: same-corpus rebuilds pin nothing new; release unpersists") {
     import org.apache.spark.storage.StorageLevel
     // The memo slot and the cache manager are JVM-global and OTHER
@@ -306,11 +350,17 @@ class SparseTopKSpec extends SparkSpec {
     // A corpus plan unique to this test keeps other suites' equal-plan
     // reuse out of the picture.
     val myDocs = docs.where(col("doc_id") >= 0)
+    // the cached artifact is the tf table WITH the len/df window stats
+    // attached (r15 — paid once at materialization, not per build call)
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val tfPlan = myDocs
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .withColumn("len", sum(col("tf")).over(wDoc).cast("long"))
+      .withColumn("df", count(lit(1)).over(wTerm))
     val observed = (1 to 3).exists { _ =>
       SparseTopK.buildImpactIndex(myDocs).count()
       val seenAfterFirst = tfPlan.storageLevel != StorageLevel.NONE

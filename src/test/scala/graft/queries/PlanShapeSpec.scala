@@ -529,32 +529,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("WindowExec"), "TA output ranking must stay window-free")
   }
 
-  test("q_ta_persisted: bucket partitions prune, term filter pushes into the parquet scan") {
-    // r12: taLoop materializes qPostings once (localCheckpoint — the
-    // TaStages attribution measured the three jobs' parquet re-scans at
-    // ~28 % of the 100×-docs serve), so the FINAL plan reads the
-    // checkpoint; the pruning/pushdown contract now lives on the scan
-    // that FEEDS the checkpoint. Assert it on the identical scan
-    // expression taTopKPersisted builds (same path, same two filters),
-    // and that the serve plan itself consumes the materialized RDD.
-    val served = Registry.queries("q_ta_persisted")(spark, sf0001)
-    assert(planOf(served).contains("ExistingRDD"),
-      "the TA loop must serve from the once-materialized postings")
-    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_ta_idx_" +
-      s"${Integer.toHexString(sf0001.hashCode)}_p${ProcessHandle.current().pid()}"
-    val terms = Seq("merge", "vector", "batch", "slow", "spark")
-    val bucketOf = {
-      import spark.implicits._
-      terms.toDF("term")
-        .select(pmod(xxhash64($"term"), lit(16L)).as("bucket"))
-        .collect().map(_.getLong(0)).distinct.toSeq
-    }
-    val scan = planOf(spark.read.parquet(idxDir)
-      .where(col("bucket").isin(bucketOf: _*))
-      .where(col("term").isin(terms: _*)))
-    assert(scan.contains("PartitionFilters") && scan.contains("bucket"),
-      "query terms' hash buckets must prune the partitioned index read")
-    assert(scan.contains("PushedFilters") && scan.contains("In(term"),
-      "the term predicate must reach the parquet scan")
+  test("q_ta_persisted: bucket partitions prune, term filter pushes into the SERVE plan's scan") {
+    // r15 (r14 verdict item 6): below the checkpoint floor the serve
+    // reads the bucket-pruned parquet DIRECTLY — no materialization job
+    // — so the pruning/pushdown contract is visible in the served plan
+    // itself instead of hiding behind an ExistingRDD checkpoint (the
+    // r14 dossier gap). Working sets ≥ CheckpointFloorPostings still
+    // checkpoint (the 1000×-docs re-scan killer); the floor-forced
+    // equality test in SparseTopKSpec pins the two shapes row-identical.
+    val p = planOf(Registry.queries("q_ta_persisted")(spark, sf0001))
+    assert(p.contains("PartitionFilters") && p.contains("bucket"),
+      "query terms' hash buckets must prune the partitioned index read " +
+        "in the serve plan itself")
+    assert(p.contains("PushedFilters") && p.contains("In(term"),
+      "the term predicate must reach the parquet scan in the serve plan")
   }
 }
