@@ -183,11 +183,30 @@ object IvfIndex {
     * (vector_search_cluster.py:1051-1066's shard files + metadata). */
   def writeIndex(assignments: DataFrame, centroids: Array[Centroid], dir: String): Unit = {
     val spark = assignments.sparkSession
-    assignments.write.mode("overwrite")
-      .partitionBy("cluster_id").parquet(s"$dir/assignments")
+    // REBALANCE by cluster_id before the partitioned write (guide §6):
+    // without it every scan task writes a file into every cluster
+    // directory it touches — tasks × nlist small files at scale (and at
+    // bench scale ONE task compresses every file serially). AQE sizes
+    // the rebalance output to the advisory partition size, so inverted
+    // lists come out as few, advisory-sized files per directory and the
+    // parquet encoding parallelizes across the post-shuffle tasks —
+    // scale-adaptive in both directions, no core-count constant.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val assignF = Future {
+      assignments.hint("rebalance", col("cluster_id")).write.mode("overwrite")
+        .partitionBy("cluster_id").parquet(s"$dir/assignments")
+    }
+    // the centroid side table is independent of the lists — overlap the
+    // two write jobs (guide §2.6)
     import spark.implicits._
-    centroids.toSeq.toDF("cid", "vec")
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val centF = Future {
+      centroids.toSeq.toDF("cid", "vec")
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+    }
+    Await.result(assignF, Duration.Inf)
+    Await.result(centF, Duration.Inf)
   }
 
   /** `index.add` on a live persisted index (the reference's incremental
@@ -297,9 +316,7 @@ object IvfIndex {
       nprobe: Int,
       k: Int,
       excludeSelf: Boolean = false): DataFrame = {
-    val p = probes(queries, centroids, nprobe)
-    val probedClusters = p.select(col("cluster_id")).distinct()
-      .collect().map(_.getLong(0))
+    val (p, probedClusters) = collectedProbes(queries, centroids, nprobe)
     val pruned = assignments.where(col("cluster_id").isin(probedClusters: _*))
     val cand = pruned.join(broadcast(p), Seq("cluster_id"))
     val filtered =
@@ -577,10 +594,28 @@ object IvfIndex {
       nprobe: Int,
       k: Int,
       excludeSelf: Boolean = false): DataFrame = {
-    val p = probes(queries, centroids, nprobe)
-    val probedClusters = p.select(col("cluster_id")).distinct()
-      .collect().map(_.getLong(0))
+    val (p, probedClusters) = collectedProbes(queries, centroids, nprobe)
     val pruned = assignments.where(col("cluster_id").isin(probedClusters: _*))
     searchMultiWithProbes(p, pruned, k, excludeSelf)
+  }
+
+  /** ONE collect serving both pruned-search consumers of the probe set
+    * (r15, guide §5): the static `cluster_id IN (...)` partition filter
+    * AND the broadcast probe side. The old form collected a distinct
+    * projection for the filter and then re-evaluated the probe plan —
+    * query scan, centroid argsort and all — inside the broadcast build;
+    * the probe set is Q × nprobe control-plane rows, so collecting it
+    * once and re-injecting it as a LocalRelation removes a whole job
+    * plus the duplicate query-side scan from every serve. Values are
+    * Spark's own — the downstream join consumes exactly what the probe
+    * plan computed. */
+  private def collectedProbes(queries: DataFrame, centroids: Array[Centroid],
+      nprobe: Int): (DataFrame, Array[Long]) = {
+    val p0 = probes(queries, centroids, nprobe)
+    val rows = p0.collect()
+    val spark = queries.sparkSession
+    val p = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), p0.schema)
+    (p, rows.map(_.getAs[Long]("cluster_id")).distinct)
   }
 }
