@@ -653,8 +653,32 @@ object Dedup {
       docs: DataFrame,
       k: Int = 4,
       w: Int = 4,
-      textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      textCol: String = "text"): DataFrame =
+    winnowSelections(docs, k, w, textCol)
+      .select(col("doc_id"),
+        (-col("sel.negpos")).cast("long").as("fp_pos"),
+        col("sel.h").as("fp_hash"))
+      .distinct()
+      .orderBy(col("doc_id"), col("fp_pos"), col("fp_hash"))
+
+  /** The raw (pre-distinct, unordered) winnowing selection stream —
+    * one row per full window, `sel = (h, -pos)` the robust-winnowing
+    * pick. Shared by [[winnowFingerprints]] (which distincts on
+    * (doc_id, pos, hash) and orders — its declared output) and
+    * [[winnowDups]] (which only needs distinct (doc_id, hash): going
+    * through the fingerprint form paid an extra hash aggregate plus
+    * the global sort, both discarded by the join — r15, guide §2.4). */
+  private def winnowSelections(
+      docs: DataFrame,
+      k: Int,
+      w: Int,
+      textCol: String): DataFrame = {
+    // tokenize + 4-gram join + md5 are the heavy map work and run
+    // BEFORE the window's doc_id exchange — on one task when the
+    // corpus is one parquet split. Spread small scans first (r15,
+    // guide §2.5); identity once splits ≥ cores.
+    val toks = ScanSpread.spreadSmall(docs)
+      .select(col("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= k + w - 1)
     val grams = toks.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), size(col("toks")) - k),
@@ -677,11 +701,6 @@ object Dedup {
         min(struct(col("h").as("h"), (-col("pos")).as("negpos"))).over(wSlide))
       .withColumn("wlen", count(lit(1)).over(wSlide))
       .where(col("wlen") === w) // full windows only
-      .select(col("doc_id"),
-        (-col("sel.negpos")).cast("long").as("fp_pos"),
-        col("sel.h").as("fp_hash"))
-      .distinct()
-      .orderBy(col("doc_id"), col("fp_pos"), col("fp_hash"))
   }
 
   /** Winnowing overlap pairs — MOSS's actual use of the fingerprints:
@@ -698,8 +717,15 @@ object Dedup {
       w: Int = 4,
       minShared: Int = 2,
       textCol: String = "text"): DataFrame = {
-    val fps = winnowFingerprints(docs, k, w, textCol)
-      .select(col("doc_id"), col("fp_hash")).distinct()
+    // distinct straight to (doc_id, fp_hash) off the raw selection
+    // stream: a fingerprint set projected to (doc, hash) and distincted
+    // equals the (doc, hash)-distinct of the raw stream (the dropped
+    // fp_pos only ever ADDED rows), and the window's doc_id partitioning
+    // satisfies the grouping, so the whole candidate side runs on one
+    // exchange — the fingerprint form re-aggregated and globally sorted
+    // first, both discarded by this join (r15, guide §2.4).
+    val fps = winnowSelections(docs, k, w, textCol)
+      .select(col("doc_id"), col("sel.h").as("fp_hash")).distinct()
     fps.select(col("doc_id").as("doc_a"), col("fp_hash"))
       .join(fps.select(col("doc_id").as("doc_b"), col("fp_hash")), Seq("fp_hash"))
       .where(col("doc_a") < col("doc_b"))
