@@ -35,7 +35,10 @@ object BpeTrain {
   /** Word-type frequency dictionary of a corpus — the only corpus-sized
     * pass of the trainer. */
   def wordFreqs(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+    // tokenize+explode is the corpus-pass map work; spread a
+    // single-split scan across the cores first (identity at scale)
+    ScanSpread.spreadSmall(docs)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .where(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 

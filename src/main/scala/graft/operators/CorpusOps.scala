@@ -438,13 +438,17 @@ object CorpusOps {
     * replacement) for the selected positions, ordered. */
   def mlmMask(docs: DataFrame, maskFrac: Double = 0.15,
       textCol: String = "text", seed: String = "mlm"): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    // both corpus passes (positions + vocab) are tokenize-bound map
+    // work; spread a single-split scan across the cores first
+    // (identity at scale)
+    val spread = ScanSpread.spreadSmall(docs)
+    val toks = spread.select(col("doc_id"),
       posexplode(TextFunctions.tokens(col(textCol)))).toDF("doc_id", "pos", "token")
     val h = md5(concat_ws(":", lit(seed), col("doc_id"), col("pos")))
     def uni(from: Int): Column =
       (conv(substring(h, from, 8), 16, 10).cast("double") + lit(0.5d)) /
         lit(4294967296.0d)
-    val vocab = docs.select(explode(TextFunctions.tokens(col(textCol))).as("vtok"))
+    val vocab = spread.select(explode(TextFunctions.tokens(col(textCol))).as("vtok"))
       .distinct()
     val vocabSize = vocab.count() // control-plane scalar (Heaps-law bounded)
     require(vocabSize > 0, "mlmMask: corpus has no tokens — nothing to mask or draw from")

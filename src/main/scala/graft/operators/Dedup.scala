@@ -46,7 +46,10 @@ object Dedup {
   def minhashSignature(docs: DataFrame, shingleN: Int, numHashes: Int,
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    docs.select(
+    // the numHashes×md5-per-shingle fold is the row-linear map cost
+    // (82 % of the pipeline at 500k docs); spread a single-split scan
+    // across the cores first (identity at scale)
+    ScanSpread.spreadSmall(docs).select(
       col("doc_id"),
       TextFunctions.wordShingles(col(textCol), shingleN).as("shingles"))
       .withColumn("sig", ColumnBridge.column(graft.plans.MinHashSignature(
@@ -176,7 +179,7 @@ object Dedup {
   def minhashSignatureFast(docs: DataFrame, shingleN: Int, numHashes: Int,
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    docs.select(
+    ScanSpread.spreadSmall(docs).select(
       col("doc_id"),
       TextFunctions.wordShingles(col(textCol), shingleN).as("shingles"))
       .withColumn("sig", ColumnBridge.column(graft.plans.MinHashSignatureFast(
@@ -253,7 +256,7 @@ object Dedup {
   private[graft] def minhashCollapsedSigs(docs: DataFrame, shingleN: Int,
       numHashes: Int, textCol: String): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    docs.select(
+    ScanSpread.spreadSmall(docs).select(
       col("doc_id"),
       md5(col(textCol)).as("ghash"),
       ColumnBridge.column(graft.plans.MinHashSignatureFast(
@@ -806,8 +809,9 @@ object Dedup {
     // sorted distinct shingles; reused by prefix explode and both
     // verification sides → materialized once (eager localCheckpoint;
     // blocks GC'd with the result, no CacheManager leak)
-    val sh = docs.select(col("doc_id"), col(blockCol).as("block"),
-      array_sort(TextFunctions.wordShingles(col(textCol), shingleN)).as("sh"))
+    val sh = ScanSpread.spreadSmall(docs)
+      .select(col("doc_id"), col(blockCol).as("block"),
+        array_sort(TextFunctions.wordShingles(col(textCol), shingleN)).as("sh"))
       .withColumn("plen",
         (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1).cast("int"))
       .localCheckpoint(true)

@@ -64,6 +64,10 @@ object QualityClassifier {
       else graft.functions.TextFunctions.tokens(col(textCol))
     val wMap = typedlit(weights)
     val wArr = transform(feats, g => element_at(wMap, Dsir.bucketOf(g, b)))
+    // NOTE (r15): ScanSpread.spreadSmall was tried here and reverted —
+    // the per-gram weight lookup is cheap enough that the round-robin
+    // exchange bought nothing (JobTrace steady ~1.0 s both ways) and it
+    // would cost this operator its no-corpus-shuffle plan property.
     docs
       // NULL-text docs are DROPPED, matching the oracle: its unnest of a
       // NULL gram list yields no rows, so such a doc never reaches the

@@ -362,6 +362,14 @@ object SparseTopK {
   private[graft] def SmallServeFloorPostings: Long =
     sys.props.get("graft.ta.serveFloorPostings").map(_.toLong).getOrElse(1L << 22)
 
+  /** Head-mode crossover (r15 deep-serve block prune): materialize only
+    * the impact_rank ≤ p_ub head when it is under this fraction of the
+    * working set — below it the saved block-store volume clearly beats
+    * the final job's one extra (row-group-pruned) scan. Sys-prop
+    * overridable so specs can force both shapes on one fixture. */
+  private[graft] def HeadModeMaxFrac: Double =
+    sys.props.get("graft.ta.headMaxFrac").map(_.toDouble).getOrElse(0.5)
+
   /** TA over a persisted index: bucket the query terms driver-side and
     * read only those partitions — result identical to the in-memory
     * form (same oracle). `numBuckets` is a FALLBACK for pre-r14 indexes
@@ -410,10 +418,71 @@ object SparseTopK {
       val postings = tails.map(_.len).sum
       val small = postings < SmallServeFloorPostings
       val qpLazy = withTermIds(idx.where(col("term").isin(qts: _*)), dict)
-      val qPostings = if (small) qpLazy else qpLazy.localCheckpoint(true)
-      taLoopCore(qPostings, k,
-        scala.concurrent.Future.successful(tails), ladder, dict,
-        skipSeed = small)._1
+      if (small)
+        taLoopCore(qpLazy, k,
+          scala.concurrent.Future.successful(tails), ladder, dict,
+          skipSeed = true)._1
+      else {
+        // deep-serve block prune (r15, VERDICT item 3 via the stored
+        // ladder + the sorted files' row-group stats). The seed job
+        // runs FIRST, candidate-bounded over the LAZY scan — the
+        // depth-r0 prefix docs semi-join the full pruned read, so the
+        // exact θ_seed costs one pass with no materialization. The
+        // stored rung impacts then make the ladder walk DRIVER
+        // ARITHMETIC: p* = first rung with τ(rung) < θ_seed − 1e-9 is
+        // the walk's terminating depth, known BEFORE the working set is
+        // built. The checkpoint then materializes only the
+        // impact_rank ≤ p* head (row-group-pruned off the sorted
+        // files), and the deep tail is read lazily exactly once,
+        // candidate-bounded, inside the final scoring job (taLoopCore's
+        // `fullPostings`). Scores fold over the identical posting
+        // multiset, so rows are bit-identical; only the materialized
+        // volume changes (the 19.4M-row r13 working-set term at 1000×
+        // drops to its p*/len head — measured 25 % on the scale
+        // fixture). Weaker driver-only bounds were tried and never
+        // fired on slow-decay corpora: prefix-partial scores miss the
+        // deep cross-term contributions that dominate θ there (measured
+        // θ_partial 0.515 vs θ_seed ≈ 2.4 at 1000×).
+        def tauOf(p: Long): Double =
+          tails.collect { case t if t.len >= p => t.atRank(p) }.sum
+        val r0 = ladder.head // first rung ≥ k by construction
+        val seedRows = qpLazy
+          .join(qpLazy.where(col("impact_rank") <= r0)
+            .select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(aggregate(
+            array_sort(collect_list(struct(col("term"), col("impact")))),
+            lit(0.0),
+            (acc, s) => acc + s.getField("impact")).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(k)
+          .collect()
+        val thetaSeed =
+          if (seedRows.length >= k) seedRows.last.getAs[Double]("score")
+          else Double.NegativeInfinity
+        val pUb =
+          if (thetaSeed.isNegInfinity) None
+          else ladder.find(p => tauOf(p) < thetaSeed - 1e-9)
+        val headRows = pUb.fold(postings)(p => tails.map(t => math.min(t.len, p)).sum)
+        // head mode only when the bound actually slims the
+        // materialization ([[HeadModeMaxFrac]] crossover)
+        val headMode = pUb.isDefined && headRows < postings * HeadModeMaxFrac
+        if (!headMode)
+          // full-checkpoint path; the exact θ above rides in so the
+          // loop's own seed job is skipped (same job count as r14)
+          taLoopCore(qpLazy.localCheckpoint(true), k,
+            scala.concurrent.Future.successful(tails), ladder, dict,
+            thetaPre = Some(thetaSeed))._1
+        else {
+          val head = withTermIds(
+            idx.where(col("term").isin(qts: _*) &&
+              col("impact_rank") <= pUb.get), dict).localCheckpoint(true)
+          taLoopCore(head, k,
+            scala.concurrent.Future.successful(tails),
+            ladder.takeWhile(_ <= pUb.get), dict,
+            fullPostings = Some(qpLazy),
+            thetaPre = Some(thetaSeed))._1
+        }
+      }
     }
   }
 
@@ -539,7 +608,70 @@ object SparseTopK {
       qPairs.map { case (_, t) => lenOf.getOrElse(t, 0L) }.sum <
         SmallServeFloorPostings
     }
-    val qp = if (smallServe) qpLazy else qpLazy.localCheckpoint(true)
+    // deep-serve block prune, batch twin (r15 — see [[taTopKPersisted]]
+    // for the argument): the exact seed runs FIRST, candidate-bounded
+    // over the LAZY scan (each query's depth-r0 prefix docs semi-join
+    // the full pruned read — one pass, no materialization); the stored
+    // tails then bound each query's terminating depth driver-side —
+    // p*_q = first rung with τ_q(rung) < θ_q − 1e-9 — and the shared
+    // checkpoint materializes only impact_rank ≤ max_q p*_q. Exact
+    // folds read the LAZY full set once, candidate-bounded. Queries
+    // with no bound (θ_q = −∞) walk off the ladder and land in the
+    // exhaustive full-set bypass — exact at any θ.
+    val headInfo: Option[(Option[Long], Map[Long, Double])] =
+      if (smallServe) None
+      else storedTails.map { ts =>
+        val byTerm = ts.map(t => t.term -> t).toMap
+        val r0 = java.lang.Long.highestOneBit(math.max(1L, 2L * k - 1))
+        val rungs = Iterator.iterate(r0)(d => math.min(d * 2L, Long.MaxValue / 2))
+          .take(64).toSeq.distinct
+        val seedScores = qpLazy
+          .join(qpLazy.where(col("impact_rank") <= r0)
+              .select(col("query_id"), col("doc_id")),
+            Seq("query_id", "doc_id"), "left_semi")
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(aggregate(
+            array_sort(collect_list(struct(col("term"), col("impact")))),
+            lit(0.0),
+            (acc, s) => acc + s.getField("impact")).as("score"))
+        val wSeed = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))
+        val thetaQ: Map[Long, Double] = seedScores
+          .withColumn("rank", row_number().over(wSeed))
+          .where(col("rank") === k)
+          .select(col("query_id"), col("score"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val pUbs = qPairs.groupBy(_._1).map { case (qid, prs) =>
+          val rows = prs.flatMap { case (_, t) => byTerm.get(t) }
+          def tau(p: Long): Double =
+            rows.collect { case t if t.len >= p => t.atRank(p) }.sum
+          val th = thetaQ.getOrElse(qid, Double.NegativeInfinity)
+          if (th.isNegInfinity) None else rungs.find(p => tau(p) < th - 1e-9)
+        }
+        val bounded = pUbs.flatten
+        val headBound = bounded.maxOption.filter { b =>
+          pUbs.forall(_.isDefined) && {
+            val lenOf = ts.map(t => t.term -> t.len).toMap
+            val total = qPairs.map { case (_, t) => lenOf.getOrElse(t, 0L) }.sum
+            val head = qPairs.map { case (_, t) =>
+              math.min(lenOf.getOrElse(t, 0L), b)
+            }.sum
+            head < total * HeadModeMaxFrac
+          }
+        }
+        (headBound, thetaQ)
+      }
+    val headBound = headInfo.flatMap(_._1)
+    val headWorthIt = headBound.isDefined
+    // the LAZY full working set — what every exact score fold reads;
+    // seed/candidate jobs run over `qp` (the checkpointed head in head
+    // mode, the checkpointed full set otherwise)
+    val qpFull = qpLazy
+    val qp =
+      if (smallServe) qpLazy
+      else if (headWorthIt)
+        qpLazy.where(col("impact_rank") <= headBound.get).localCheckpoint(true)
+      else qpLazy.localCheckpoint(true)
 
     // term-sorted exact score fold (the Bm25 bit-parity discipline)
     // over whichever (query_id, doc_id) posting set the caller passes
@@ -625,16 +757,19 @@ object SparseTopK {
     // final job takes the exhaustive bypass branch for all queries —
     // exactly the rows TA certifies at any θ, for one corpus job
     // instead of two over a working set cheaper to score than to seed.
+    // the stored-tails path already paid its θ job (the lazy-scan
+    // candidate-bounded seed above) — skip the loop's own seed there
     val seedRows =
-      if (smallServe) Array.empty[org.apache.spark.sql.Row]
+      if (smallServe || headInfo.isDefined) Array.empty[org.apache.spark.sql.Row]
       else topkOf(scoresAt(seedDepths)).collect()
-    val thetaSeed: Map[Long, Double] = seedRows
-      .groupBy(_.getAs[Long]("query_id"))
-      .map { case (qid, rows) =>
-        qid -> (if (rows.length >= k)
-          rows.map(_.getAs[Double]("score")).min
-        else Double.NegativeInfinity)
-      }
+    val thetaSeed: Map[Long, Double] = headInfo.map(_._2).getOrElse(
+      seedRows
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (qid, rows) =>
+          qid -> (if (rows.length >= k)
+            rows.map(_.getAs[Double]("score")).min
+          else Double.NegativeInfinity)
+        })
     val tails: Seq[BatchTail] = Await.result(tailsF, Duration.Inf)
     val byQuery = tails.groupBy(_.qid)
     val finalDepth: Seq[(Long, Long)] = qids.toSeq.map { qid =>
@@ -670,11 +805,22 @@ object SparseTopK {
         depthOf.getOrElse(qid, Long.MaxValue / 2))).sum
       qid -> (if (total > 0) prefix.toDouble / total else 1.0)
     }.toMap
+    // in head mode the exact folds read the lazy full set (candidate
+    // docs need random access past the head); otherwise the checkpoint
+    // IS the full set. A query whose walk somehow passed the head bound
+    // (defensive — p_ub_q's derivation says it cannot) must not build
+    // candidates from a truncated prefix: route it to the exhaustive
+    // bypass, which is exact at any θ.
+    val qpScore = if (headWorthIt) qpFull else qp
+    val overflow: Set[Long] =
+      if (!headWorthIt) Set.empty
+      else qids.toSeq.filter(q =>
+        depthOf.getOrElse(q, 0L) > headBound.get).toSet
     val (bypassQids, deepQids) =
-      qids.toSeq.partition(coverageOf(_) >= PruneSkipRatio)
+      qids.toSeq.partition(q => coverageOf(q) >= PruneSkipRatio || overflow(q))
     val bypassScores =
       if (bypassQids.isEmpty) None
-      else Some(scoresOf(qp.where(col("query_id").isin(bypassQids: _*))))
+      else Some(scoresOf(qpScore.where(col("query_id").isin(bypassQids: _*))))
     val deepScores =
       if (deepQids.isEmpty) None
       else {
@@ -700,6 +846,9 @@ object SparseTopK {
           (qid, t, res, tauOf(qid),
             thetaSeed.getOrElse(qid, Double.NegativeInfinity))
         }.toDF("query_id", "term", "resid", "tau", "theta")
+        // candidate generation reads the (head) checkpoint — prefix
+        // rows are depth-bounded, all inside the head; the exact fold
+        // below reads the full set
         val deepQp = qp.where(col("query_id").isin(deepQids: _*))
         val cands = deepQp.join(broadcast(depths), Seq("query_id"))
           .where(col("impact_rank") <= col("p"))
@@ -709,7 +858,8 @@ object SparseTopK {
             first(col("theta")).as("theta"))
           .where(col("ub") >= col("theta") - 1e-9)
           .select(col("query_id"), col("doc_id"))
-        Some(scoresOf(deepQp.join(cands, Seq("query_id", "doc_id"), "left_semi")))
+        Some(scoresOf(qpScore.where(col("query_id").isin(deepQids: _*))
+          .join(cands, Seq("query_id", "doc_id"), "left_semi")))
       }
     val finalScores = (bypassScores, deepScores) match {
       case (Some(b), Some(d)) => b.unionByName(d)
@@ -841,8 +991,19 @@ object SparseTopK {
   private def taLoopCore(qPostings: DataFrame, k: Int,
       tailsF: scala.concurrent.Future[Seq[TermTail]], ladder: Seq[Long],
       dict: Map[String, Int],
-      skipSeed: Boolean = false): (DataFrame, Int, Long, Long) = {
+      skipSeed: Boolean = false,
+      fullPostings: Option[DataFrame] = None,
+      thetaPre: Option[Double] = None): (DataFrame, Int, Long, Long) = {
     require(k > 0, "taTopK: k must be positive")
+    // head mode (r15, the deep-serve block prune): `qPostings` is only
+    // the impact_rank ≤ p_ub HEAD of the working set (the stored-tails
+    // caller proved the walk must stop by p_ub before any corpus job)
+    // and `fullPostings` is the LAZY unlimited read. Every exact-score
+    // consumer folds over `full`; the seed/prefix/UB jobs — the ones
+    // that run more than once — touch only the slim head. θ_seed from
+    // head partials is a LOWER bound on the true k-th score (partial ≤
+    // true), so the stopping rule and the UB prune stay exact verbatim.
+    val full = fullPostings.getOrElse(qPostings)
 
     // exact scores folded in sorted term order (Bm25 bit-parity
     // discipline) over whichever doc set the caller passes
@@ -854,10 +1015,18 @@ object SparseTopK {
         (acc, s) => acc + s.getField("impact")).as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(k)
 
-    // exact scores for the docs seen in the depth-p prefixes (no
+    // seed scores for the docs seen in the depth-p prefixes (no
     // distinct on the candidate side — LeftSemi dedups by construction,
-    // so the explicit distinct was a pure extra shuffle; r13)
+    // so the explicit distinct was a pure extra shuffle; r13). In head
+    // mode these are head partials — a valid θ lower bound, never the
+    // emitted result.
     def scoresAt(p: Long): DataFrame = scoresOf(qPostings
+      .join(qPostings.where(col("impact_rank") <= p)
+        .select(col("doc_id")), Seq("doc_id"), "left_semi"))
+
+    // FINAL exact scores of the depth-p candidates — folds over the
+    // full posting set (candidate docs need random access past p)
+    def finalScoresAt(p: Long): DataFrame = scoresOf(full
       .join(qPostings.where(col("impact_rank") <= p)
         .select(col("doc_id")), Seq("doc_id"), "left_semi"))
 
@@ -865,12 +1034,14 @@ object SparseTopK {
     // stored-tails callers only): θ = −∞ exhausts the ladder walk and
     // drives coverage to 1.0, so the final job below is the exhaustive
     // bypass — the rows TA certifies at any θ, minus one driver job.
+    // `thetaPre` (head mode): the caller already bounded θ with the
+    // partial-seed job — skip the loop's own seed entirely
     val seedRows =
-      if (skipSeed) Array.empty[org.apache.spark.sql.Row]
+      if (skipSeed || thetaPre.isDefined) Array.empty[org.apache.spark.sql.Row]
       else scoresAt(k.toLong).collect()
-    val thetaSeed =
+    val thetaSeed = thetaPre.getOrElse(
       if (seedRows.length >= k) seedRows.last.getAs[Double]("score")
-      else Double.NegativeInfinity
+      else Double.NegativeInfinity)
     // the tails job (if any) ran concurrently with the seed job above
     val tails = scala.concurrent.Await.result(
       tailsF, scala.concurrent.duration.Duration.Inf)
@@ -903,9 +1074,18 @@ object SparseTopK {
     val totalRows = lens.sum
     val top =
       if (totalRows > 0 && prefixRows.toDouble / totalRows >= PruneSkipRatio)
-        scoresOf(qPostings)
+        scoresOf(full)
+      else if (fullPostings.isDefined &&
+          lens.exists(_ > p) && thetaSeed <= tauAt(p))
+        // head-mode guard (defensive; p_ub's derivation proves the
+        // certificate fires by the truncated ladder's last rung, so this
+        // never runs in exact arithmetic — and it subsumes the θ = −∞
+        // case, where no certificate can ever fire): certificate not met
+        // at the head boundary → score everything exhaustively — exact
+        // at any θ
+        scoresOf(full)
       else if (thetaSeed == Double.NegativeInfinity)
-        scoresAt(p)
+        finalScoresAt(p)
       else {
         // the deep regime's second prune (r13): Fagin's random-access
         // bound, per candidate. A doc's score is at most its EXACT
@@ -933,7 +1113,7 @@ object SparseTopK {
           .agg((sum(col("impact")) + lit(tau) - sum(col("resid"))).as("ub"))
           .where(col("ub") >= thetaSeed - 1e-9)
           .select(col("doc_id"))
-        scoresOf(qPostings.join(cands, Seq("doc_id"), "left_semi"))
+        scoresOf(full.join(cands, Seq("doc_id"), "left_semi"))
       }
     val result = top.join(
         HybridSearch.rankBounded(top, "doc_id", "score"), Seq("doc_id"))

@@ -339,6 +339,41 @@ class SparseTopKSpec extends SparkSpec {
     assert(s2 == c2, "batch serve diverges across the checkpoint gate")
   }
 
+  test("deep-serve head mode: the p_ub-truncated working set serves row-identically to the full checkpoint — single and batch") {
+    // r15 block prune: the stored rung impacts bound the walk's depth
+    // driver-side, so the checkpoint materializes only the
+    // impact_rank ≤ p_ub head while exact folds read the lazy full set.
+    // Force the BIG regime (floor 0) and flip the head gate both ways
+    // on the same fixture: frac 1.0 = head mode whenever the bound
+    // exists, frac 0.0 = never (the r14 full-checkpoint shape). Rows
+    // must be identical, and both must equal the in-memory walk.
+    val dir = java.nio.file.Files.createTempDirectory("taidx_head").toString
+    SparseTopK.writeIndex(index, dir)
+    val terms = Seq("merge", "vector", "batch", "slow", "spark")
+    val qt = (terms.map(0L -> _) ++
+      Seq("join", "hash", "filter", "scan").map(1L -> _)).toDF("query_id", "term")
+    def withProps[T](frac: String)(run: => T): T = {
+      System.setProperty("graft.ta.serveFloorPostings", "0")
+      System.setProperty("graft.ta.headMaxFrac", frac)
+      try run finally {
+        System.clearProperty("graft.ta.serveFloorPostings")
+        System.clearProperty("graft.ta.headMaxFrac")
+      }
+    }
+    val headS = withProps("1.0")(
+      SparseTopK.taTopKPersisted(spark, dir, terms, 15).collect().map(_.toSeq).toSeq)
+    val fullS = withProps("0.0")(
+      SparseTopK.taTopKPersisted(spark, dir, terms, 15).collect().map(_.toSeq).toSeq)
+    assert(headS == fullS, "single-query serve diverges across the head gate")
+    assert(headS == SparseTopK.taTopK(index, terms, 15).collect().map(_.toSeq).toSeq,
+      "head-mode serve diverges from the in-memory walk")
+    val headB = withProps("1.0")(
+      SparseTopK.taTopKBatchPersisted(spark, dir, qt, 10).collect().map(_.toSeq).toSeq)
+    val fullB = withProps("0.0")(
+      SparseTopK.taTopKBatchPersisted(spark, dir, qt, 10).collect().map(_.toSeq).toSeq)
+    assert(headB == fullB, "batch serve diverges across the head gate")
+  }
+
   test("tf cache is a single reused process artifact: same-corpus rebuilds pin nothing new; release unpersists") {
     import org.apache.spark.storage.StorageLevel
     // The memo slot and the cache manager are JVM-global and OTHER
