@@ -409,13 +409,47 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.8,
       textCol: String = "text"): DataFrame = {
-    val sh = candidateShingles(docs, scored, shingleN, textCol)
-    scored
+    // Verbatim-pair fast path (r15, guide §2.3 "shuffle keys and
+    // metadata instead of payloads"): a candidate pair of BYTE-IDENTICAL
+    // texts with a non-empty shingle set has exact Jaccard 1.0 by
+    // identity — n/n of the same sorted array — so shingling both sides
+    // and intersecting identical arrays proves nothing. On a
+    // boilerplate-heavy corpus ~every candidate pair is within a
+    // verbatim cloud (measured 62.46M of 62.47M pairs at 300×-docs /
+    // 0.5-verbatim; verify was 325 s of a 367 s pipeline), so pairs are
+    // first tagged with a per-doc md5 group hash + a has-shingles flag
+    // (one tokenize-count pass over the candidate-pruned docs — no
+    // shingling): equal-hash pairs with shingles score exactly
+    // round(1.0, 4) = 1.0, the value the exact path computes for them;
+    // everything else — including the empty-shingle edge, whose exact
+    // path yields a non-comparable null — keeps the full
+    // shingle-intersection verify, now pruned to the non-verbatim ids.
+    val candIds = scored.select(col("doc_a").as("doc_id"))
+      .unionByName(scored.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val meta = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), md5(col(textCol)).as("gh"),
+        (size(TextFunctions.tokens(col(textCol))) >= shingleN).as("has_sh"))
+    val tagged = scored
+      .join(meta.select(col("doc_id").as("doc_a"), col("gh").as("gh_a"),
+        col("has_sh").as("has_a")), Seq("doc_a"))
+      .join(meta.select(col("doc_id").as("doc_b"), col("gh").as("gh_b")),
+        Seq("doc_b"))
+    val isVerbatim = col("gh_a") === col("gh_b") && col("has_a")
+    val verbatim = tagged.where(isVerbatim)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        lit(1.0d).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    val rest = tagged.where(!isVerbatim)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    val sh = candidateShingles(docs, rest, shingleN, textCol)
+    val exact = rest
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    exact.unionByName(verbatim)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

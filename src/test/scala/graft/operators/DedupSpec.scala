@@ -152,6 +152,45 @@ class DedupSpec extends SparkSpec {
     assert(fullCollapsed == fullDirect, "verified pairs changed under the collapse")
   }
 
+  test("verbatim-pair verify bypass: verifyScoredCandidates equals the exact-only form on a cloud-heavy fixture") {
+    // r15: equal-md5 pairs with shingles score 1.0 without the
+    // shingle-intersection join; everything else (near-dups, the
+    // empty-shingle identical group, unrelated pairs) keeps the exact
+    // path. The fixture reuses the collapse spec's closure cases —
+    // verbatim clouds, a near-dup pair, empty-shingle groups.
+    val fx = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "pack my box with five dozen brown liquor jugs"),
+      (3L, "the quick brown fox jumps over the lazy dog today"),
+      (5L, "the quick brown fox jumps over the lazy dog tonight"),
+      (6L, "pack my box with five dozen brown liquor jugs"),
+      (7L, "completely unrelated text about vector search engines"),
+      (9L, "the quick brown fox jumps over the lazy dog tonight"),
+      (10L, "tiny doc"),
+      (11L, "tiny doc"),
+      (12L, "small one"))
+      .toDF("doc_id", "text")
+    val scored = Dedup.minhashFastCandidatesScored(fx).localCheckpoint(true)
+    // the pre-r15 exact-only reference form, inlined
+    val candIds = scored.select($"doc_a".as("doc_id"))
+      .unionByName(scored.select($"doc_b".as("doc_id"))).distinct()
+    val sh = fx.join(candIds, Seq("doc_id"), "left_semi")
+      .select($"doc_id",
+        graft.functions.TextFunctions.wordShingles($"text", 3).as("sh"))
+    val reference = scored
+      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
+      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b", $"est_jaccard",
+        round(Dedup.jaccard($"sh_a", $"sh_b"), 4).as("jaccard"))
+      .where($"jaccard" >= 0.8)
+      .collect().map(_.toSeq).toSet
+    val bypass = Dedup.verifyScoredCandidates(fx, scored, 3, 0.8)
+      .collect().map(_.toSeq).toSet
+    assert(bypass == reference,
+      s"bypass changed verify rows:\n only ref: ${reference -- bypass}\n only bypass: ${bypass -- reference}")
+    assert(bypass.nonEmpty, "fixture must exercise the verify output")
+  }
+
   test("q_minhash_fast_cands drift pin: the deterministic candidate artifact's fingerprint at sf0.001 and sf0.01") {
     // the 6th no-oracle entry's drift companion (r12 verdict item 3):
     // the candidate table is fully deterministic (xxhash64 family, fixed
